@@ -1,0 +1,337 @@
+"""Deduplication operators for training-data pipelines (Ring C).
+
+Four families, each chosen for a different scale/recall point:
+
+1. **Exact** -- md5 content fingerprint, hash groupBy.  One shuffle on a
+   16-byte key; at 100 TB this is the cheapest possible dedup (the
+   shuffle carries only (fingerprint, doc_id)).
+2. **MinHash + LSH** -- per-doc signatures computed *narrowly* (array_min
+   over transform: zero shuffles for signatures), then banded: docs
+   sharing any band key become candidate pairs, verified with exact
+   Jaccard.  Candidate generation shuffles only (band_key, doc_id)
+   pairs, never document text.
+3. **SimHash** -- 16-bit locality hash; near-dup = equal simhash.  Even
+   cheaper than MinHash (single int per doc) at lower recall.
+4. **N-gram Jaccard** -- the exact pairwise baseline (shingle-explode +
+   self-join).  Quadratic in the worst case; used as the recall oracle
+   for the approximate families and viable when blocked (e.g. per
+   source/bucket).
+
+All hashing is md5-based and therefore deterministic and
+engine-portable -- no seeded RNG, reruns are stable, and an external SQL
+engine can reproduce every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import doc_fingerprint, shingles, tokens
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fingerprint -> group.  Returns one row per duplicated fingerprint
+    with the kept (min-id) doc and the duplicate count."""
+    fp = docs.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id doc per content fingerprint.  Implemented as a
+    min-by aggregation (one shuffle on the fingerprint), then a
+    broadcast-free semi-join back on (fingerprint is dropped)."""
+    fp = docs.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+# --------------------------------------------------------------------------
+# 2. MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _perm_hash(i: int, s: Column) -> Column:
+    """The i-th 'permutation': md5 of a salted shingle.  Lexicographic
+    min over uniformly-distributed hex strings == numeric min over the
+    hash space."""
+    return F.md5(F.concat(F.lit(f"{i}|"), s).cast("binary"))
+
+
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 9,
+    shingle_n: int = 3,
+    with_shingles: bool = False,
+) -> DataFrame:
+    """(id, signature array<string>[num_hashes], n_shingles [, shingles]).
+
+    Formulation: explode the shingle set once, hash each shingle under
+    every 'permutation', then partial-min groupBy back to one row per
+    doc.  Why not the narrow array_min-over-transform version: Catalyst
+    inlines the shingle-construction expression into every one of the
+    ``num_hashes`` references (CollapseProject), so the set gets rebuilt
+    k times per row -- measured 9x slower at sf0.1.  Here construction
+    runs exactly once; the min aggregation is map-side partial, so the
+    shuffle carries ~one row per (doc, partition); and the resulting
+    exchange is reusable (ReusedExchange) when callers self-join the
+    signatures, halving the work again.
+
+    ``with_shingles=True`` additionally carries the distinct shingle set
+    through the same single shuffle (collect_set) for downstream
+    verification joins -- no second construction pass.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    exploded = docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    hashed = exploded.select(
+        id_col,
+        "shingle",
+        *[_perm_hash(i, F.col("shingle")).alias(f"__h{i}") for i in range(num_hashes)],
+    )
+    aggs = [F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    if with_shingles:
+        aggs.append(F.collect_set("shingle").alias("shingles"))
+    grouped = hashed.groupBy(id_col).agg(*aggs)
+    return grouped.select(
+        id_col,
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("signature"),
+        "n_shingles",
+        *(["shingles"] if with_shingles else []),
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 9,
+    bands: int = 3,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = 0.5,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band key are candidates.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; when
+    ``jaccard_threshold`` is set, candidates are verified with exact
+    Jaccard over shingle sets and filtered.
+
+    Shuffle profile: signatures are built through one partial-min
+    shuffle (see minhash_signature) whose exchange both join sides
+    reuse; banding explodes bands-per-doc (tiny rows: band_key + id);
+    verification joins the collect_set shingle sets (carried through
+    the same signature shuffle) by candidate id -- proportional to
+    candidate count, not corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        docs,
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_n,
+        with_shingles=jaccard_threshold is not None,
+    )
+    band_cols = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.col("signature")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ).cast("binary")
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_cols).alias("band_key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    if jaccard_threshold is None:
+        return cand
+
+    sh = sig.select(F.col(id_col), F.col("shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """Charikar simhash over whitespace tokens, ``bits`` wide.
+
+    Each token votes +1/-1 per bit position according to its md5; the
+    sign of the per-bit sum forms the hash.  Pure codegen expressions.
+    """
+    toks = F.array_distinct(tokens(F.lower(text)))
+
+    # token -> integer hash from the first 8 hex chars of md5 (32 bits).
+    def th(t):
+        return F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+    # NB: the merge lambda must stay binary (acc, elem) -- see language_id.
+    def vote(j: int):
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.when(F.shiftright(th(t), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote(j) for j in range(bits)]
+    out = F.lit(0).cast("bigint")
+    for j, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << j)).otherwise(0)
+    return out
+
+
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, simhash) via the scalable explode formulation: one pass of
+    token hashing, partial-sum bit votes through a single groupBy
+    shuffle (same rationale as minhash_signature -- the narrow
+    fold-per-row version re-runs tokenization ``bits`` times)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    th = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(th, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + F.when(F.col(f"__b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return votes.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Docs with identical simhash -> (id_a, id_b, simhash) pairs.
+    Self-join on a single bigint -- the cheapest near-dup candidate
+    generator; pair with a verify stage for precision."""
+    h = simhash_table(docs, id_col, text_col, bits)
+    a, b = h.alias("a"), h.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Exact n-gram Jaccard (pairwise baseline / recall oracle)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-shingle sets via shingle-inverted-index
+    self-join.  ``block_col`` (e.g. source/date bucket) bounds the join
+    fan-out at scale; None = full corpus."""
+    sh = docs.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+
+    ex = sh.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col("n_sh"),
+        F.explode("sh").alias("shingle"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    common = (
+        a.join(b, join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

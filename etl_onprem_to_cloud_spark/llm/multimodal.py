@@ -1,0 +1,134 @@
+"""Multimodal column plumbing (Ring C).
+
+Pattern: media travels as an opaque ``binary`` column plus a typed
+metadata struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
+
+The container has no image/audio codecs, so the actual decode is a
+STUB: ``decode_image(..., fake=True)`` produces a deterministic fake
+feature vector from the payload's md5 (stable across runs, good enough
+to exercise schema/partitioning/batching end-to-end), and
+``fake=False`` raises NotImplementedError where a real
+``PIL.Image.open`` / ``torchvision`` call would go.
+
+Scale notes: binary payloads dominate row size, so
+``spark.sql.files.maxPartitionBytes`` (not row count) governs scan
+tasks; ``maxRecordsPerFile`` on write keeps shuffle blocks bounded; and
+``mapInPandas`` receives Arrow record batches whose size is tuned with
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(
+    docs: DataFrame, text_col: str = "text", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 bytes of the
+    text, standing in for image/audio bytes) + typed metadata."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col("doc_id"),
+        payload.alias("payload"),
+        F.lit(mime).alias("mime"),
+        F.octet_length(payload).cast("bigint").alias("byte_len"),
+    )
+
+
+def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a real image decode: md5-derived
+    pseudo-dimensions and features."""
+    digest = hashlib.md5(payload or b"").digest()
+    width = 16 + digest[0] % 64
+    height = 16 + digest[1] % 64
+    feats = [
+        round((digest[(i * 3) % 16] / 255.0) * 2.0 - 1.0, 6) for i in range(feat_dim)
+    ]
+    return width, height, feats
+
+
+def decode_image_features(
+    media: DataFrame, feat_dim: int = 8, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction over a binary column.
+
+    Real implementation would replace ``_fake_decode`` with e.g.
+    ``PIL.Image.open(io.BytesIO(payload))`` + a vision encoder; the
+    Spark-side contract (mapInPandas over MEDIA_SCHEMA ->
+    IMAGE_FEATURE_SCHEMA) is exactly what production would use.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/torchvision (not in container); "
+                    "use fake=True for the deterministic stub"
+                )
+            decoded = [_fake_decode(p, feat_dim) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "byte_len": pdf["byte_len"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """'Frame sampling' over a binary payload: emit one row per sampled
+    offset (stand-in for video frame extraction).  Built-in exprs only:
+    the payload is sliced JVM-side, no Python."""
+    n = F.least(
+        F.floor(F.col("byte_len") / every_n_bytes).cast("int") + 1,
+        F.lit(max_frames),
+    )
+    idx = F.sequence(F.lit(0), n - 1)
+    return media.select(
+        "doc_id",
+        F.explode(idx).alias("frame_no"),
+    ).withColumn("byte_offset", (F.col("frame_no") * every_n_bytes).cast("bigint"))

@@ -1,0 +1,176 @@
+"""Event-stream queries: windowed aggregations with batch/streaming-
+identical semantics (streaming/windows.py holds the streaming entry
+points; these batch twins are what the DuckDB oracle validates), plus
+JSON extraction over the ``props`` payload column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec
+from ._util import cat, fmt_ts
+from . import query
+
+
+@query(
+    "q_events_tumbling_hourly",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window-agg", "streaming-twin"),
+    description="Tumbling 1h windows per event_type (streaming twin: "
+    "streaming.tumbling_window_agg with a watermark).",
+)
+def q_events_tumbling_hourly(spark, sf_dir):
+    ev = cat(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            fmt_ts(F.col("w.start"), "window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_events_sliding_half_hour",
+    oracle="""
+WITH expanded AS (
+  SELECT event_type,
+    unnest([
+      time_bucket(INTERVAL '30 minutes', ts),
+      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
+    ]) AS window_start
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, count(*) AS n_events
+FROM expanded
+GROUP BY 1, 2
+""",
+    tags=("events", "window-agg", "streaming-twin"),
+    description="Sliding 1h/30m windows: every event lands in 2 windows.",
+)
+def q_events_sliding_half_hour(spark, sf_dir):
+    ev = cat(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            fmt_ts(F.col("w.start"), "window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_events_user_sessions",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("events", "session-window", "streaming-twin"),
+    description="Per-user session windows (10 min inactivity gap); "
+    "streaming twin: streaming.session_window_agg.",
+)
+def q_events_user_sessions(spark, sf_dir):
+    ev = cat(spark, sf_dir).events
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            fmt_ts(F.col("w.start"), "session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_events_user_stats",
+    oracle="""
+SELECT user_id,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY user_id
+""",
+    tags=("events", "agg", "streaming-twin"),
+    description="Per-user lifetime counters (batch twin of the "
+    "applyInPandasWithState operator in streaming/windows.py).",
+)
+def q_events_user_stats(spark, sf_dir):
+    ev = cat(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"),
+        fmt_ts(F.min("ts"), "first_ts"),
+        fmt_ts(F.max("ts"), "last_ts"),
+    )
+
+
+@query(
+    "q_events_json_extract",
+    oracle="""
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+  min(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+  max(CAST(props->>'$.k' AS INTEGER)) AS max_k,
+  count(props->>'$.missing') AS n_missing
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "json"),
+    description="JSON path extraction from the props payload column.",
+)
+def q_events_json_extract(spark, sf_dir):
+    ev = cat(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("int")
+    missing = F.get_json_object("props", "$.missing")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(missing).alias("n_missing"),
+    )

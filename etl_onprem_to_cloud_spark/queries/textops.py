@@ -1,0 +1,339 @@
+"""Ring C text analysis + dedup queries over the documents table.
+
+Everything md5/array-expression based and therefore reproducible by the
+SQL oracle bit-for-bit (see llm/dedup.py for the scale rationale of each
+dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg_round
+from ..functions import text as T
+from ..llm import dedup as D
+from ..llm.multimodal import attach_binary_payload, decode_image_features
+from ._util import cat, duck_shingles, duck_tokens
+from . import query
+
+_DUCK_NORM = (
+    "array_to_string(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''), ' ')"
+)
+_DUCK_TOKS_RAW = "list_filter(string_split_regex(text, ' +'), t -> t != '')"
+_DUCK_TOKS_LOW = duck_tokens("text")
+_STOP_IN = "('" + "', '".join(T.STOPWORDS) + "')"
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+    {_DUCK_TOKS_RAW} AS toks,
+    {_DUCK_TOKS_LOW} AS toks_low
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    length(text) AS n_chars_actual,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '{T.TOKEN_REGEX}')) AS n_tokens_regex,
+    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+    length(text) AS n_len,
+    len(list_filter(toks_low, t -> t IN {_STOP_IN})) AS n_stop,
+    list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS tok_chars
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_tokens_regex AS BIGINT) AS n_tokens_regex,
+  round(CASE WHEN n_len > 0 THEN n_punct / n_len ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END, 6) AS avg_word_len,
+  round((
+    least(n_len / 500.0, 1.0)
+    + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 5.0, 1.0)
+    + greatest(1.0 - (CASE WHEN n_len > 0 THEN n_punct / n_len ELSE 0.0 END) * 4.0, 0.0)
+  ) / 3.0, 6) AS quality_score
+FROM m
+""",
+    tags=("text", "ring-c"),
+    description="Per-doc token counts, punctuation/stopword ratios, quality score.",
+)
+def q_text_stats(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("n_chars_actual"),
+        T.whitespace_token_count(text).alias("n_tokens"),
+        T.regex_token_count(text).alias("n_tokens_regex"),
+        F.round(T.punct_ratio(text), 6).cast("double").alias("punct_ratio"),
+        F.round(T.stopword_ratio(text), 6).cast("double").alias("stopword_ratio"),
+        F.round(T.avg_word_len(text), 6).cast("double").alias("avg_word_len"),
+        T.quality_score(text).alias("quality_score"),
+    )
+
+
+def _duck_lang_score(markers: list[str]) -> str:
+    in_list = "('" + "', '".join(markers) + "')"
+    return f"len(list_filter(toks_low, t -> t IN {in_list}))"
+
+
+@query(
+    "q_text_language_id",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKS_LOW} AS toks_low FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    {_duck_lang_score(T.LANGUAGE_MARKERS['en'])} AS s_en,
+    {_duck_lang_score(T.LANGUAGE_MARKERS['es'])} AS s_es,
+    {_duck_lang_score(T.LANGUAGE_MARKERS['de'])} AS s_de,
+    {_duck_lang_score(T.LANGUAGE_MARKERS['fr'])} AS s_fr
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+    ELSE 'fr'
+  END AS lang_pred
+FROM s
+""",
+    tags=("text", "ring-c", "langid"),
+    description="Marker-word language ID heuristic (deterministic tie order).",
+)
+def q_text_language_id(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    return docs.select(
+        "doc_id", "lang", T.language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+  md5({_DUCK_NORM}) AS fingerprint,
+  substring(md5({_DUCK_NORM}), 1, 8) AS short_key
+FROM documents
+""",
+    tags=("text", "ring-c", "fingerprint"),
+    description="md5 content fingerprint of whitespace-normalized text.",
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    fp = T.doc_fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("short_key"),
+    )
+
+
+@query(
+    "q_dedup_exact_groups",
+    oracle=f"""
+SELECT md5({_DUCK_NORM}) AS fingerprint,
+  min(doc_id) AS keep_doc_id,
+  count(*) AS n_docs
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+""",
+    tags=("dedup", "ring-c"),
+    description="Exact duplicate groups via content fingerprint.",
+)
+def q_dedup_exact_groups(spark, sf_dir):
+    return D.exact_duplicate_groups(cat(spark, sf_dir).documents)
+
+
+@query(
+    "q_dedup_exact_keep",
+    oracle=f"""
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_DUCK_NORM})
+""",
+    tags=("dedup", "ring-c"),
+    description="Surviving doc ids after exact dedup (min-id per fingerprint).",
+)
+def q_dedup_exact_keep(spark, sf_dir):
+    return D.exact_dedup(cat(spark, sf_dir).documents).select("doc_id")
+
+
+def _minhash_sig_sql(num_hashes: int = 9) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
+        for i in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def _band_keys_sql(bands: int = 3, rows_per_band: int = 3) -> str:
+    keys = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"sig[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+        )
+        keys.append(f"md5('{b}' || '|' || {parts})")
+    return "[" + ", ".join(keys) + "]"
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LOW} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, {duck_shingles('tk')} AS sh FROM toks
+),
+sig AS (
+  SELECT doc_id, sh, {_minhash_sig_sql()} AS sig FROM sh WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(sa.sh, sb.sh)) /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+""",
+    tags=("dedup", "ring-c", "minhash", "lsh"),
+    description="MinHash(9)+LSH(3 bands) candidates verified at Jaccard>=0.5. "
+    "Deterministic md5 'permutations' -- no seeded RNG, fully reproducible.",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_candidate_pairs(
+        cat(spark, sf_dir).documents,
+        num_hashes=9,
+        bands=3,
+        jaccard_threshold=0.5,
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LOW} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, {duck_shingles('tk')} AS sh FROM toks
+),
+ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+    count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+  round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM pairs
+WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+""",
+    tags=("dedup", "ring-c", "jaccard"),
+    description="Exact word-3-gram Jaccard pairs (inverted-index self-join) -- "
+    "the recall oracle for the LSH families.",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(cat(spark, sf_dir).documents, threshold=0.5)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=None,  # hex->int bit arithmetic is not portable to the oracle
+    tags=("dedup", "ring-c", "simhash"),
+    description="16-bit SimHash collision buckets (bucket size, kept doc). "
+    "Bucket summary rather than raw pairs: the fixture vocabulary is tiny, "
+    "so pair fan-out is quadratic while buckets stay bounded.",
+)
+def q_dedup_simhash(spark, sf_dir):
+    h = D.simhash_table(cat(spark, sf_dir).documents)
+    return (
+        h.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "q_docs_by_source",
+    oracle="""
+SELECT lang, source,
+  count(*) AS n_docs,
+  round(CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars), 4) AS avg_chars,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("agg", "text"),
+    description="Corpus composition rollup by language and source.",
+)
+def q_docs_by_source(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg_round("n_chars", "avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q_multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+  'application/octet-stream' AS mime,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  md5(text) AS payload_md5
+FROM documents
+""",
+    tags=("multimodal", "ring-c"),
+    description="Binary payload column + typed metadata (byte length, md5).",
+)
+def q_multimodal_metadata(spark, sf_dir):
+    media = attach_binary_payload(cat(spark, sf_dir).documents)
+    return media.select(
+        "doc_id",
+        "mime",
+        "byte_len",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+@query(
+    "q_multimodal_decode_features",
+    oracle=None,  # mapInPandas stub decode -- Spark-side plumbing check only
+    tags=("multimodal", "ring-c", "pandas-udf"),
+    description="Arrow-batched mapInPandas decode stub: binary payload -> "
+    "(width, height, feature vector).  Real codec is stubbed (see "
+    "llm/multimodal.py); the Spark plumbing is production-shaped.",
+)
+def q_multimodal_decode_features(spark, sf_dir):
+    media = attach_binary_payload(cat(spark, sf_dir).documents)
+    feats = decode_image_features(media, feat_dim=8, fake=True)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1), 6).cast("double").alias("f0"),
+    )

@@ -1,0 +1,84 @@
+"""Ring C similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llm.similarity import brute_force_top_k, embedding_near_dup_pairs, ivf_top_k
+from ._util import cat
+from . import query
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_QUERY_IDS_SQL = ", ".join(str(i) for i in _QUERY_IDS)
+
+_COS = (
+    "list_dot_product(qv, nv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))"
+)
+
+
+@query(
+    "q_ann_brute_force_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({_QUERY_IDS_SQL})
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id, round({_COS}, 6) AS cosine
+  FROM q CROSS JOIN c
+  WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+    tags=("similarity", "ring-c", "ann"),
+    description="Exact brute-force cosine top-10 for 5 query vectors "
+    "(broadcast queries x streamed corpus; the ANN correctness baseline).",
+)
+def q_ann_brute_force_topk(spark, sf_dir):
+    emb = cat(spark, sf_dir).embeddings
+    out = brute_force_top_k(emb, _QUERY_IDS, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "q_ann_ivf_topk",
+    oracle=None,  # approximate (probe subset); recall is judged against
+    # q_ann_brute_force_topk in tests, not by SQL equivalence.
+    tags=("similarity", "ring-c", "ann", "approx"),
+    description="IVF-style ANN: probe the 3 nearest coarse cells only "
+    "(label = offline cluster id).  The 100 TB scale path.",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = cat(spark, sf_dir).embeddings
+    out = ivf_top_k(emb, _QUERY_IDS, k=10, nprobe=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+""",
+    tags=("similarity", "ring-c", "dedup"),
+    description="Embedding-cosine near-dup pairs, blocked by cell (label).",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    emb = cat(spark, sf_dir).embeddings
+    return embedding_near_dup_pairs(emb, threshold=0.4)

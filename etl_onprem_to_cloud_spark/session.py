@@ -1,0 +1,98 @@
+"""SparkSession factory.
+
+The reference builds two sessions with no ``.master()`` (falling back to
+local mode inside its Airflow container, reference etl/transform.py:11-13,
+etl/load.py:40-51) and patches ``fs.s3a.*`` durations through py4j private
+APIs (etl/load.py:54-74).  Here: one declarative factory, AQE on, UTC
+session time zone, Kryo, and an optional s3a credential block that covers
+the same knobs without the private-API shim.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE handles runtime shuffle-partition coalescing and skew-join
+  splitting, so static ``spark.sql.shuffle.partitions`` is only the
+  *initial* partition count; at cluster scale set it ~2-3x total cores.
+- ``spark.sql.files.maxPartitionBytes=128m`` keeps scan tasks bounded
+  regardless of input size (100 TB -> ~800k scan tasks, fine for a
+  1000-executor cluster; raise to 256-512m if the driver chokes on task
+  bookkeeping).
+- Broadcast threshold 64m: region/nation/supplier/part-class dims stay
+  broadcast even at sf-100TB where dims grow into tens of MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "etl-onprem-to-cloud-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    s3a: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``s3a``: optional ``{"access_key":..., "secret_key":..., "endpoint":...}``
+    mirroring the reference's S3 sink config (reference etl/load.py:43-60)
+    but via public ``spark.hadoop.*`` conf keys, not py4j private APIs.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+
+    conf: dict[str, str] = {
+        # Adaptive execution: runtime coalesce + skew-join splitting.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Deterministic timestamps (oracle parity with DuckDB naive ts).
+        "spark.sql.session.timeZone": "UTC",
+        # The driver-generated events.parquet stores TIMESTAMP(NANOS);
+        # Spark has no nanos type -> read as long, sources.py converts.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Arrow for any pandas-UDF path (Ring C) and toPandas.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Dim tables stay broadcast well past sf0.1.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.compression.codec": "snappy",
+        "spark.ui.showConsoleProgress": "false",
+    }
+    if os.environ.get("SPARK_GRAFT_NO_UI", "1") == "1":
+        conf["spark.ui.enabled"] = "false"
+    if s3a:
+        # Public-conf equivalent of reference etl/load.py:54-60; no
+        # duration-string shim needed when hadoop-aws matches the Spark
+        # build (the shim at etl/load.py:14-36 works around a mismatch).
+        conf["spark.hadoop.fs.s3a.access.key"] = s3a.get("access_key", "")
+        conf["spark.hadoop.fs.s3a.secret.key"] = s3a.get("secret_key", "")
+        if "endpoint" in s3a:
+            conf["spark.hadoop.fs.s3a.endpoint"] = s3a["endpoint"]
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        )
+    if extra_conf:
+        conf.update(extra_conf)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,149 @@
+"""Sources and sinks.
+
+Covers the reference's IO surface (SURVEY.md section 2a S1-S6):
+
+- S1 CSV scan with header           -> :func:`read_csv` (declared schema,
+  never ``inferSchema=True`` -- the reference's double inference at
+  etl/transform.py:22 is a full extra pass at 100 TB).
+- S2 Parquet scan                   -> :func:`read_parquet`.
+- S3 Parquet sink (overwrite)       -> :func:`write_parquet`
+  (+ ``partition_by`` which the reference lacks, etl/transform.py:205).
+- S4 CSV sink (header, delimiter)   -> :func:`write_csv`; works against
+  ``s3a://`` URIs exactly like reference etl/load.py:80-84 when the
+  session is built with ``get_spark(s3a=...)``.
+- S5 latest-file discovery          -> :func:`latest_file` (parity with
+  ``sorted([f for f in listdir if f.endswith('.csv')])[-1]``,
+  reference etl/extract.py:10-17).
+
+Plus :func:`load_table` / :class:`Catalog` for the driver fixture tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StructType
+
+from ..schemas import FIXTURE_TABLES
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+    quote: str = '"',
+) -> DataFrame:
+    """CSV scan with a declared schema (S1, minus the inference)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("quote", quote)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink (S3-parity, reference etl/transform.py:205) with the
+    partitioning the reference never does.  ``partition_by`` low-cardinality
+    columns so downstream scans get partition pruning for free."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    delimiter: str = ",",
+) -> None:
+    """CSV sink (S4-parity, reference etl/load.py:80-84).  Spark's CSV
+    writer quotes embedded delimiters, so the reference's comma-mangling
+    of titles (etl/transform.py:176-177) is unnecessary here."""
+    (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
+def latest_file(directory: str, suffix: str = ".csv") -> str | None:
+    """Lexicographic-max file with the given suffix (S5-parity with
+    reference etl/extract.py:10-17).  Returns an absolute path or None."""
+    try:
+        names = sorted(f for f in os.listdir(directory) if f.endswith(suffix))
+    except FileNotFoundError:
+        return None
+    if not names:
+        return None
+    return os.path.join(directory, names[-1])
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver fixture table, normalizing types.
+
+    events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a long (via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and we convert here with an
+    exact integer div (a double division would lose precision at 1.7e18 ns).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts",
+            F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"),
+        )
+    return df
+
+
+class Catalog:
+    """Lazy per-session view of the fixture tables, also registered as
+    temp views so ``spark.sql`` works over them."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, register_views: bool = False):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+        self._register = register_views
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in FIXTURE_TABLES:
+                raise KeyError(f"unknown fixture table: {name}")
+            df = load_table(self.spark, self.sf_dir, name)
+            if self._register:
+                df.createOrReplaceTempView(name)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in FIXTURE_TABLES:
+            return self.table(name)
+        raise AttributeError(name)

@@ -1,0 +1,96 @@
+"""Differential harness: every registered query with an oracle must
+match DuckDB exactly (row count, column names, values) at sf0.001 --
+a local replica of the driver's t2 correctness gate so mismatches are
+caught before a round ends.
+
+Comparison mirrors the driver: columns sorted by name, rows sorted,
+values compared exactly (floats too -- the queries are written so both
+engines produce identical doubles; see functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from etl_onprem_to_cloud_spark.queries import QUERIES
+from etl_onprem_to_cloud_spark.schemas import FIXTURE_TABLES
+
+ORACLE_QUERIES = [n for n, s in QUERIES.items() if s.oracle is not None]
+ROWS_ONLY_QUERIES = [n for n, s in QUERIES.items() if s.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def key(v):
+        if v is None:
+            return (0, "")
+        if isinstance(v, float):
+            if math.isnan(v):
+                return (1, "nan")
+            return (1, repr(v))
+        return (1, str(v))
+
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda r: [key(v) for v in r]), [columns[i] for i in order]
+
+
+def _values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, sf_dir, duck):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    o = duck.execute(spec.oracle)
+    o_cols = [d[0] for d in o.description]
+    o_rows = o.fetchall()
+
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"{name}: column mismatch spark={s_cols} oracle={o_cols}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+
+    s_norm, cols = _normalize(s_rows, s_cols)
+    o_norm, _ = _normalize(o_rows, o_cols)
+    for i, (sr, orow) in enumerate(zip(s_norm, o_norm)):
+        for c, (sv, ov) in zip(cols, zip(sr, orow)):
+            assert _values_equal(sv, ov), (
+                f"{name}: value mismatch at sorted-row {i} col {c}: "
+                f"spark={sv!r} oracle={ov!r}"
+            )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
