@@ -35,5 +35,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    plan = explain_str(df)
-    return len(re.findall(r"\bExchange\b", plan))
+    # simple mode lists each node once (formatted mode repeats nodes in
+    # the detail section and would double-count).
+    plan = explain_str(df, mode="simple")
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))

@@ -43,13 +43,23 @@ def stream_events(
     )
 
 
+def _with_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    """Watermarks require TIMESTAMP (not TIMESTAMP_NTZ); with the
+    engine's fixed UTC session time zone the cast is value-preserving."""
+    if watermark is None:
+        return events
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+
+
 def tumbling_window_agg(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str | None = None,
 ) -> DataFrame:
     """Per (tumbling window, event_type): count + value sum."""
-    src = events.withWatermark("ts", watermark) if watermark else events
+    src = _with_watermark(events, watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
@@ -73,7 +83,7 @@ def sliding_window_agg(
 ) -> DataFrame:
     """Per (sliding window, event_type) count: each event lands in
     window/slide overlapping windows."""
-    src = events.withWatermark("ts", watermark) if watermark else events
+    src = _with_watermark(events, watermark)
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -88,7 +98,7 @@ def session_window_agg(
 ) -> DataFrame:
     """Per-user session windows with a fixed inactivity gap: a new
     session starts when the gap since the previous event is >= ``gap``."""
-    src = events.withWatermark("ts", watermark) if watermark else events
+    src = _with_watermark(events, watermark)
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(

@@ -1,0 +1,91 @@
+"""End-to-end pipeline test: CSV in -> clean Parquet + CSV out -> report,
+including the latest-file extract semantics (reference etl/extract.py:10-17)
+and partitioned output the reference lacks."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from etl_onprem_to_cloud_spark.pipeline import run_netflix_pipeline
+
+HEADER = [
+    "show_id", "type", "title", "director", "cast", "country", "date_added",
+    "release_year", "rating", "duration", "listed_in", "description",
+]
+
+OLD_ROWS = [
+    ["old1", "TV Show", "Old Show", "", "", "France", "", "2001", "TV-G",
+     "1 Season", "Drama", "stale file, must be ignored"],
+]
+
+NEW_ROWS = [
+    ["n1", "TV Show", "Comma, Title", "", "", "Spain", "", "2020", "TV-MA",
+     "1 Season", "Crime TV Shows", "desc with, comma"],
+    ["n2", "TV Show", "Brit", "", "", "Scotland", "", "2019x", "TV-G",
+     "1 Season", "Kids' TV", "x"],
+    ["n3", "Movie", "Skip Me", "", "", "Spain", "", "2018", "PG", "90 min",
+     "Drama", "x"],
+    ["n4", "TV Show", "No Country", "", "", "Brazil", "", "2017", "R",
+     "1 Season", "Reality TV", "x"],
+]
+
+
+def _write_csv(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(HEADER)
+        w.writerows(rows)
+
+
+@pytest.fixture()
+def input_dir(tmp_path):
+    d = tmp_path / "input"
+    d.mkdir()
+    _write_csv(d / "netflix_2001.csv", OLD_ROWS)
+    _write_csv(d / "netflix_2020.csv", NEW_ROWS)
+    (d / "notes.txt").write_text("not a csv")
+    return str(d)
+
+
+def test_pipeline_end_to_end(spark, input_dir, tmp_path):
+    pq = str(tmp_path / "out_parquet")
+    cs = str(tmp_path / "out_csv")
+    res = run_netflix_pipeline(
+        spark, input_dir, parquet_out=pq, csv_out=cs, partition_by=["country"]
+    )
+
+    # extract: lexicographic-latest csv wins, txt ignored
+    assert res.input_path.endswith("netflix_2020.csv")
+    assert res.rows_in == 4
+    assert res.rows_out == 2  # n3 is a Movie, n4 non-EU
+
+    out = {r["show_id"]: r.asDict() for r in res.clean.collect()}
+    assert out["n1"]["title"] == "Comma - Title"
+    assert out["n2"]["country"] == "United Kingdom"
+    assert out["n2"]["release_year"] == 2019
+
+    # parquet sink is hive-partitioned by country
+    dirs = {d for d in os.listdir(pq) if d.startswith("country=")}
+    assert dirs == {"country=Spain", "country=United Kingdom"}
+    assert spark.read.parquet(pq).count() == 2
+
+    # CSV sink round-trips embedded commas via quoting (the reference
+    # mangled titles instead, etl/transform.py:176-177)
+    back = spark.read.option("header", "true").csv(cs)
+    assert back.count() == 2
+    assert {r["show_id"] for r in back.collect()} == {"n1", "n2"}
+
+    # report aggregation matches clean rows
+    rep = {(r["genre_group"], r["country"]): r["n_titles"] for r in res.report.collect()}
+    assert rep[("Crime", "Spain")] == 1
+    assert rep[("Kids", "United Kingdom")] == 1
+
+
+def test_pipeline_empty_dir(spark, tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        run_netflix_pipeline(spark, str(empty))

@@ -1,0 +1,61 @@
+"""Physical-plan discipline: the scale rules from SURVEY.md section 4
+are enforced, not aspirational -- dim joins broadcast, selective
+filters reach the parquet scan, hot paths stay Python-free."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_onprem_to_cloud_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    has_python_udf,
+    pushed_filters,
+    shuffle_count,
+)
+from etl_onprem_to_cloud_spark.queries import QUERIES
+
+PYTHON_FREE = [
+    n
+    for n, s in QUERIES.items()
+    if "pandas-udf" not in s.tags  # the decode stub is mapInPandas by design
+]
+
+
+def test_q05_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["q05_local_supplier_volume"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q06_forecast_revenue"].fn(spark, sf_dir)
+    pushed = pushed_filters(df)
+    joined = ";".join(pushed)
+    # quantity + discount + shipdate predicates must reach the source
+    assert "l_quantity" in joined and "l_discount" in joined
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = QUERIES["q06_forecast_revenue"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    # ReadSchema must not include unused wide columns
+    assert "l_comment" not in plan
+    assert "l_returnflag" not in plan.split("ReadSchema")[-1]
+
+
+@pytest.mark.parametrize("name", ["q01_pricing_summary", "q_text_stats",
+                                  "q_dedup_minhash_lsh", "q_ann_brute_force_topk"])
+def test_hot_paths_have_no_python_udf(name, spark, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert not has_python_udf(df), f"{name} plan contains a Python UDF"
+
+
+def test_q01_single_shuffle(spark, sf_dir):
+    # Scan -> partial agg -> exchange -> final agg: exactly one shuffle.
+    df = QUERIES["q01_pricing_summary"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    df = QUERIES["q_topk_orders_global"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
