@@ -1,0 +1,120 @@
+"""Stock ``pyspark.ml`` LSH variants (SURVEY.md section 2c).
+
+The md5-based operators in dedup.py / similarity.py are the engine's
+deterministic, oracle-checkable implementations.  These wrappers expose
+the stock MLlib alternatives -- MinHashLSH and
+BucketedRandomProjectionLSH -- which use seeded random hash families:
+deterministic for a fixed seed but not reproducible outside Spark, so
+their queries run rows-only in the correctness harness.
+
+Scale: both fit() passes are cheap (random coefficients only; no data
+pass), and approxSimilarityJoin is the standard banded-join under the
+hood -- shuffle on hash buckets, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import shingles
+
+
+def _try_import_ml():
+    try:
+        from pyspark.ml.feature import (  # noqa: F401
+            BucketedRandomProjectionLSH,
+            CountVectorizer,
+            HashingTF,
+            MinHashLSH,
+        )
+        from pyspark.ml.functions import array_to_vector  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - numpy/mllib missing
+        return False
+
+
+HAS_ML = _try_import_ml()
+
+
+def ml_minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 5,
+    jaccard_distance_threshold: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHashLSH over hashed shingle vectors -> (id_a, id_b, jaccard_dist).
+
+    HashingTF turns each doc's shingle set into a sparse binary vector
+    (feature space 2^18); MinHashLSH.approxSimilarityJoin emits pairs
+    under the Jaccard *distance* threshold.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    vecs = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, jaccard_distance_threshold, "jaccard_dist")
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def ml_brp_near_neighbors(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """BucketedRandomProjectionLSH (Euclidean) approximate k-NN for a
+    set of query vectors -> (query_id, neighbor_id, eucl_dist, rank)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(vecs)
+    queries = vecs.filter(F.col(id_col).isin(query_ids))
+    joined = model.approxSimilarityJoin(queries, vecs, float("inf"), "eucl_dist")
+    pairs = joined.filter(
+        F.col(f"datasetA.{id_col}") != F.col(f"datasetB.{id_col}")
+    ).select(
+        F.col(f"datasetA.{id_col}").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        F.round("eucl_dist", 6).alias("eucl_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("eucl_dist"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -82,3 +82,39 @@ WHERE round(list_dot_product(a.v, b.v) /
 def q_embedding_near_dup(spark, sf_dir):
     emb = cat(spark, sf_dir).embeddings
     return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Stock pyspark.ml LSH variants (seeded-random hash families -> rows-only
+# checks; the md5-based queries above are the oracle-checkable twins).
+
+from ..llm.similarity_ml import HAS_ML
+
+if HAS_ML:
+
+    @query(
+        "q_ml_minhash_lsh_pairs",
+        oracle=None,  # seeded MinHashLSH hash family is not reproducible in SQL
+        tags=("dedup", "ring-c", "minhash", "lsh", "mllib"),
+        description="Stock MinHashLSH near-dup pairs over hashed shingle "
+        "vectors (approxSimilarityJoin on banded buckets; never cross-product).",
+    )
+    def q_ml_minhash_lsh_pairs(spark, sf_dir):
+        from ..llm.similarity_ml import ml_minhash_near_dup_pairs
+
+        docs = cat(spark, sf_dir).documents
+        return ml_minhash_near_dup_pairs(docs, jaccard_distance_threshold=0.5)
+
+    @query(
+        "q_ml_brp_ann_topk",
+        oracle=None,  # seeded random-projection buckets; recall judged in tests
+        tags=("similarity", "ring-c", "ann", "approx", "mllib"),
+        description="Stock BucketedRandomProjectionLSH (Euclidean) approx "
+        "k-NN for 5 query vectors.",
+    )
+    def q_ml_brp_ann_topk(spark, sf_dir):
+        from ..llm.similarity_ml import ml_brp_near_neighbors
+
+        emb = cat(spark, sf_dir).embeddings
+        out = ml_brp_near_neighbors(emb, _QUERY_IDS, k=10)
+        return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -1,0 +1,65 @@
+"""Quality checks for the stock pyspark.ml LSH variants: seeded hash
+families have no SQL oracle, so they are judged by recall against the
+engine's exact implementations (brute-force cosine / exact n-gram
+Jaccard) instead of by value-hash.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_onprem_to_cloud_spark.llm.similarity_ml import HAS_ML
+from etl_onprem_to_cloud_spark.queries import QUERIES
+
+pytestmark = pytest.mark.skipif(not HAS_ML, reason="pyspark.ml unavailable")
+
+
+def test_brp_ann_recall_vs_brute_force(spark, sf_dir):
+    """BRP-LSH with an unbounded radius still requires a bucket
+    collision, so recall@10 < 1 is possible; with 3 hash tables on the
+    clustered fixture it should stay high."""
+    exact = QUERIES["q_ann_brute_force_topk"].fn(spark, sf_dir).collect()
+    approx = QUERIES["q_ml_brp_ann_topk"].fn(spark, sf_dir).collect()
+
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assert set(got) == set(truth), "every query vector must get neighbors"
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.5, f"BRP recall@10 too low: {recall:.2f}"
+
+
+def test_minhash_lsh_pairs_overlap_exact_jaccard(spark, sf_dir):
+    """MinHashLSH pairs (Jaccard distance <= 0.5) should largely agree
+    with the exact n-gram Jaccard near-dup pairs (similarity >= 0.5)."""
+    exact_df = QUERIES["q_dedup_ngram_jaccard"].fn(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b) for r in exact_df.collect()
+    }
+    approx_df = QUERIES["q_ml_minhash_lsh_pairs"].fn(spark, sf_dir)
+    approx = {(r.id_a, r.id_b) for r in approx_df.collect()}
+
+    if not exact:
+        pytest.skip("fixture has no exact near-dup pairs at this SF")
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"MinHashLSH recall vs exact Jaccard: {recall:.2f}"
+
+
+def test_brp_output_shape(spark, sf_dir):
+    df = QUERIES["q_ml_brp_ann_topk"].fn(spark, sf_dir)
+    assert df.columns == ["query_id", "neighbor_id", "eucl_dist", "rank"]
+    rows = df.collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (
+            f"ranks for query {q} not dense from 1"
+        )
+        assert len(ranks) <= 10
