@@ -58,6 +58,7 @@ def oracle_queries() -> dict[str, str]:
 # Import for registration side effects (order = registry order).
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import tpch2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import vectorops  # noqa: E402,F401
