@@ -174,3 +174,50 @@ def q_events_json_extract(spark, sf_dir):
         F.max(k).alias("max_k"),
         F.count(missing).alias("n_missing"),
     )
+
+
+@query(
+    "q_asof_join_click_attribution",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  c.event_id AS click_id,
+  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("events", "asof", "join", "time-series"),
+    description="As-of join: each purchase attributed to the user's most "
+    "recent prior click (operators/asof.py union+window carry-forward; "
+    "DuckDB ASOF LEFT JOIN oracle).",
+)
+def q_asof_join_click_attribution(spark, sf_dir):
+    from ..operators.asof import asof_join_backward
+
+    ev = cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        tiebreak="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        fmt_ts("ts", "purchase_ts"),
+        "click_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_matched").cast("timestamp"))
+        ).alias("gap_us"),
+    )

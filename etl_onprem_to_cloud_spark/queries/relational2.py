@@ -586,3 +586,67 @@ def q_token_doc_frequency(spark, sf_dir):
         .orderBy(F.col("doc_freq").desc(), "token")
         .limit(30)
     )
+
+
+@query(
+    "q_window_distribution_funcs",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+  ntile(4) OVER w AS bal_quartile,
+  round(percent_rank() OVER w, 6) AS pr,
+  round(cume_dist() OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("window", "distribution"),
+    description="ntile / percent_rank / cume_dist over a total per-nation "
+    "order (custkey tiebreak keeps peer groups deterministic).",
+)
+def q_window_distribution_funcs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = cat(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "q_window_first_last_nth",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  first_value(o_orderkey) OVER w AS first_ok,
+  last_value(o_orderkey) OVER w AS last_ok,
+  nth_value(o_orderkey, 2) OVER w AS second_ok
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+    tags=("window", "analytic"),
+    description="first_value / last_value / nth_value over the full "
+    "partition frame, ordered by (orderdate, orderkey).",
+)
+def q_window_first_last_nth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = cat(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.orders.filter(F.col("o_custkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )

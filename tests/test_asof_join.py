@@ -1,0 +1,91 @@
+"""Unit tests for the as-of join operator (operators/asof.py) on tiny
+literal frames: inclusive >= semantics, tie-breaking, tolerance, and
+no-match NULLs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etl_onprem_to_cloud_spark.operators.asof import asof_join_backward
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "L1"),
+            (1, _ts("2024-01-01 12:00:00"), "L2"),
+            (2, _ts("2024-01-01 09:00:00"), "L3"),  # before any right row
+            (3, _ts("2024-01-01 10:00:00"), "L4"),  # key with no right rows
+        ],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 100),
+            (1, _ts("2024-01-01 10:00:00"), 200),  # equal ts -> inclusive
+            (1, _ts("2024-01-01 11:00:00"), 300),
+            (2, _ts("2024-01-01 09:30:00"), 400),
+        ],
+        ["k", "ts", "rv"],
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_nulls(frames):
+    left, right = frames
+    out = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rv"], tiebreak="rv",
+    )
+    got = {(r.k, r.lv): r.rv for r in out.collect()}
+    assert got == {
+        (1, "L1"): 200,   # equal-timestamp right row matches (>=)
+        (1, "L2"): 300,   # latest at-or-before 12:00
+        (2, "L3"): None,  # right rows exist but all later
+        (3, "L4"): None,  # no right rows for key
+    }
+    assert out.count() == left.count(), "left rows must be preserved"
+
+
+def test_tolerance_nulls_out_stale_matches(frames):
+    left, right = frames
+    out = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rv"], tiebreak="rv",
+        tolerance_us=30 * 60 * 1_000_000,  # 30 minutes
+    )
+    got = {(r.k, r.lv): r.rv for r in out.collect()}
+    # L2's nearest match (11:00, rv=300) is 60 min old -> nulled.
+    assert got[(1, "L2")] is None
+    assert got[(1, "L1")] == 200
+
+
+def test_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), "L")], ["k", "ts", "lv"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 5), (1, _ts("2024-01-01 09:00:00"), 9)],
+        ["k", "ts", "rv"],
+    )
+    out = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rv"], tiebreak="rv",
+    )
+    assert [r.rv for r in out.collect()] == [9], "largest tiebreak wins"
+
+
+def test_matched_ts_exposed(frames):
+    left, right = frames
+    out = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["rv"],
+    )
+    row = {r.lv: r for r in out.collect()}
+    assert row["L2"].ts_matched == _ts("2024-01-01 11:00:00")
+    assert row["L4"].ts_matched is None
