@@ -35,6 +35,9 @@ HEADLINE = [
     "q_window_running_sum",
     "q_topk_per_group_customer_orders",
     "q_events_user_sessions",
+    "q07_volume_shipping",
+    "q09_product_type_profit",
+    "q_asof_join_click_attribution",
     "q_dedup_exact_keep",
     "q_dedup_minhash_lsh",
     "q_ann_brute_force_topk",

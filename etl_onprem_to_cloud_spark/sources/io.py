@@ -91,6 +91,10 @@ def write_csv(
         df.write.mode(mode)
         .option("header", str(header).lower())
         .option("delimiter", delimiter)
+        # RFC 4180 doubled-quote escaping, matching read_csv (Spark's
+        # default is backslash-escape, which its own reader then
+        # round-trips only with the same non-standard option).
+        .option("escape", '"')
         .csv(path)
     )
 
@@ -147,3 +151,25 @@ class Catalog:
         if name in FIXTURE_TABLES:
             return self.table(name)
         raise AttributeError(name)
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Register a parquet-backed table in the session catalog (the
+    engine-native replacement for the reference's Glue-crawled table,
+    reference README.md:130-182).  ``path`` makes it external."""
+    w = df.write.mode(mode).format("parquet")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)

@@ -1,0 +1,81 @@
+"""IO layer round-trips: CSV/JSON/Parquet readers and writers,
+partitioned writes with partition pruning, and catalog tables
+(saveAsTable -> spark.table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_onprem_to_cloud_spark.plans import explain_str
+from etl_onprem_to_cloud_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_table,
+    save_as_table,
+    write_csv,
+    write_parquet,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("grp", StringType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "a", "x,with,commas"), (2, "a", 'quoted "text"'), (3, "b", None)],
+        SCHEMA,
+    )
+
+
+def test_csv_roundtrip_preserves_special_chars(spark, df, tmp_path):
+    p = str(tmp_path / "csv")
+    write_csv(df, p)
+    back = read_csv(spark, p, SCHEMA)
+    assert sorted((r.id, r.grp, r.payload) for r in back.collect()) == sorted(
+        (r.id, r.grp, r.payload) for r in df.collect()
+    )
+
+
+def test_json_roundtrip(spark, df, tmp_path):
+    p = str(tmp_path / "json")
+    df.write.mode("overwrite").json(p)
+    back = read_json(spark, p, SCHEMA)
+    assert back.count() == 3
+    assert sorted(back.columns) == sorted(df.columns)
+
+
+def test_partitioned_parquet_prunes(spark, df, tmp_path):
+    p = str(tmp_path / "pq")
+    write_parquet(df, p, partition_by=["grp"])
+    back = read_parquet(spark, p).filter(F.col("grp") == "a")
+    assert back.count() == 2
+    plan = explain_str(back)
+    # partition filter must prune at planning time, not post-scan
+    assert "PartitionFilters" in plan and "grp" in plan.split("PartitionFilters")[-1]
+
+
+def test_save_as_table_and_read_back(spark, df, tmp_path):
+    save_as_table(df, "io_test_tbl", path=str(tmp_path / "tbl"), partition_by=["grp"])
+    try:
+        back = read_table(spark, "io_test_tbl")
+        assert back.count() == 3
+        assert set(back.columns) == {"id", "grp", "payload"}
+        # catalog knows the partitioning -> pruned scan
+        pruned = back.filter(F.col("grp") == "b")
+        assert pruned.count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS io_test_tbl")

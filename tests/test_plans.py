@@ -59,3 +59,29 @@ def test_q01_single_shuffle(spark, sf_dir):
 def test_global_topk_avoids_full_sort(spark, sf_dir):
     df = QUERIES["q_topk_orders_global"].fn(spark, sf_dir)
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+@pytest.mark.parametrize(
+    "name", ["q02_min_cost_supplier", "q08_market_share", "q09_product_type_profit"]
+)
+def test_tpch2_dim_joins_broadcast(name, spark, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert has_broadcast_join(df), f"{name}: dim joins should broadcast"
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union + window carry-forward must cost exactly one keyed shuffle;
+    # a range-join formulation would show a nested-loop/cartesian here.
+    df = QUERIES["q_asof_join_click_attribution"].fn(spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_q19_filter_pushed(spark, sf_dir):
+    # the disjunction is on (part x lineitem) columns; the lineitem scan
+    # still gets the derived l_quantity range bounds pushed? No -- the OR
+    # spans tables, so only prune/pushdown per branch is impossible; we
+    # assert the join stays broadcast instead of shuffling the fact side.
+    df = QUERIES["q19_disjunctive_predicates"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
