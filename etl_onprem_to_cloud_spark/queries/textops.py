@@ -166,9 +166,14 @@ def q_dedup_exact_keep(spark, sf_dir):
 
 
 def _minhash_sig_sql(num_hashes: int = 9) -> str:
+    # Mirrors llm/dedup.py's tabulation scheme: one md5 per shingle ->
+    # 60-bit int -> k affine maps mod 2^31-1.
+    from ..llm.dedup import _MINHASH_AB, _MINHASH_P
+
+    base = f"(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {_MINHASH_P})"
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
-        for i in range(num_hashes)
+        f"list_aggregate(list_transform(sh, s -> ({a} * {base} + {b}) % {_MINHASH_P}), 'min')"
+        for a, b in _MINHASH_AB[:num_hashes]
     )
     return f"[{mins}]"
 
