@@ -1,0 +1,98 @@
+"""Scale-strategy operators: bucketed co-located joins must plan with
+zero exchanges, and salted aggregation/join must be result-identical to
+their unsalted forms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_onprem_to_cloud_spark.operators.bucketing import (
+    bucketed_join,
+    write_bucketed_table,
+)
+from etl_onprem_to_cloud_spark.operators.skew import salted_agg, salted_join
+from etl_onprem_to_cloud_spark.plans import shuffle_count
+from etl_onprem_to_cloud_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def no_broadcast(spark):
+    """Force SortMergeJoin so the bucketing (not broadcast) is what
+    eliminates the exchanges."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path_factory, no_broadcast):
+    d = tmp_path_factory.mktemp("buckets")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    try:
+        write_bucketed_table(
+            orders, "b_orders", ["o_orderkey"], num_buckets=4, path=str(d / "o")
+        )
+        write_bucketed_table(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            ["o_orderkey"],
+            num_buckets=4,
+            path=str(d / "l"),
+        )
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        assert shuffle_count(joined) == 0, "same-bucketed join must not exchange"
+
+        plain = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("l_quantity", "count"),
+            "total_qty": ("l_quantity", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+            "min_disc": ("l_discount", "min"),
+        },
+        salts=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_discount").alias("min_disc"),
+    )
+    got = {r.l_returnflag: (r.n, round(r.total_qty, 4), r.max_price, r.min_disc)
+           for r in salted.collect()}
+    want = {r.l_returnflag: (r.n, round(r.total_qty, 4), r.max_price, r.min_disc)
+            for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_agg_rejects_non_mergeable(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        salted_agg(li, ["l_returnflag"], {"a": ("l_quantity", "avg")})
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    salted = salted_join(orders, cust, ["o_custkey"], salts=8)
+    plain = orders.join(cust, ["o_custkey"])
+    assert salted.count() == plain.count()
+    s = {tuple(r) for r in salted.select("o_orderkey", "c_name").collect()}
+    p = {tuple(r) for r in plain.select("o_orderkey", "c_name").collect()}
+    assert s == p
