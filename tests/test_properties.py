@@ -1,0 +1,134 @@
+"""Property-based spot checks (SURVEY.md section 5, test plan item 4):
+row-count conservation, filter monotonicity, dedup idempotence, merge
+key-uniqueness, as-of left preservation -- over hypothesis-generated
+micro-tables.  Example counts are small: each example is a full Spark
+job round-trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_onprem_to_cloud_spark.llm.dedup import exact_dedup
+from etl_onprem_to_cloud_spark.operators.asof import asof_join_backward
+from etl_onprem_to_cloud_spark.operators.maintenance import merge_upsert
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.sampled_from("ab c"), min_size=0, max_size=30
+)
+rows = st.lists(
+    st.tuples(st.integers(0, 50), texts), min_size=0, max_size=25
+)
+
+
+@given(data=rows)
+@SETTINGS
+def test_projection_conserves_rows(spark, data):
+    df = spark.createDataFrame(data, "id: bigint, text: string") if data else None
+    if df is None:
+        return
+    assert df.select("id").count() == len(data)
+
+
+@given(data=rows, cut=st.integers(0, 50))
+@SETTINGS
+def test_filter_monotonicity(spark, data, cut):
+    if not data:
+        return
+    df = spark.createDataFrame(data, "id: bigint, text: string")
+    a = df.filter(F.col("id") <= cut)
+    ab = a.filter(F.length("text") > 2)
+    assert ab.count() <= a.count() <= df.count()
+
+
+@given(data=rows)
+@SETTINGS
+def test_exact_dedup_idempotent_and_keyed(spark, data):
+    if not data:
+        return
+    # unique ids, duplicated-on-purpose texts
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(data)], "doc_id: bigint, text: string"
+    )
+    once = exact_dedup(df)
+    twice = exact_dedup(once)
+    got_once = sorted(tuple(r) for r in once.collect())
+    got_twice = sorted(tuple(r) for r in twice.collect())
+    assert got_once == got_twice, "dedup must be idempotent"
+    # one survivor per normalized fingerprint, and it is the min id
+    norm = lambda t: " ".join(t.lower().split())
+    by_fp: dict[str, int] = {}
+    for i, (_, t) in enumerate(data):
+        by_fp.setdefault(norm(t), i)
+    assert sorted(r.doc_id for r in once.collect()) == sorted(by_fp.values())
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=15),
+    upd=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=15),
+)
+@SETTINGS
+def test_merge_upsert_unique_keys_latest_wins(spark, base, upd):
+    if not base and not upd:
+        return
+    b = spark.createDataFrame(base, "k: bigint, v: bigint") if base else None
+    u = spark.createDataFrame(upd, "k: bigint, v: bigint") if upd else None
+    if b is None:
+        b = u.limit(0)
+    if u is None:
+        u = b.limit(0)
+    merged = merge_upsert(b, u, keys=["k"], version_col="v").collect()
+    ks = [r.k for r in merged]
+    assert len(ks) == len(set(ks)), "exactly one row per key"
+    expect_max = {}
+    for k, v in base + upd:
+        expect_max[k] = max(expect_max.get(k, -1), v)
+    assert {r.k: r.v for r in merged} == expect_max
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6)), max_size=12
+    ),
+)
+@SETTINGS
+def test_asof_preserves_left_and_bounds_match(spark, left, right):
+    epoch = dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame(
+        [(k, epoch + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        "k: bigint, ts: timestamp, lid: bigint",
+    )
+    r_rows = [
+        (k, epoch + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(right)
+    ]
+    r = (
+        spark.createDataFrame(r_rows, "k: bigint, ts: timestamp, rid: bigint")
+        if r_rows
+        else l.select("k", "ts", F.col("lid").alias("rid")).limit(0)
+    )
+    out = asof_join_backward(
+        l, r, on=["k"], left_ts="ts", right_ts="ts", right_cols=["rid"], tiebreak="rid"
+    ).collect()
+    assert len(out) == len(left), "every left row survives"
+    rmap = {i: (k, epoch + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(right)}
+    lmap = {i: (k, epoch + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)}
+    for row in out:
+        lk, lts = lmap[row.lid]
+        if row.rid is not None:
+            rk, rts = rmap[row.rid]
+            assert rk == lk and rts <= lts, "match must be same-key, at-or-before"
+        else:
+            assert not any(
+                rk == lk and rts <= lts for (rk, rts) in rmap.values()
+            ), "null only when no eligible right row exists"
