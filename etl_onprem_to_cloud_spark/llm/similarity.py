@@ -86,6 +86,30 @@ def _centroids(embeddings: DataFrame, cell_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def kmeans_cells(
+    embeddings: DataFrame,
+    num_cells: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Coarse quantizer: seeded KMeans cell assignment (the IVF 'train'
+    step).  Returns the input plus a ``__cell`` column.  Deterministic
+    for a fixed seed; at 100 TB fit on a sample
+    (``df.sample(...)``) and only transform the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn(
+        "__features",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    model = KMeans(
+        k=num_cells, seed=seed, featuresCol="__features", predictionCol="__cell"
+    ).fit(feats)
+    return model.transform(feats).drop("__features")
+
+
 def ivf_top_k(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -93,11 +117,24 @@ def ivf_top_k(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cell_col: str = "label",
+    cell_col: str | None = None,
+    num_cells: int = 10,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` cells whose
     centroids are most cosine-similar to each query.  Returns
-    (query_id, neighbor_id, cosine, rank)."""
+    (query_id, neighbor_id, cosine, rank).
+
+    ``cell_col=None`` (default) trains a seeded KMeans quantizer so the
+    cells follow the corpus geometry; pass a column name to reuse an
+    existing offline partition instead (only sound if that partition
+    actually clusters the vector space -- an arbitrary category column
+    caps recall at roughly nprobe/num_cells).
+    """
+    if cell_col is None:
+        embeddings = kmeans_cells(
+            embeddings, num_cells=num_cells, id_col=id_col, vec_col=vec_col
+        )
+        cell_col = "__cell"
     cents = _centroids(embeddings, cell_col, vec_col)
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

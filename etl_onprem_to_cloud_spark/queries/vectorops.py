@@ -54,8 +54,8 @@ def q_ann_brute_force_topk(spark, sf_dir):
     oracle=None,  # approximate (probe subset); recall is judged against
     # q_ann_brute_force_topk in tests, not by SQL equivalence.
     tags=("similarity", "ring-c", "ann", "approx"),
-    description="IVF-style ANN: probe the 3 nearest coarse cells only "
-    "(label = offline cluster id).  The 100 TB scale path.",
+    description="IVF-style ANN: seeded-KMeans coarse quantizer, probe "
+    "the 3 nearest of 10 cells only.  The 100 TB scale path.",
 )
 def q_ann_ivf_topk(spark, sf_dir):
     emb = cat(spark, sf_dir).embeddings

@@ -63,3 +63,20 @@ def test_brp_output_shape(spark, sf_dir):
             f"ranks for query {q} not dense from 1"
         )
         assert len(ranks) <= 10
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probing 3 of the coarse cells must recover most of the exact
+    top-10 on the clustered fixture (label = generating cluster)."""
+    exact = QUERIES["q_ann_brute_force_topk"].fn(spark, sf_dir).collect()
+    approx = QUERIES["q_ann_ivf_topk"].fn(spark, sf_dir).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"
