@@ -342,3 +342,87 @@ def q_multimodal_decode_features(spark, sf_dir):
         "height",
         F.round(F.element_at("features", 1), 6).cast("double").alias("f0"),
     )
+
+
+_DUCK_PNAME_NORM = (
+    "array_to_string(list_filter(string_split_regex(lower(p_name), ' +'), "
+    "t -> t != ''), ' ')"
+)
+_DUCK_CHAR3 = (
+    "list_distinct(CASE WHEN length(s) >= 3 THEN "
+    "list_transform(generate_series(1, length(s) - 2), i -> substr(s, i, 3)) "
+    "ELSE [s] END)"
+)
+
+
+@query(
+    "q_fuzzy_part_name_pairs",
+    oracle=f"""
+WITH norm AS (
+  SELECT p_partkey, {_DUCK_PNAME_NORM} AS s FROM part
+),
+grams AS (
+  SELECT p_partkey, substr(s, 1, 1) AS blk, len({_DUCK_CHAR3}) AS n_g,
+    unnest({_DUCK_CHAR3}) AS gram
+  FROM norm WHERE length(s) > 0
+),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.n_g AS n_a, b.n_g AS n_b,
+    count(*) AS n_common
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.blk = b.blk AND a.p_partkey < b.p_partkey
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(n_common / (n_a + n_b - n_common), 6) AS gram_jaccard
+FROM pairs
+WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+""",
+    tags=("text", "ring-c", "fuzzy", "char-ngram"),
+    description="Fuzzy entity matching: char-3-gram Jaccard >= 0.5 over "
+    "part names, blocked by first character (functions/text.char_ngrams; "
+    "the blocking column bounds the inverted-index self-join at scale).",
+)
+def q_fuzzy_part_name_pairs(spark, sf_dir):
+    parts = cat(spark, sf_dir).part
+    norm = parts.select(
+        "p_partkey",
+        F.concat_ws(" ", T.tokens(F.lower(F.col("p_name")))).alias("s"),
+    ).filter(F.length("s") > 0)
+    grams3 = norm.select(
+        "p_partkey",
+        F.substring("s", 1, 1).alias("blk"),
+        T.char_ngrams(F.col("s"), 3).alias("g"),
+    )
+    # explode_outer: see llm/dedup._exploded_shingles (generate-filter trap).
+    ex = grams3.select(
+        "p_partkey",
+        "blk",
+        F.size("g").alias("n_g"),
+        F.explode_outer("g").alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.n_g").alias("n_a"),
+            F.col("b.n_g").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "gram_jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).cast("double"),
+        )
+        .filter(F.col("gram_jaccard") >= 0.5)
+        .select("id_a", "id_b", "gram_jaccard")
+    )
