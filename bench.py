@@ -51,8 +51,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: touch the session + parquet reader once.
+    # Warmup: touch the session + parquet reader, then run every headline
+    # query once at the smallest SF so JVM JIT + codegen compilation are
+    # paid before timing (a long-lived cluster runs steady-state, not
+    # cold; timing cold plans would mostly measure compilation).
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name].fn(spark, warm_dir).count()
+            except Exception as e:  # pragma: no cover - warmup is best-effort
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -111,6 +111,14 @@ def latest_file(directory: str, suffix: str = ".csv") -> str | None:
     return os.path.join(directory, names[-1])
 
 
+# DataFrames are immutable plan templates, so one spark.read per
+# (session, dir, table) is enough; re-reading costs a driver-side file
+# listing + schema fetch (~0.1 s) per call, which dominated warm query
+# latency for 6-table joins.  Keyed by applicationId so a restarted
+# session cannot see stale plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver fixture table, normalizing types.
 
@@ -118,12 +126,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong``) and we convert here with an
     exact integer div (a double division would lose precision at 1.7e18 ns).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn(
             "ts",
             F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"),
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
