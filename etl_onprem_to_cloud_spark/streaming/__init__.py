@@ -1,5 +1,7 @@
 from .windows import (
     session_window_agg,
+    stream_dedup,
+    stream_static_enrich,
     sliding_window_agg,
     stream_events,
     tumbling_window_agg,
@@ -8,6 +10,8 @@ from .windows import (
 
 __all__ = [
     "session_window_agg",
+    "stream_dedup",
+    "stream_static_enrich",
     "sliding_window_agg",
     "stream_events",
     "tumbling_window_agg",

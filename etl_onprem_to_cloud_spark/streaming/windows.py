@@ -168,3 +168,33 @@ def user_running_totals_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins; duplicates
+    arriving within the watermark window are dropped.
+
+    State holds one entry per key seen inside the watermark horizon
+    (dropDuplicatesWithinWatermark evicts beyond it), so state size is
+    bounded by key arrival rate x watermark -- the streaming counterpart
+    of llm/dedup.exact_dedup.
+    """
+    src = _with_watermark(events, watermark)
+    return src.dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    static: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch against a batch-side
+    dimension.  The static side is broadcast per micro-batch (re-read
+    from source each trigger, so slowly-changing dims refresh without
+    restarting the query)."""
+    return stream.join(F.broadcast(static), on, how)

@@ -146,3 +146,48 @@ def test_watermark_drops_late_events(spark, events_batch, events_stream_dir):
     assert total_streamed < events_batch.count(), (
         "a 1-minute watermark over out-of-order replay must drop rows"
     )
+
+
+def test_stream_dedup_drops_duplicates(spark, events_batch, tmp_path_factory):
+    from etl_onprem_to_cloud_spark.streaming import stream_dedup
+
+    # Replay source where every event appears twice (two file copies).
+    d = str(tmp_path_factory.mktemp("dup_stream"))
+    events_batch.repartition(2).write.mode("overwrite").parquet(d)
+    events_batch.repartition(2).write.mode("append").parquet(d)
+
+    stream = stream_events(spark, d, events_batch.schema, max_files_per_trigger=2)
+    deduped = stream_dedup(stream, ["event_id"], watermark="40 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_t")
+    assert got.count() == events_batch.count(), "each event exactly once"
+    assert got.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_stream_static_enrich_matches_batch(spark, events_batch, events_stream_dir):
+    from etl_onprem_to_cloud_spark.streaming import stream_static_enrich
+
+    user_dim = events_batch.select("user_id").distinct().withColumn(
+        "tier", (F.col("user_id") % 3).cast("int")
+    )
+    stream = stream_events(spark, events_stream_dir, events_batch.schema)
+    enriched = stream_static_enrich(stream, user_dim, ["user_id"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enrich_t")
+    assert got.count() == events_batch.count()
+    bad = got.filter(F.col("tier") != (F.col("user_id") % 3).cast("int")).count()
+    assert bad == 0, "every row carries its dimension attribute"
