@@ -1,0 +1,63 @@
+"""Multimodal plumbing: the mapInPandas decode contract (schema, batch
+shape, determinism), the explicit real-decode stub, and frame
+sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_onprem_to_cloud_spark.llm.multimodal import (
+    IMAGE_FEATURE_SCHEMA,
+    attach_binary_payload,
+    decode_image_features,
+    sample_frames,
+)
+from etl_onprem_to_cloud_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    return attach_binary_payload(docs)
+
+
+def test_decode_schema_and_shapes(media):
+    out = decode_image_features(media, feat_dim=8)
+    assert out.schema == IMAGE_FEATURE_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert len(r.features) == 8
+        assert all(-1.0 <= f <= 1.0 for f in r.features)
+
+
+def test_decode_deterministic_across_runs(media):
+    a = {r.doc_id: tuple(r.features) for r in decode_image_features(media).collect()}
+    b = {r.doc_id: tuple(r.features) for r in decode_image_features(media).collect()}
+    assert a == b
+
+
+def test_real_decode_path_is_explicit_stub(media):
+    with pytest.raises(Exception) as ei:
+        decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_sample_frames_bounds_and_offsets(media):
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    rows = frames.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_no, r.byte_offset))
+    lens = {r.doc_id: r.byte_len for r in media.select("doc_id", "byte_len").collect()}
+    for doc, fs in by_doc.items():
+        fs.sort()
+        assert len(fs) <= 8
+        assert [f[0] for f in fs] == list(range(len(fs))), "dense frame numbers"
+        for no, off in fs:
+            assert off == no * 64
+            assert off <= lens[doc]
