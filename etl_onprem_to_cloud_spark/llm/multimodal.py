@@ -132,3 +132,47 @@ def sample_frames(
         "doc_id",
         F.explode(idx).alias("frame_no"),
     ).withColumn("byte_offset", (F.col("frame_no") * every_n_bytes).cast("bigint"))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads.
+
+    The real implementation would decode, ``PIL.Image.resize``, and
+    re-encode; the container has no codecs, so the stub derives the
+    resized payload deterministically (truncate/pad the byte stream to
+    target_w*target_h) while keeping the exact production contract:
+    mapInPandas MEDIA_SCHEMA -> RESIZED_SCHEMA, binary in, binary out,
+    batch-at-a-time.
+    """
+    n_bytes = target_w * target_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                bytes(p or b"")[:n_bytes].ljust(n_bytes, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

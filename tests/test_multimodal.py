@@ -61,3 +61,18 @@ def test_sample_frames_bounds_and_offsets(media):
         for no, off in fs:
             assert off == no * 64
             assert off <= lens[doc]
+
+
+def test_resize_contract(media):
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        RESIZED_SCHEMA,
+        resize_images,
+    )
+
+    out = resize_images(media, target_w=8, target_h=4)
+    assert out.schema == RESIZED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.payload) == 32, "payload resized to w*h bytes"
