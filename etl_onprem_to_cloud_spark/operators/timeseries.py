@@ -1,0 +1,97 @@
+"""Time-series operators beyond as-of join: fixed-grid resampling with
+gap filling + LOCF, and interval (range) containment joins.
+
+Both are hypertable-style capabilities the reference's delegated SQL
+layer (Athena) would struggle with and Spark lacks as primitives; both
+are built from joins/windows/sequence so Catalyst/AQE still own the
+physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def resample_gapfill_locf(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    agg: str = "sum",
+) -> DataFrame:
+    """Per-key fixed-interval resample over each key's own [min, max]
+    span, emitting EVERY bucket (gaps included) with the aggregated
+    value, plus a last-observation-carried-forward fill.
+
+    Shape: one agg shuffle on (key, bucket); the grid is generated from
+    per-key min/max via sequence+explode (bounded by span/step rows per
+    key, no cross join); LOCF is a window carry-forward on the same
+    partitioning.  Output: (key, bucket_start, n_points, value, value_locf).
+    """
+    agg_fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[agg]
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.window(
+        F.col(ts_col), step
+    )["start"]
+
+    per_bucket = (
+        events.select(
+            F.col(key_col).alias("key"),
+            bucket.alias("bucket_start"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_points"), agg_fn("v").alias("value"))
+    )
+    spans = per_bucket.groupBy("key").agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket_start"),
+    )
+    filled = grid.join(per_bucket, ["key", "bucket_start"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "key",
+        "bucket_start",
+        F.coalesce("n_points", F.lit(0)).alias("n_points"),
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows into containing [start, end] intervals sharing
+    equality keys (events into sessions, readings into maintenance
+    windows).
+
+    The equality keys carry the shuffle (SortMergeJoin); the range
+    predicate is applied within each key group, so cost is bounded by
+    per-key points x per-key intervals -- NOT a cartesian.  For keyless
+    range joins, bucket time first and join on the bucket.
+    """
+    cond = None
+    for k in on:
+        c = points[k] == intervals[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (points[point_ts] >= intervals[start_col])
+        & (points[point_ts] <= intervals[end_col])
+    )
+    return points.join(intervals, cond, how)

@@ -61,6 +61,7 @@ from . import relational2  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import maintenance  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import vectorops  # noqa: E402,F401
 
