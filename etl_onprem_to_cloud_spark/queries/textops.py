@@ -426,3 +426,64 @@ def q_fuzzy_part_name_pairs(spark, sf_dir):
         .filter(F.col("gram_jaccard") >= 0.5)
         .select("id_a", "id_b", "gram_jaccard")
     )
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {_DUCK_TOKS_LOW} AS toks FROM documents WHERE doc_id % 20 = 0
+),
+tf AS (
+  SELECT doc_id, unnest(toks) AS term FROM tk
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2
+),
+df_ AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM tk),
+scored AS (
+  SELECT doc_id, tfc.term AS term,
+    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tfc, df_, n WHERE tfc.term = df_.term
+)
+SELECT doc_id, term, tfidf,
+  CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+""",
+    tags=("text", "ring-c", "tfidf"),
+    description="Top-5 TF-IDF terms per doc (1-in-20 sample): term "
+    "frequency x ln(N/df), document frequency via a distinct-count "
+    "aggregate, ranked per doc.  The vocabulary-scoring building block.",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = cat(spark, sf_dir).documents.filter(F.col("doc_id") % 20 == 0)
+    tk = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    terms = tk.select(
+        "doc_id", F.explode_outer("toks").alias("term")
+    ).filter(F.col("term").isNotNull())
+    tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tfc.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = tk.count()
+    scored = tfc.join(dfc, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
