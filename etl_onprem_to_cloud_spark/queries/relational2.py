@@ -655,3 +655,20 @@ def q_window_first_last_nth(spark, sf_dir):
         F.last("o_orderkey").over(w).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
     )
+
+
+@query(
+    "q_approx_percentiles_orders",
+    oracle=None,  # sketch-based: t-digest buckets are engine-specific;
+    # accuracy is asserted against exact percentiles in tests.
+    tags=("agg", "percentile", "approx"),
+    description="approx_percentile (p50/p90/p99) per order status -- the "
+    "sketch path for 100 TB where exact percentiles would sort per group.",
+)
+def q_approx_percentiles_orders(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    return c.orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )

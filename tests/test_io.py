@@ -79,3 +79,22 @@ def test_save_as_table_and_read_back(spark, df, tmp_path):
         assert pruned.count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS io_test_tbl")
+
+
+def test_csv_permissive_survives_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,grp,payload\n"
+        "1,a,ok\n"
+        "not_an_int,b,bad-id-row\n"
+        "2,c\n"                       # missing column -> null payload
+        '3,d,"unterminated\n'         # broken quoting
+        "4,e,fine\n"
+    )
+    df = read_csv(spark, str(p), SCHEMA)
+    rows = df.collect()
+    # PERMISSIVE mode must yield a row per record with nulls for the
+    # unparseable fields, never raise.
+    ids = sorted(r.id for r in rows if r.id is not None)
+    assert 1 in ids and 2 in ids
+    assert all(len(r) == 3 for r in rows)

@@ -80,3 +80,16 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert total > 0
     recall = hits / total
     assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """Sketch percentiles must land within 1% relative error of the
+    exact interpolated ones at this accuracy setting."""
+    approx = {r.o_orderstatus: (r.p50, r.p90, r.p99)
+              for r in QUERIES["q_approx_percentiles_orders"].fn(spark, sf_dir).collect()}
+    exact = {r.o_orderstatus: (r.p50, r.p90, r.p99)
+             for r in QUERIES["q_percentiles_orders"].fn(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for status, (a50, a90, a99) in approx.items():
+        for a, e in zip((a50, a90, a99), exact[status]):
+            assert abs(a - e) / max(e, 1.0) < 0.01, (status, a, e)
