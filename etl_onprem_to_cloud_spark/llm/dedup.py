@@ -403,3 +403,69 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# 5. Transitive closure: near-dup pairs -> dedup clusters
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a pair list -> (node, component), where
+    component = min node id reachable through any chain of pairs.  This
+    is the transitive-dedup step: pairwise similarity is not transitive,
+    but dedup KEEP-decisions must be (A~B, B~C => one survivor among
+    {A,B,C}).
+
+    Algorithm: iterative min-label propagation.  Each round joins every
+    node's current label against the (undirected) edge list and keeps
+    the minimum neighbor label; stop when a round changes nothing.
+    Rounds needed = graph diameter (near-dup clusters are shallow -- a
+    handful of rounds).  Each round is one shuffle join + one groupBy;
+    ``localCheckpoint`` truncates the growing lineage so round N does
+    not replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -487,3 +487,52 @@ def q_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LOW} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, {duck_shingles('tk')} AS sh FROM toks
+),
+ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+    count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+edges0 AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM edges0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(root) AS component
+FROM walk GROUP BY node
+""",
+    tags=("dedup", "ring-c", "graph", "connected-components"),
+    description="Transitive dedup closure: exact-Jaccard near-dup pairs "
+    "-> connected components (iterative min-label propagation in Spark; "
+    "recursive-CTE reachability in the oracle).  Component id = min doc "
+    "id, i.e. the canonical survivor per cluster.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "component")

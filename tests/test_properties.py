@@ -132,3 +132,15 @@ def test_asof_preserves_left_and_bounds_match(spark, left, right):
             assert not any(
                 rk == lk and rts <= lts for (rk, rts) in rmap.values()
             ), "null only when no eligible right row exists"
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_onprem_to_cloud_spark.llm.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), island {10,11}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a: bigint, id_b: bigint",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
