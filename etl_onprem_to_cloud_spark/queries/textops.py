@@ -536,3 +536,38 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
     cc = D.connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "q_dedup_ngram_jaccard_blocked",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKS_LOW} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, source, {duck_shingles('tk')} AS sh FROM toks
+),
+ex AS (
+  SELECT doc_id, source, len(sh) AS n_sh, unnest(sh) AS shingle
+  FROM sh WHERE len(sh) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+    count(*) AS n_common
+  FROM ex a JOIN ex b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM pairs
+WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+""",
+    tags=("dedup", "ring-c", "jaccard", "blocked"),
+    description="Source-blocked exact Jaccard pairs: the 100 TB shape of "
+    "the pairwise baseline -- blocking bounds the inverted-index join "
+    "fan-out to within-source candidates.",
+)
+def q_dedup_ngram_jaccard_blocked(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        cat(spark, sf_dir).documents, threshold=0.5, block_col="source"
+    )
