@@ -672,3 +672,21 @@ def q_approx_percentiles_orders(spark, sf_dir):
         F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
         F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
     )
+
+
+@query(
+    "q_cross_join_region_matrix",
+    oracle="""
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+WHERE a.r_name <> b.r_name
+""",
+    tags=("join", "cross"),
+    description="Explicit cartesian product (tiny dims only; the engine "
+    "treats cross joins on fact tables as plan bugs).",
+)
+def q_cross_join_region_matrix(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    a = c.region.select(F.col("r_name").alias("region_a"))
+    b = c.region.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("region_a") != F.col("region_b"))

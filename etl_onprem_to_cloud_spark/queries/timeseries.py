@@ -143,3 +143,105 @@ def q_interval_join_busy_hours(spark, sf_dir):
         fmt_ts("win_start", "window_start"),
         "n_window_events",
     )
+
+
+@query(
+    "q_rolling_1h_sum_per_user",
+    oracle="""
+SELECT event_id, user_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+  ), 2) AS DOUBLE) AS sum_1h,
+  CAST(count(*) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS n_1h
+FROM events
+WHERE user_id % 25 = 0
+""",
+    tags=("time-series", "window", "range-frame"),
+    description="Trailing 1-hour rolling sum/count per user: time-based "
+    "RANGE frame over epoch seconds (the sliding-metric shape; windows "
+    "never shuffle more than their user partition).",
+)
+def q_rolling_1h_sum_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events.filter(F.col("user_id") % 25 == 0)
+    # microsecond-exact frame bound (whole-second casts would disagree
+    # with the oracle on events within 1s of the trailing edge).
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts", "event_ts"),
+        F.round(F.sum(dec("value")).over(w), 2).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "q_sessions_gaps_islands",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 600000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, event_id,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    tags=("time-series", "sessionization", "gaps-islands", "window"),
+    description="Sessionization as gaps-and-islands (lag + conditional "
+    "cumsum), the window-only twin of session_window: sessions break on "
+    ">10min inactivity.",
+)
+def q_sessions_gaps_islands(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts")).over(order_w)
+    # microsecond-exact gap: whole-second casts would disagree with the
+    # oracle on gaps within 1s of the threshold.
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev_ts.isNull() | (gap_us > 600_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn(
+        "session_no", F.sum("new_session").over(cum_w).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        fmt_ts(F.min("ts"), "session_start"),
+        fmt_ts(F.max("ts"), "session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
