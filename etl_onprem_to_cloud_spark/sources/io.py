@@ -130,6 +130,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Self-configure sessions we did not build (e.g. a test harness
+    # passing a vanilla SparkSession): without nanosAsLong the
+    # TIMESTAMP(NANOS) events file is unreadable, and a non-UTC session
+    # time zone would shift every formatted timestamp.  Both confs are
+    # runtime-settable.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf may be frozen; proceed
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn(
