@@ -9,7 +9,7 @@ physical plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def resample_gapfill_locf(

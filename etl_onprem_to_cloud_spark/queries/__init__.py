@@ -15,7 +15,7 @@ seeded LSH) -- the driver records a weaker rows-only check for those.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -14,7 +14,7 @@ from pyspark.sql import Window, functions as F
 from ..functions.numeric import davg_round, dec, dsum_round
 from ..operators.joins import broadcast_dim_join, star_join
 from ..operators.topk import global_top_k, top_k_per_group
-from ._util import cat, fmt_date, fmt_ts, ts_lit
+from ._util import cat, fmt_date, ts_lit
 from . import query
 
 # Exact decimal views of the Q1/Q6 money expressions; see

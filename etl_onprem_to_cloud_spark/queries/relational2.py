@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec, dsum_round
-from ._util import cat, duck_tokens, fmt_date
+from ._util import cat, duck_tokens
 from . import query
 from ..functions.text import tokens
 
