@@ -40,6 +40,10 @@ HEADLINE = [
     "q_asof_join_click_attribution",
     "q_dedup_exact_keep",
     "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    "q_resample_hourly_locf",
+    "q_sessions_gaps_islands",
+    "q_tfidf_top_terms",
     "q_ann_brute_force_topk",
     "q_text_stats",
 ]

@@ -221,3 +221,31 @@ def q_asof_join_click_attribution(spark, sf_dir):
             - F.unix_micros(F.col("ts_matched").cast("timestamp"))
         ).alias("gap_us"),
     )
+
+
+@query(
+    "q_events_json_struct",
+    oracle="""
+SELECT event_id,
+  CAST(CAST(props AS JSON)->>'k' AS INT) AS k_parsed,
+  to_json(struct_pack(k := CAST(CAST(props AS JSON)->>'k' AS INT))) AS reencoded,
+  CAST(CAST(props AS JSON)->>'k' AS VARCHAR) AS k_str
+FROM events
+WHERE event_id % 40 = 0
+""",
+    tags=("events", "json", "from-json"),
+    description="Schema-full JSON parsing: from_json -> typed struct "
+    "field access, to_json re-encoding, json_tuple string extraction.",
+)
+def q_events_json_struct(spark, sf_dir):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = cat(spark, sf_dir).events.filter(F.col("event_id") % 40 == 0)
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = F.from_json("props", schema)
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_parsed"),
+        F.to_json(F.struct(parsed["k"].alias("k"))).alias("reencoded"),
+        F.json_tuple("props", "k").alias("k_str"),
+    )

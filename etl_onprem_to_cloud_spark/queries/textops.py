@@ -498,18 +498,23 @@ WITH RECURSIVE toks AS (
 sh AS (
   SELECT doc_id, {duck_shingles('tk')} AS sh FROM toks
 ),
-ex AS (
-  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0
+sig AS (
+  SELECT doc_id, sh, {_minhash_sig_sql()} AS sig FROM sh WHERE len(sh) > 0
 ),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-    count(*) AS n_common
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+bands AS (
+  SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 edges0 AS (
-  SELECT id_a, id_b FROM pairs
-  WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM edges0
@@ -526,14 +531,17 @@ SELECT node AS doc_id, min(root) AS component
 FROM walk GROUP BY node
 """,
     tags=("dedup", "ring-c", "graph", "connected-components"),
-    description="Transitive dedup closure: exact-Jaccard near-dup pairs "
-    "-> connected components (iterative min-label propagation in Spark; "
+    description="Transitive dedup closure: MinHash-LSH verified pairs "
+    "(the scale path -- the exact pairwise baseline is quadratic) -> "
+    "connected components (iterative min-label propagation in Spark; "
     "recursive-CTE reachability in the oracle).  Component id = min doc "
     "id, i.e. the canonical survivor per cluster.",
 )
 def q_dedup_clusters(spark, sf_dir):
     docs = cat(spark, sf_dir).documents
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = D.minhash_lsh_candidate_pairs(
+        docs, num_hashes=9, bands=3, jaccard_threshold=0.5
+    )
     cc = D.connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "component")
 
