@@ -257,7 +257,9 @@ WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
     "the recall oracle for the LSH families.",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(cat(spark, sf_dir).documents, threshold=0.5)
+    # prefix-filtered exact join; result-identical to the naive
+    # formulation the oracle uses (see ngram_jaccard_pairs_prefix).
+    return D.ngram_jaccard_pairs_prefix(cat(spark, sf_dir).documents, threshold=0.5)
 
 
 @query(

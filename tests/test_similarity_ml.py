@@ -93,3 +93,16 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     for status, (a50, a90, a99) in approx.items():
         for a, e in zip((a50, a90, a99), exact[status]):
             assert abs(a - e) / max(e, 1.0) < 0.01, (status, a, e)
+
+
+def test_prefix_jaccard_equals_naive(spark, sf_dir):
+    """Prefix filtering is an exact optimization: identical pair set."""
+    from etl_onprem_to_cloud_spark.llm import dedup as D
+    from etl_onprem_to_cloud_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    naive = sorted(tuple(r) for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect())
+    pref = sorted(
+        tuple(r) for r in D.ngram_jaccard_pairs_prefix(docs, threshold=0.5).collect()
+    )
+    assert naive == pref and len(naive) > 0
