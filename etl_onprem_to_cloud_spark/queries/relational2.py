@@ -182,7 +182,7 @@ SELECT l_orderkey, l_linenumber,
   round(log10(l_extendedprice), 6) AS price_log10,
   round(pow(1.0 + l_tax, 2), 6) AS tax_sq,
   CAST(l_quantity AS BIGINT) % 5 AS qty_mod5,
-  sign(l_discount - 0.05) AS disc_sign,
+  CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
   round(exp(l_discount), 6) AS disc_exp
 FROM lineitem
 WHERE l_orderkey % 50 = 0
@@ -203,7 +203,7 @@ def q_math_functions_lineitem(spark, sf_dir):
         F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
         F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
         (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
         F.round(F.exp("l_discount"), 6).alias("disc_exp"),
     )
 

@@ -53,10 +53,14 @@ def _values_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) and math.isnan(fb):
+        # the driver hashes stringified values, so float-vs-int type
+        # drift (-1.0 vs -1) is a real mismatch even when numerically
+        # equal -- require both sides to be float-typed.
+        if not (isinstance(a, float) and isinstance(b, float)):
+            return False
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb
+        return a == b
     return a == b
 
 
