@@ -690,3 +690,95 @@ def q_cross_join_region_matrix(spark, sf_dir):
     a = c.region.select(F.col("r_name").alias("region_a"))
     b = c.region.select(F.col("r_name").alias("region_b"))
     return a.crossJoin(b).filter(F.col("region_a") != F.col("region_b"))
+
+
+@query(
+    "q_string_functions2",
+    oracle="""
+SELECT p_partkey,
+  CAST(regexp_matches(p_name, '[0-9]+') AS INT) AS has_digit,
+  translate(p_brand, '#', '-') AS brand_dashed,
+  ascii(p_name) AS first_cp,
+  chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+  split_part(p_type, ' ', 1) AS type_head,
+  replace(p_name, ' ', '_') AS name_snake
+FROM part WHERE p_partkey % 7 = 0
+""",
+    tags=("scalar", "string"),
+    description="Second string batch: rlike / translate / ascii / chr / "
+    "split_part (element of split) / replace.",
+)
+def q_string_functions2(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    return c.part.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.col("p_name").rlike("[0-9]+").cast("int").alias("has_digit"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.ascii("p_name").alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+SELECT o_orderkey,
+  nullif(o_orderstatus, 'O') AS status_or_null,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_defaulted,
+  o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS try_div,
+  CAST(o_orderstatus = 'O' AS INT) IS NOT NULL AS bool_not_null
+FROM orders WHERE o_orderkey % 11 = 0
+ORDER BY nullif(o_orderstatus, 'O') NULLS FIRST, o_orderkey
+""",
+    tags=("scalar", "null-semantics", "sort"),
+    description="NULL algebra: nullif / coalesce defaults / try_divide "
+    "(null, not error, on zero) / explicit NULLS FIRST ordering.",
+)
+def q_null_semantics(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        c.orders.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            status_or_null.alias("status_or_null"),
+            F.coalesce(status_or_null, F.lit("OPEN")).alias("status_defaulted"),
+            F.try_divide(
+                F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+            ).alias("try_div"),
+            (F.col("o_orderstatus") == "O").cast("int").isNotNull().alias(
+                "bool_not_null"
+            ),
+        )
+        .orderBy(F.col("status_or_null").asc_nulls_first(), "o_orderkey")
+    )
+
+
+@query(
+    "q_union_by_name_missing",
+    oracle="""
+SELECT c_custkey AS entity_key, c_name AS entity_name, c_acctbal AS balance, NULL AS nationkey
+FROM customer WHERE c_custkey % 100 = 0
+UNION ALL BY NAME
+SELECT s_suppkey AS entity_key, s_name AS entity_name, CAST(s_nationkey AS INT) AS nationkey
+FROM supplier
+""",
+    tags=("setops", "union-by-name"),
+    description="unionByName with allowMissingColumns: heterogeneous "
+    "entity projections aligned by column name, absent columns null.",
+)
+def q_union_by_name_missing(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    custs = c.customer.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    supps = c.supplier.select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+    )
+    return custs.unionByName(supps, allowMissingColumns=True)
