@@ -782,3 +782,35 @@ def q_union_by_name_missing(spark, sf_dir):
         F.col("s_nationkey").cast("int").alias("nationkey"),
     )
     return custs.unionByName(supps, allowMissingColumns=True)
+
+
+@query(
+    "q_calendar_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+  isodow(o_orderdate) AS iso_weekday,
+  week(o_orderdate) AS iso_week,
+  datediff('month', DATE '1995-01-01', o_orderdate) AS months_since_start,
+  strftime(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS plus_2_months,
+  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start
+FROM orders WHERE o_orderkey % 13 = 0
+""",
+    tags=("scalar", "date", "calendar"),
+    description="Calendar arithmetic: ISO weekday/week, month-boundary "
+    "distance, calendar-aware add_months, quarter truncation.",
+)
+def q_calendar_arithmetic(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return c.orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        (F.weekday(d) + 1).alias("iso_weekday"),
+        F.weekofyear(d).alias("iso_week"),
+        # month-boundary crossings since 1995-01 (matches duck datediff
+        # 'month' semantics; months_between is fractional and differs)
+        ((F.year(d) - 1995) * 12 + F.month(d) - 1).alias("months_since_start"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2_months"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+    )
