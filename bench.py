@@ -46,6 +46,11 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_ann_brute_force_topk",
     "q_text_stats",
+    # r02 breadth (VERDICT item 7): the slowest previously-unbenched
+    # families, so regressions in those paths show round-over-round.
+    "q_dedup_ngram_jaccard_blocked",
+    "q_ml_minhash_lsh_pairs",
+    "q08_market_share",
 ]
 
 

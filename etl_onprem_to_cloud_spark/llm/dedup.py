@@ -30,7 +30,11 @@ from ..functions.text import doc_fingerprint, shingles_from_tokens, tokens
 
 
 def _exploded_shingles(
-    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    spread: bool | None = None,
 ) -> DataFrame:
     """(id, shingle) rows via the two-step materialize-tokens pipeline
     (see shingles_from_tokens for why the inline form is slow).
@@ -41,9 +45,17 @@ def _exploded_shingles(
     A compact corpus (one parquet file -> one partition) would run the
     CPU-heavy shingle expansion single-threaded, so under-partitioned
     inputs are first spread by id across the cluster's parallelism;
-    well-partitioned inputs (the 100 TB case) skip the extra shuffle."""
+    well-partitioned inputs (the 100 TB case) skip the extra shuffle.
+
+    ``spread``: None auto-detects via the plan's partition count (a
+    driver-side introspection through ``df.rdd`` -- no job runs, but it
+    does build the RDD conversion node); pass False to skip both the
+    introspection and the shuffle when the input is known to be well
+    partitioned, or True to force the spread."""
     target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if spread is None:
+        spread = docs.rdd.getNumPartitions() < target
+    if spread:
         docs = docs.repartition(target, F.col(id_col))
     tk = docs.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk"))
     sh = tk.select(
@@ -414,6 +426,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    on_nonconvergence: str = "raise",
 ) -> DataFrame:
     """Connected components over a pair list -> (node, component), where
     component = min node id reachable through any chain of pairs.  This
@@ -427,8 +440,20 @@ def connected_components(
     Rounds needed = graph diameter (near-dup clusters are shallow -- a
     handful of rounds).  Each round is one shuffle join + one groupBy;
     ``localCheckpoint`` truncates the growing lineage so round N does
-    not replay rounds 1..N-1.
+    not replay rounds 1..N-1.  Convergence detection is folded into the
+    update itself: the update select carries a per-row changed flag and
+    the round's single action both materializes the (lazy) checkpoint
+    and sums the flag -- one job per round, no extra comparison join.
+
+    If the loop exits without converging (graph diameter >
+    ``max_iterations``), labels would silently split one long chain into
+    several components and transitive dedup would keep extra survivors;
+    ``on_nonconvergence`` makes that explicit: ``"raise"`` (default)
+    raises RuntimeError, ``"warn"`` logs a warning and returns the
+    partial labels.
     """
+    if on_nonconvergence not in ("raise", "warn"):
+        raise ValueError(f"on_nonconvergence must be 'raise' or 'warn', got {on_nonconvergence!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -443,31 +468,45 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        new_component = F.least(
+            F.col("component"), F.coalesce("nbr_component", F.col("component"))
+        )
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component < F.col("component"))
+                .cast("int")
+                .alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
+        # The one action of the round: materializes the lazy checkpoint
+        # AND evaluates the changed flag in the same job.
+        changed = updated.agg(F.sum("__changed")).first()[0] or 0
+        labels = updated.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds max_iterations); labels "
+            "would split long duplicate chains into multiple components"
+        )
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

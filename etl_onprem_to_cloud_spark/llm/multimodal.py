@@ -21,7 +21,7 @@ tasks; ``maxRecordsPerFile`` on write keeps shuffle blocks bounded; and
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -85,24 +85,35 @@ def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
 
 
 def decode_image_features(
-    media: DataFrame, feat_dim: int = 8, fake: bool = True
+    media: DataFrame,
+    feat_dim: int = 8,
+    fake: bool = True,
+    decoder: "Callable[[bytes, int], tuple[int, int, list[float]]] | None" = None,
 ) -> DataFrame:
     """Arrow-batched decode + feature extraction over a binary column.
 
-    Real implementation would replace ``_fake_decode`` with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` + a vision encoder; the
-    Spark-side contract (mapInPandas over MEDIA_SCHEMA ->
-    IMAGE_FEATURE_SCHEMA) is exactly what production would use.
+    ``decoder`` is the pluggable codec boundary: any picklable callable
+    ``(payload_bytes, feat_dim) -> (width, height, features)`` -- e.g. a
+    closure over ``PIL.Image.open`` + a vision encoder -- drops in
+    without editing this module, and is shipped to executors inside the
+    same Arrow-batched ``mapInPandas`` contract (MEDIA_SCHEMA ->
+    IMAGE_FEATURE_SCHEMA).  When ``decoder`` is None, ``fake=True``
+    selects the deterministic md5 stub (the CI path; the container has
+    no codecs) and ``fake=False`` raises where the real decode would go.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        decode = decoder
+        if decode is None:
             if not fake:
                 raise NotImplementedError(
-                    "real image decode requires PIL/torchvision (not in container); "
-                    "use fake=True for the deterministic stub"
+                    "real image decode requires PIL/torchvision (not in "
+                    "container); pass decoder= or use fake=True for the "
+                    "deterministic stub"
                 )
-            decoded = [_fake_decode(p, feat_dim) for p in pdf["payload"]]
+            decode = _fake_decode
+        for pdf in batches:
+            decoded = [decode(p, feat_dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -20,6 +20,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     version_col: str,
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """Latest-wins merge: one row per key, the highest ``version_col``
     across base+updates; updates beat base on version ties.
@@ -27,13 +28,20 @@ def merge_upsert(
     union + row_number over (keys, version desc, origin desc): a single
     keyed shuffle, linear in rows -- vs the naive full outer join which
     shuffles both sides AND breaks on multi-row-per-key updates.
+
+    ``tiebreakers`` (e.g. a unique event id) extend the window order so
+    two updates carrying the same key AND version still pick one
+    deterministic survivor; without one, the survivor among exact
+    version ties is arbitrary and reruns are not reproducible.
     """
     keys = list(keys)
     tagged = base.withColumn("__origin", F.lit(0)).unionByName(
         updates.withColumn("__origin", F.lit(1))
     )
     w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col("__origin").desc()
+        F.col(version_col).desc(),
+        F.col("__origin").desc(),
+        *[F.col(t).desc() for t in tiebreakers],
     )
     return (
         tagged.withColumn("__rn", F.row_number().over(w))

@@ -28,8 +28,16 @@ _SALT = "__salt"
 def with_salt(df: DataFrame, salts: int) -> DataFrame:
     """Deterministic per-row salt in [0, salts): a hash of the whole row
     rather than rand() so reruns and retries stay stable (a failed task
-    re-executing with fresh rand() salts would double-count partials)."""
-    h = F.hash(*[F.col(c) for c in df.columns])
+    re-executing with fresh rand() salts would double-count partials).
+
+    The hash mixes in ``monotonically_increasing_id()`` (partition id +
+    per-partition row index) so EXACT duplicate rows -- the common shape
+    of a hot key, e.g. dedup inputs -- still spread across salts instead
+    of collapsing onto one value.  That id is stable across task retries
+    whenever the input's partition contents are deterministic (file
+    scans are); after a non-deterministic shuffle the same caveat applies
+    to any salting scheme short of a persisted key."""
+    h = F.hash(*[F.col(c) for c in df.columns], F.monotonically_increasing_id())
     return df.withColumn(_SALT, F.pmod(h, F.lit(salts)).cast("int"))
 
 
@@ -70,8 +78,20 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, replicate the small side
     across every salt value, join on (keys + salt).  The small side
     grows ``salts``x (it must be small-ish, just not broadcastable);
-    each hot key of the big side spreads over ``salts`` reducers."""
+    each hot key of the big side spreads over ``salts`` reducers.
+
+    Only inner/left/left_semi are sound: with a replicated small side,
+    each UNMATCHED small-side row of a right/full outer join would be
+    emitted once per salt replica (``salts`` copies), so those modes
+    raise instead of silently multiplying rows."""
     on = list(on)
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} -- "
+            "right/full outer would emit unmatched small-side rows once "
+            "per salt replica"
+        )
     big_s = with_salt(big, salts)
     replicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

@@ -55,14 +55,83 @@ def oracle_queries() -> dict[str, str]:
     }
 
 
-# Import for registration side effects (order = registry order).
-from . import relational  # noqa: E402,F401
-from . import relational2  # noqa: E402,F401
-from . import tpch2  # noqa: E402,F401
+# Import for registration side effects (import order = base registry
+# order; the evidence-priority reorder below is what the driver sees).
+from . import netflix  # noqa: E402,F401
 from . import events  # noqa: E402,F401
-from . import maintenance  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
+from . import maintenance  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import vectorops  # noqa: E402,F401
+from . import relational2  # noqa: E402,F401
+from . import tpch2  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+
+# --- Evidence-priority ordering -------------------------------------------
+# The round-1 driver recorded correctness rows for only the FIRST 50
+# registry entries, leaving the rest (all of Ring C, streaming twins,
+# tpch2, time-series, maintenance) without hard evidence
+# (VERDICT.md "Next round" item 1).  Order the registry so (a) entries
+# that are new or whose oracle contract changed this round come first,
+# then (b) entries with no driver row yet, then (c) entries already
+# green in CORRECTNESS_r01.json.  Sorting is stable, so import order
+# above breaks ties inside each tier.
+
+# New this round / contract changed this round (fresh evidence needed).
+_CHANGED_R02 = (
+    "q_netflix_clean",
+    "q_netflix_report",
+    "q11_important_parts",
+    "q12_shipping_lateness",
+    "q20_heavy_part_suppliers",
+    "q_approx_count_distinct",      # no_oracle -> bounded-rtol oracle
+    "q_approx_percentiles_orders",  # no_oracle -> bounded-rtol oracle
+    "q_merge_upsert_latest_events",  # deterministic tiebreaker added
+    "q_asof_join_click_attribution",  # oracle made tie-deterministic
+)
+
+# Green rows already recorded by the round-1 driver (CORRECTNESS_r01).
+_R01_CHECKED = frozenset({
+    "q01_pricing_summary", "q03_shipping_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q10_returned_items", "q15_top_supplier", "q18_large_volume_customer",
+    "q_anti_join_dormant_customers", "q_array_functions_docs",
+    "q_bitwise_ops", "q_case_when_order_buckets",
+    "q_collect_sorted_regions", "q_conditional_agg_orders",
+    "q_correlated_exists_sql", "q_count_distinct_segments",
+    "q_cross_join_region_matrix", "q_cube_order_status_priority",
+    "q_date_functions_orders", "q_full_outer_join_nation_activity",
+    "q_grouping_sets_order_dims", "q_histogram_doc_lengths",
+    "q_in_subquery_sql", "q_left_join_nation_coverage",
+    "q_map_functions_events", "q_math_functions_lineitem",
+    "q_minmax_by_nation", "q_orders_per_month", "q_percentiles_orders",
+    "q_pivot_status_by_priority", "q_posexplode_tokens",
+    "q_rollup_customer_geo", "q_scalar_subquery_sql",
+    "q_semi_join_active_customers", "q_setops_building_vs_finished",
+    "q_star_revenue_by_region_year", "q_stats_moments_lineitem",
+    "q_string_extract_position", "q_string_functions_part",
+    "q_theta_join_price_bands", "q_token_doc_frequency",
+    "q_topk_orders_global", "q_topk_per_group_customer_orders",
+    "q_window_distribution_funcs", "q_window_first_last_nth",
+    "q_window_lag_lead", "q_window_range_frame", "q_window_rank_orders",
+    "q_window_running_sum",
+})
+
+
+def _tier(name: str) -> int:
+    if name in _CHANGED_R02:
+        return 0
+    if name not in _R01_CHECKED:
+        return 1
+    return 2
+
+
+_prio = {n: i for i, n in enumerate(_CHANGED_R02)}
+QUERIES = dict(
+    sorted(
+        QUERIES.items(),
+        key=lambda kv: (_tier(kv[0]), _prio.get(kv[0], 0)),
+    )
+)
 
 __all__ = ["QUERIES", "QuerySpec", "query", "spark_queries", "oracle_queries"]

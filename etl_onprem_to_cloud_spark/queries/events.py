@@ -180,7 +180,14 @@ def q_events_json_extract(spark, sf_dir):
     "q_asof_join_click_attribution",
     oracle="""
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-c AS (SELECT * FROM events WHERE event_type = 'click')
+-- Pre-aggregate to one click per (user_id, ts): DuckDB's ASOF JOIN
+-- leaves the pick among equal-ts rows undefined, while the Spark side
+-- tiebreaks on max click_id; max(event_id) makes both deterministic.
+c AS (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
 SELECT p.event_id AS purchase_id, p.user_id,
   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
   c.event_id AS click_id,

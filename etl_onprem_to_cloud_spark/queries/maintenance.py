@@ -24,7 +24,8 @@ SELECT user_id, event_id,
   strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
   value
 FROM tagged
-QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, origin DESC) = 1
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, origin DESC, event_id DESC) = 1
 """,
     tags=("merge", "upsert", "maintenance"),
     description="Latest-wins keyed merge (operators/maintenance.merge_upsert): "
@@ -34,7 +35,10 @@ def q_merge_upsert_latest_events(spark, sf_dir):
     ev = cat(spark, sf_dir).events.select("user_id", "event_id", "ts", "value")
     base = ev.filter(F.col("event_id") % 2 == 0)
     updates = ev.filter(F.col("event_id") % 2 == 1)
-    merged = merge_upsert(base, updates, keys=["user_id"], version_col="ts")
+    merged = merge_upsert(
+        base, updates, keys=["user_id"], version_col="ts",
+        tiebreakers=["event_id"],
+    )
     return merged.select(
         "user_id", "event_id", fmt_ts("ts", "latest_ts"), "value"
     )

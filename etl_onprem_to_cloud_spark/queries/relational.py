@@ -554,16 +554,33 @@ def q_count_distinct_segments(spark, sf_dir):
 
 @query(
     "q_approx_count_distinct",
-    oracle=None,  # HLL sketches are implementation-specific; rows-only check.
+    oracle="""
+SELECT o_orderpriority,
+  count(DISTINCT o_custkey) AS exact_customers,
+  count(*) AS n_orders,
+  TRUE AS approx_within_tol
+FROM orders
+GROUP BY o_orderpriority
+""",
     tags=("agg", "approx"),
-    description="approx_count_distinct (HLL) per segment -- sketch values are "
-    "engine-specific, so no SQL oracle; exact twin is q_count_distinct_segments.",
+    description="approx_count_distinct (HLL, rsd=0.02) per segment.  The HLL "
+    "estimate is engine-specific, so the oracle-checked contract is a bounded "
+    "relative-error flag: the Spark side emits the EXACT distinct count plus "
+    "a boolean asserting |approx-exact|/exact <= 5%; DuckDB emits its exact "
+    "count and literal TRUE.  A drifting sketch flips the flag and fails the "
+    "hash compare.",
 )
 def q_approx_count_distinct(spark, sf_dir):
     c = cat(spark, sf_dir)
+    exact = F.count_distinct(F.col("o_custkey"))
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
     return c.orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        exact.alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        ).alias("approx_within_tol"),
     )
 
 

@@ -659,18 +659,43 @@ def q_window_first_last_nth(spark, sf_dir):
 
 @query(
     "q_approx_percentiles_orders",
-    oracle=None,  # sketch-based: t-digest buckets are engine-specific;
-    # accuracy is asserted against exact percentiles in tests.
+    oracle="""
+SELECT o_orderstatus,
+  quantile_disc(o_totalprice, 0.5) AS p50_exact,
+  quantile_disc(o_totalprice, 0.9) AS p90_exact,
+  quantile_disc(o_totalprice, 0.99) AS p99_exact,
+  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM orders
+GROUP BY o_orderstatus
+""",
     tags=("agg", "percentile", "approx"),
     description="approx_percentile (p50/p90/p99) per order status -- the "
-    "sketch path for 100 TB where exact percentiles would sort per group.",
+    "sketch path for 100 TB where exact percentiles would sort per group.  "
+    "Oracle contract: exact DISCRETE percentiles (an actual data value on "
+    "both engines, so no interpolation FP drift) plus per-quantile flags "
+    "asserting the sketch lands within 5% relative error of exact.",
 )
 def q_approx_percentiles_orders(spark, sf_dir):
     c = cat(spark, sf_dir)
+
+    def disc(p):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+        )
+
+    def approx(p):
+        return F.approx_percentile("o_totalprice", F.lit(p), F.lit(10000))
+
+    def ok(p):
+        return (F.abs(approx(p) - disc(p)) <= 0.05 * F.abs(disc(p)))
+
     return c.orders.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
-        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+        disc(0.5).alias("p50_exact"),
+        disc(0.9).alias("p90_exact"),
+        disc(0.99).alias("p99_exact"),
+        ok(0.5).alias("p50_ok"),
+        ok(0.9).alias("p90_ok"),
+        ok(0.99).alias("p99_ok"),
     )
 
 

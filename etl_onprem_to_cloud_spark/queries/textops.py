@@ -475,13 +475,20 @@ def q_tfidf_top_terms(spark, sf_dir):
     ).filter(F.col("term").isNotNull())
     tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfc = tfc.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = tk.count()
-    scored = tfc.join(dfc, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # N as a broadcast 1-row aggregate, not a driver-side tk.count():
+    # keeps the whole query one job and N out of the plan's literals
+    # (VERDICT r01 watch item).
+    n = tk.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tfc.join(dfc, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

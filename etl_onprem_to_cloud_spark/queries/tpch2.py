@@ -1,14 +1,16 @@
-"""Remaining TPC-H query analogues (Q2/Q4/Q7/Q8/Q9/Q13/Q14/Q16/Q17/
-Q19/Q21/Q22), adapted to the fixture schema: there is no ``partsupp``
-table and lineitem/orders lack commit/receipt dates, shipmode, and
-comment columns, so supplier-part economics are derived from observed
-lineitem unit prices and the Q4/Q21 lateness predicates use
-``l_shipdate`` vs ``o_orderdate``.  Oracle conventions as in
-relational.py (exact DECIMAL aggregation, identical aliases, pinned
-rounding).
+"""Remaining TPC-H query analogues (Q2/Q4/Q7/Q8/Q9/Q11/Q12/Q13/Q14/
+Q16/Q17/Q19/Q20/Q21/Q22), adapted to the fixture schema: there is no
+``partsupp`` table and lineitem/orders lack commit/receipt dates,
+shipmode, and comment columns, so supplier-part economics are derived
+from observed lineitem unit prices (Q2/Q11/Q20 use revenue/quantity
+through suppliers instead of availqty*supplycost) and the Q4/Q12/Q21
+lateness predicates use ``l_shipdate`` vs ``o_orderdate``.  Oracle
+conventions as in relational.py (exact DECIMAL aggregation, identical
+aliases, pinned rounding).
 
 Together with relational.py's Q1/Q3/Q5/Q6/Q10/Q15/Q18 this covers all
-22 TPC-H query shapes the fixture schema can express.
+22 TPC-H query shapes, each adapted to what the fixture schema can
+express.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec, dsum_round
-from ._util import cat
+from ._util import cat, ts_lit
 from . import query
 from .relational import _DISC_PRICE, _disc_price_col
 
@@ -521,4 +523,147 @@ def q22_dormant_rich_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             dsum_round("c_acctbal", "totacctbal"),
         )
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey AS partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS value
+FROM v
+WHERE val * 200 > (SELECT sum(val) FROM v)
+ORDER BY value DESC, partkey
+""",
+    tags=("join", "agg", "subquery", "tpch"),
+    description="TPC-H Q11 analogue (important stock): per-part value held "
+    "by a nation group's suppliers vs a share-of-total threshold.  No "
+    "partsupp in the fixtures, so value = observed lineitem revenue "
+    "through those suppliers; the share test is `val * 200 > total` in "
+    "exact DECIMAL on both engines (no float threshold boundary).  The "
+    "global total joins back via a broadcast of a 1-row aggregate, not a "
+    "driver-side collect.",
+)
+def q11_important_parts(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    nations = c.nation.filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+    )
+    supp = c.supplier.join(
+        F.broadcast(nations), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        c.lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(dec("l_extendedprice")).alias("val"))
+    )
+    total = per_part.agg(F.sum("val").alias("total_val"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val") * 200 > F.col("total_val"))
+        .select(
+            "partkey", F.round(F.col("val"), 2).cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@query(
+    "q12_shipping_lateness",
+    oracle="""
+SELECT
+  CASE
+    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 30 THEN 'under_30d'
+    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 90 THEN '30_to_90d'
+    ELSE 'over_90d'
+  END AS lateness,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY lateness
+""",
+    tags=("join", "agg", "tpch"),
+    description="TPC-H Q12 analogue (shipping modes and priority): the "
+    "fixtures lack shipmode/commit/receipt dates, so lines bucket by "
+    "order-to-ship lateness (datediff days) instead of shipmode, keeping "
+    "Q12's priority-split conditional aggregation intact.",
+)
+def q12_shipping_lateness(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    li = c.lineitem
+    lines = li.filter(
+        (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1997-01-01 00:00:00"))
+    )
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    lateness = (
+        F.when(days < 30, "under_30d").when(days < 90, "30_to_90d").otherwise("over_90d")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        c.orders.join(lines, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(lateness.alias("lateness"))
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_heavy_part_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS shipped_qty
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_name LIKE 'cold%'
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY s_suppkey, s_name
+HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 400
+ORDER BY s_suppkey
+""",
+    tags=("join", "agg", "having", "tpch"),
+    description="TPC-H Q20 analogue (potential part promotion): suppliers "
+    "who shipped more than a threshold quantity of 'cold%'-named parts in "
+    "1996.  No partsupp availqty in the fixtures, so the Q20 half-of-"
+    "shipped predicate becomes a fixed qty threshold over observed "
+    "shipments; part dim is broadcast, one shuffle on suppkey.",
+)
+def q20_heavy_part_suppliers(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    li = c.lineitem
+    cold_parts = c.part.filter(F.col("p_name").like("cold%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1997-01-01 00:00:00"))
+        )
+        .join(F.broadcast(cold_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 400)
+    )
+    return (
+        shipped.join(
+            F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("qty"), 2).cast("double").alias("shipped_qty"),
+        )
+        .orderBy("s_suppkey")
     )

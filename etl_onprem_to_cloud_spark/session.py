@@ -36,21 +36,19 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def get_spark(
-    app_name: str = "etl-onprem-to-cloud-spark",
-    master: str | None = None,
+def build_conf(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     s3a: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or fetch) the engine SparkSession.
+) -> dict[str, str]:
+    """The engine's conf block as a pure dict (unit-testable without a
+    JVM -- the s3a contract test asserts on this).
 
     ``s3a``: optional ``{"access_key":..., "secret_key":..., "endpoint":...}``
     mirroring the reference's S3 sink config (reference etl/load.py:43-60)
     but via public ``spark.hadoop.*`` conf keys, not py4j private APIs.
     """
     cpus = default_parallelism()
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
     )
@@ -91,7 +89,20 @@ def get_spark(
         )
     if extra_conf:
         conf.update(extra_conf)
+    return conf
 
+
+def get_spark(
+    app_name: str = "etl-onprem-to-cloud-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    s3a: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession (conf from build_conf)."""
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    conf = build_conf(shuffle_partitions, extra_conf, s3a)
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in conf.items():
         builder = builder.config(k, v)

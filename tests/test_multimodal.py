@@ -76,3 +76,23 @@ def test_resize_contract(media):
     for r in rows:
         assert (r.width, r.height) == (8, 4)
         assert len(r.payload) == 32, "payload resized to w*h bytes"
+
+
+def test_custom_decoder_injection(media):
+    # The pluggable codec boundary (VERDICT r01 item 6): a user-supplied
+    # callable rides the same Arrow-batched mapInPandas contract without
+    # editing the module.
+    def halves(payload: bytes, feat_dim: int):
+        n = len(payload or b"")
+        return n, n * 2, [float(n)] * feat_dim
+
+    out = decode_image_features(media, feat_dim=3, decoder=halves)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows, "decoder output must be non-empty"
+    for r in rows.values():
+        assert r.width == r.byte_len
+        assert r.height == 2 * r.byte_len
+        assert list(r.features) == [float(r.byte_len)] * 3
+    # decoder wins over fake=False: no NotImplementedError
+    out2 = decode_image_features(media, feat_dim=1, fake=False, decoder=halves)
+    assert out2.count() == len(rows)

@@ -144,3 +144,111 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_merge_upsert_tiebreaker_is_deterministic(spark):
+    # Two updates with the same key AND version: the tiebreaker column
+    # must pick one reproducible survivor (ADVICE r01).
+    base = spark.createDataFrame([(1, 5, 100)], "k: bigint, v: bigint, id: bigint")
+    upd = spark.createDataFrame(
+        [(1, 9, 201), (1, 9, 202)], "k: bigint, v: bigint, id: bigint"
+    )
+    outs = {
+        tuple(
+            merge_upsert(base, upd, keys=["k"], version_col="v", tiebreakers=["id"])
+            .collect()[0]
+        )
+        for _ in range(3)
+    }
+    assert outs == {(1, 9, 202)}, "max-id update must win every rerun"
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest
+
+    from etl_onprem_to_cloud_spark.llm.dedup import connected_components
+
+    # chain 1-2-3-4-5 needs >1 round; max_iterations=1 cannot converge
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a: bigint, id_b: bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(pairs, max_iterations=1, on_nonconvergence="warn")
+
+
+def test_connected_components_fewer_jobs_than_two_action_loop(spark):
+    """The changed-flag fold must spend fewer Spark jobs per round than
+    the r01 shape (eager checkpoint + separate comparison-join count).
+    Counts are compared, not pinned: AQE splits one action into several
+    jobs, so absolute numbers are plan-internal."""
+    from etl_onprem_to_cloud_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: bigint, id_b: bigint"
+    )
+    sc = spark.sparkContext
+
+    def count_jobs(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    def old_style():
+        # r01 implementation: eager checkpoint, then a join+count action
+        # per round for convergence detection.
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        while True:
+            nbr = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            updated = (
+                labels.join(nbr, labels.node == nbr.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+                .filter(F.col("u.component") != F.col("l.component"))
+                .count()
+            )
+            labels = updated
+            if changed == 0:
+                return labels
+
+    old_labels, old_jobs = count_jobs("cc-old", lambda: old_style().collect())
+    new_labels, new_jobs = count_jobs(
+        "cc-new", lambda: connected_components(pairs).collect()
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert {r.node: r.component for r in old_labels} == want
+    assert {r.node: r.component for r in new_labels} == want
+    assert new_jobs < old_jobs, (
+        f"folded changed-flag should cost fewer jobs: new={new_jobs} old={old_jobs}"
+    )

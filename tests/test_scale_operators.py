@@ -96,3 +96,30 @@ def test_salted_join_matches_plain(spark, sf_dir):
     s = {tuple(r) for r in salted.select("o_orderkey", "c_name").collect()}
     p = {tuple(r) for r in plain.select("o_orderkey", "c_name").collect()}
     assert s == p
+
+
+def test_salted_join_rejects_outer_modes(spark, sf_dir):
+    # Replicated small side would emit unmatched rows once per salt
+    # replica under right/full outer (ADVICE r01).
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, cust, ["o_custkey"], salts=4, how=how)
+
+
+def test_with_salt_spreads_exact_duplicate_rows(spark):
+    # A hot key often arrives as EXACT duplicate rows; a pure row-hash
+    # salt would collapse them all onto one salt value (ADVICE r01).
+    from etl_onprem_to_cloud_spark.operators.skew import with_salt
+
+    dupes = spark.range(1).select(
+        F.lit(42).alias("k"), F.lit("same").alias("v")
+    )
+    for _ in range(10):
+        dupes = dupes.unionAll(dupes)  # 1024 identical rows
+    dupes = dupes.repartition(8)
+    n_salts = with_salt(dupes, salts=16).select("__salt").distinct().count()
+    assert n_salts > 1, "identical rows must not all map to one salt"
