@@ -35,6 +35,7 @@ def _exploded_shingles(
     text_col: str,
     shingle_n: int,
     spread: bool | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, shingle) rows via the two-step materialize-tokens pipeline
     (see shingles_from_tokens for why the inline form is slow).
@@ -57,9 +58,14 @@ def _exploded_shingles(
         spread = docs.rdd.getNumPartitions() < target
     if spread:
         docs = docs.repartition(target, F.col(id_col))
-    tk = docs.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk"))
+    extras = [F.col(c) for c in extra_cols]
+    tk = docs.select(
+        F.col(id_col), *extras, tokens(F.lower(F.col(text_col))).alias("__tk")
+    )
     sh = tk.select(
-        F.col(id_col), shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh")
+        F.col(id_col),
+        *extras,
+        shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh"),
     )
     # explode_outer + isNotNull, NOT plain explode: InferFiltersFromGenerate
     # puts a size()>0 filter under an inner Generate and pushes it below the
@@ -67,9 +73,9 @@ def _exploded_shingles(
     # then pays the expensive construction twice (measured 20x slower at
     # sf0.1).  The rule skips outer generates; the null filter on the
     # generated column is per-row and cheap.
-    return sh.select(F.col(id_col), F.explode_outer("__sh").alias("shingle")).filter(
-        F.col("shingle").isNotNull()
-    )
+    return sh.select(
+        F.col(id_col), *extras, F.explode_outer("__sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
 
 
 # --------------------------------------------------------------------------
@@ -516,6 +522,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin): same
     result as ngram_jaccard_pairs, far cheaper.
@@ -527,19 +534,27 @@ def ngram_jaccard_pairs_prefix(
     (which is what makes the naive join quadratic: a shingle shared by
     k docs emits k^2 candidate rows).  Measured 6x faster at sf0.1 (24s -> 4s).
 
+    ``block_col`` composes blocking with the prefix filter: pairs are
+    restricted to the same block (identical semantics to the blocked
+    naive join), document frequencies are counted per block (rarest
+    WITHIN the block -- any per-block total order is valid for the
+    prefix bound, and block-local df is the selective one), and the
+    candidate join adds the block to its key.
+
     Stages: shingle df count (one agg) -> per-doc rarest-first rank
     (window) -> prefix self-join (tiny) -> verify candidates on full
     collect_set shingle sets.  All exact; the naive formulation remains
     the oracle.
     """
-    ex = _exploded_shingles(docs, id_col, text_col, shingle_n)
+    blocks = (block_col,) if block_col else ()
+    ex = _exploded_shingles(docs, id_col, text_col, shingle_n, extra_cols=blocks)
     sets = ex.groupBy(id_col).agg(
         F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
     )
 
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = ex.groupBy(*blocks, "shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        ex.join(dfreq, "shingle")
+        ex.join(dfreq, [*blocks, "shingle"])
         .withColumn(
             "rnk",
             F.row_number().over(
@@ -551,15 +566,18 @@ def ngram_jaccard_pairs_prefix(
             F.col("rnk")
             <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + 1
         )
-        .select(id_col, "shingle")
+        .select(id_col, *blocks, "shingle")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        join_cond = join_cond & (
+            F.col(f"a.{block_col}") == F.col(f"b.{block_col}")
         )
+    cand = (
+        a.join(b, join_cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )

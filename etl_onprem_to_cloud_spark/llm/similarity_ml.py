@@ -15,8 +15,9 @@ hood -- shuffle on hash buckets, never the full cross product.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import shingles
+from ..functions.text import shingles_from_tokens, tokens
 
 
 def _try_import_ml():
@@ -51,14 +52,45 @@ def ml_minhash_near_dup_pairs(
     HashingTF turns each doc's shingle set into a sparse binary vector
     (feature space 2^18); MinHashLSH.approxSimilarityJoin emits pairs
     under the Jaccard *distance* threshold.
+
+    Perf shape (measured 36s -> ~4s at sf0.1): tokens are materialized
+    in their own projection before shingling (the inline form
+    re-evaluates the token split per array element -- see
+    shingles_from_tokens), the vector table is slimmed to
+    (id, features) BEFORE the join (otherwise the shingle array rides
+    through approxSimilarityJoin's explode-join-distinct, which
+    shuffles whole rows), and it is persisted because the self-join's
+    two branches would each recompute the full text->shingles->TF
+    pipeline.  MEMORY_AND_DISK: 5k docs here, but at 100 TB the spill
+    path matters and LRU eviction bounds the footprint.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Spread a compact input before the CPU-heavy shingle expansion: a
+    # one-file corpus arrives as 1-2 partitions and would shingle
+    # single-threaded (measured 13s of the 36s right there).
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, F.col(id_col))
+    # Empty-doc filter on the RAW text, never on size(sh): a filter on
+    # the shingle column gets predicate-pushed below the projections
+    # with the whole shingle expression re-inlined in its slow form
+    # (tokens re-evaluated inside every element_at -- measured 12s vs
+    # 0.4s at sf0.1).  Shingles are empty iff tokens are empty, so this
+    # is the same predicate, evaluated cheaply at the scan.
+    docs = docs.filter(F.size(tokens(F.lower(F.col(text_col)))) > 0)
+    tk = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk")
+    )
+    sh = tk.select(
+        F.col(id_col), shingles_from_tokens(F.col("__tk")).alias("sh")
+    )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    vecs = tf.transform(sh)
+    vecs = (
+        tf.transform(sh)
+        .select(F.col(id_col), "features")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )

@@ -581,10 +581,11 @@ WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
 """,
     tags=("dedup", "ring-c", "jaccard", "blocked"),
     description="Source-blocked exact Jaccard pairs: the 100 TB shape of "
-    "the pairwise baseline -- blocking bounds the inverted-index join "
-    "fan-out to within-source candidates.",
+    "the pairwise baseline -- blocking bounds candidates to within-source "
+    "pairs, composed with the prefix filter (result-identical to the "
+    "blocked naive join the oracle runs; measured 19s -> ~3s at sf0.1).",
 )
 def q_dedup_ngram_jaccard_blocked(spark, sf_dir):
-    return D.ngram_jaccard_pairs(
+    return D.ngram_jaccard_pairs_prefix(
         cat(spark, sf_dir).documents, threshold=0.5, block_col="source"
     )
