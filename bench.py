@@ -51,6 +51,10 @@ HEADLINE = [
     "q_dedup_ngram_jaccard_blocked",
     "q_ml_minhash_lsh_pairs",
     "q08_market_share",
+    # r02 additions: SRP-LSH embedding near-dup and the repetition
+    # metrics (the two new heavy Ring C families).
+    "q_srp_near_dup_pairs",
+    "q_text_repetition",
 ]
 
 

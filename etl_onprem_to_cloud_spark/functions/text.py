@@ -136,6 +136,40 @@ def shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(F.lower(text)), n)
 
 
+def word_ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """All word n-grams WITH multiplicity (no dedup) from an
+    ALREADY-MATERIALIZED token column -- the unit of repetition
+    metrics (Gopher-style duplicate/top n-gram fractions), where the
+    repeat count is the signal that array_distinct would erase.  Docs
+    shorter than n yield [] (no n-gram exists; distinct from
+    shingles_from_tokens, whose whole-doc fallback serves dedup
+    recall).  Same element_at construction and same materialize-first
+    caveat as shingles_from_tokens."""
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(grams: Column) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    occurrence: 1 - distinct/total over a MATERIALIZED n-gram column
+    (word_ngrams_from_tokens).  0.0 for gram-less docs.  The cheap
+    per-row repetition signal -- high values flag boilerplate/spam."""
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Character n-grams of the normalized text (array<string>, distinct)."""
     normalized = F.concat_ws(" ", tokens(F.lower(text)))

@@ -14,13 +14,20 @@
   key, so each probe touches a bounded partition set.
 - :func:`embedding_near_dup_pairs` -- cosine-threshold pair mining
   blocked on a partition column (semantic near-dedup).
+- :func:`srp_near_dup_pairs` -- signed-random-projection (SimHash for
+  vectors) LSH: the blocking-free scale path for cosine near-dedup,
+  with deterministic md5-derived hyperplanes so an external oracle can
+  reproduce the buckets bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import hashlib
 
-from ..functions.vectors import cosine_similarity
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.vectors import cosine_similarity, dot_product
 
 
 def brute_force_top_k(
@@ -205,6 +212,151 @@ def embedding_near_dup_pairs(
             F.round(
                 cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
             ).cast("double").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def srp_planes(
+    num_planes: int, dim: int, seed: str = "srp"
+) -> list[list[float]]:
+    """Deterministic random hyperplanes: component (p, d) is uniform in
+    [-1, 1], tabulated from md5(f"{seed}_{p}_{d}") -- plain Python, no
+    RNG state, so the SAME constants can be embedded as literals in
+    both the Spark plan and an external oracle's SQL (the same trick
+    dedup.py uses for MinHash permutations).  For the sign test any
+    spherically-symmetric-ish distribution works; component-wise
+    uniform is standard for SimHash."""
+    return [
+        [
+            int(hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[:8], 16)
+            / float(1 << 32)
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def srp_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    num_tables: int = 8,
+    bits_per_table: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "srp",
+) -> DataFrame:
+    """Cosine near-dup pairs via signed-random-projection LSH
+    (random-hyperplane SimHash) -> (id_a, id_b, cosine), id_a < id_b.
+
+    Each vector gets ``num_tables`` bucket ids; bucket bit b of table t
+    is sign(dot(v, plane)) for a deterministic hyperplane.  Candidates
+    = pairs sharing ANY table's bucket (banding, exactly like MinHash
+    LSH); candidates are then verified with the exact cosine.  Two
+    vectors at angle theta agree on one bit with prob 1 - theta/pi, so
+    recall at cosine c is 1-(1-(1-acos(c)/pi)^bits)^tables: the 8x8
+    default gives ~0.95 at c=0.9 (true near-dups) and deliberately lets
+    low-similarity pairs go -- that selectivity is what bounds the
+    candidate volume.  Size ``bits_per_table`` ~ log2(corpus/target
+    bucket occupancy): candidates grow with occupancy^2, so bits must
+    grow with corpus size (4 bits looked fine at 500 vectors and
+    produced 40% of the cross product as candidates; 8 bits cut that
+    250x).
+
+    Scale shape: one narrow (table, bucket, id) explode -- num_tables
+    rows per vector -- shuffled on (table, bucket); candidate volume is
+    bounded by bucket occupancy, never the corpus cross product, and
+    the cosine verify joins vectors back by id.  All deterministic:
+    retries, reruns, and the DuckDB oracle see identical buckets.
+
+    Plan shape: ALL the plane constants live in ONE
+    array<array<double>> literal and all dots come from ONE transform
+    lambda -- building a separate 64-literal dot-product tree per plane
+    made analysis+codegen the dominant cost (9s fixed overhead on a
+    500-row input); the single-literal form is ~15x cheaper to plan.
+    """
+    n_planes = num_tables * bits_per_table
+    planes = srp_planes(n_planes, dim, seed)
+    planes_lit = F.lit(planes)  # one literal node, not n_planes*dim of them
+
+    # Spread a compact (one-file) corpus before the CPU-heavy projection
+    # pass: num_tables*bits_per_table interpreted dot folds per row run
+    # single-threaded on an unsplit input (same pattern as
+    # dedup._exploded_shingles).
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        embeddings = embeddings.repartition(target, F.col(id_col))
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    dots = vecs.select(
+        F.col(id_col),
+        F.transform(
+            planes_lit,
+            lambda p: F.aggregate(
+                F.zip_with(F.col("__v"), p, lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("__dots"),
+    )
+
+    def bucket(t: int) -> F.Column:
+        acc = F.lit(0).cast("long")
+        for b in range(bits_per_table):
+            bit = (F.element_at("__dots", t * bits_per_table + b + 1) > 0).cast(
+                "long"
+            )
+            acc = acc + bit * F.lit(1 << b)
+        return acc
+
+    keyed = dots.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"), bucket(t).alias("bucket")
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    # Persist the narrow (id, table, bucket) relation: the candidate
+    # self-join's two branches are not exchange-reused by the planner,
+    # so without this each side re-runs the full projection pass.
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+            .cast("double")
+            .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

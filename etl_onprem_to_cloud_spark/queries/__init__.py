@@ -88,6 +88,9 @@ _CHANGED_R02 = (
     "q_approx_percentiles_orders",  # no_oracle -> bounded-rtol oracle
     "q_merge_upsert_latest_events",  # deterministic tiebreaker added
     "q_asof_join_click_attribution",  # oracle made tie-deterministic
+    "q_srp_near_dup_pairs",  # new: SRP-LSH cosine near-dup
+    "q_text_repetition",     # new: Gopher repetition metrics
+    "q_text_quality_gate",   # new: composite quality gate
 )
 
 # Green rows already recorded by the round-1 driver (CORRECTNESS_r01).

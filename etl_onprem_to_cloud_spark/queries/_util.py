@@ -50,6 +50,17 @@ def duck_shingles(tokens_expr: str, n: int = 3) -> str:
     )
 
 
+def duck_word_ngrams(tokens_expr: str, n: int = 2) -> str:
+    """All word n-grams with multiplicity (mirror of
+    functions/text.word_ngrams_from_tokens: no dedup, short docs -> [])."""
+    return (
+        f"CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({tokens_expr}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 # Exact-decimal aggregate fragments (mirror functions/numeric.py).
 def duck_dsum(col_expr: str, alias: str, round_to: int = 2) -> str:
     return (

@@ -13,7 +13,7 @@ from ..functions.numeric import davg_round
 from ..functions import text as T
 from ..llm import dedup as D
 from ..llm.multimodal import attach_binary_payload, decode_image_features
-from ._util import cat, duck_shingles, duck_tokens
+from ._util import cat, duck_shingles, duck_tokens, duck_word_ngrams
 from . import query
 
 _DUCK_NORM = (
@@ -588,4 +588,163 @@ WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
 def q_dedup_ngram_jaccard_blocked(spark, sf_dir):
     return D.ngram_jaccard_pairs_prefix(
         cat(spark, sf_dir).documents, threshold=0.5, block_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics + composite quality gate (Gopher/C4-style filters).
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS_LOW} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, {duck_word_ngrams('toks', 2)} AS grams FROM t
+),
+ex AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+),
+c AS (
+  SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+    CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count
+  FROM c GROUP BY 1
+)
+SELECT g.doc_id,
+  coalesce(n_grams, 0) AS n_grams,
+  coalesce(n_distinct, 0) AS n_distinct,
+  coalesce(top_count, 0) AS top_count,
+  round(CASE WHEN coalesce(n_grams, 0) > 0
+    THEN 1.0 - n_distinct / n_grams ELSE 0.0 END, 6) AS dup_2gram_frac,
+  round(CASE WHEN coalesce(n_grams, 0) > 0
+    THEN top_count / n_grams ELSE 0.0 END, 6) AS top_2gram_frac
+FROM g LEFT JOIN p USING (doc_id)
+""",
+    tags=("text", "ring-c", "quality", "repetition"),
+    description="Gopher-style repetition metrics per doc: word-2-gram "
+    "duplicate fraction (1 - distinct/total) and most-frequent-2-gram "
+    "share.  Repeat counts are the signal, so this uses "
+    "word_ngrams_from_tokens (no dedup) -- one narrow (doc, gram) "
+    "shuffle; the per-doc re-agg reuses the same partitioning key "
+    "prefix.  explode_outer keeps gram-less docs in the output with "
+    "zero metrics (the oracle's LEFT JOIN twin).",
+)
+def q_text_repetition(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("__tk"))
+    gr = tk.select(
+        "doc_id", T.word_ngrams_from_tokens(F.col("__tk"), 2).alias("__gr")
+    )
+    ex = gr.select("doc_id", F.explode_outer("__gr").alias("gram"))
+    counts = ex.groupBy("doc_id", "gram").agg(F.count("gram").alias("c"))
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum((F.col("c") > 0).cast("long")).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    n_grams = F.col("n_grams")
+    return per.select(
+        "doc_id",
+        n_grams.cast("bigint").alias("n_grams"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("top_count").cast("bigint").alias("top_count"),
+        F.round(
+            F.when(n_grams > 0, F.lit(1.0) - F.col("n_distinct") / n_grams)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).cast("double").alias("dup_2gram_frac"),
+        F.round(
+            F.when(n_grams > 0, F.col("top_count") / n_grams)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).cast("double").alias("top_2gram_frac"),
+    )
+
+
+# Gate thresholds, tuned on the sf0.01 metric distributions so every
+# reason actually fires on the fixtures (punct is ~0 on the synthetic
+# corpus; the branch exists for real-world text).
+_GATE_MIN_TOKENS = 20
+_GATE_MAX_PUNCT = 0.1
+_GATE_MIN_STOPWORD = 0.02
+_GATE_MAX_DUP_2GRAM = 0.09
+
+
+@query(
+    "q_text_quality_gate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS_LOW} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, text, toks, {duck_word_ngrams('toks', 2)} AS grams FROM t
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tok,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text)
+      ELSE 0.0 END AS punct,
+    CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, t -> t IN {_STOP_IN})) / len(toks)
+      ELSE 0.0 END AS stop,
+    CASE WHEN len(grams) > 0
+      THEN 1.0 - len(list_distinct(grams)) / len(grams)
+      ELSE 0.0 END AS dup
+  FROM g
+),
+r AS (
+  SELECT doc_id, n_tok, dup,
+    CASE
+      WHEN n_tok < {_GATE_MIN_TOKENS} THEN 'too_short'
+      WHEN punct > {_GATE_MAX_PUNCT} THEN 'high_punct'
+      WHEN stop < {_GATE_MIN_STOPWORD} THEN 'low_stopword'
+      WHEN dup > {_GATE_MAX_DUP_2GRAM} THEN 'repetitive'
+      ELSE 'kept'
+    END AS reason
+  FROM m
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+  round(dup, 6) AS dup_2gram_frac, reason, reason = 'kept' AS kept
+FROM r
+""",
+    tags=("text", "ring-c", "quality", "filter"),
+    description="C4/Gopher-style composite quality gate: first-failing-"
+    "reason per doc (too_short -> high_punct -> low_stopword -> "
+    "repetitive -> kept).  Entirely per-row expressions over "
+    "materialized token/2-gram arrays -- no shuffle, no UDF; the whole "
+    "gate runs in one codegen'd projection at any corpus size.",
+)
+def q_text_quality_gate(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select(
+        "doc_id", "text", T.tokens(F.lower(F.col("text"))).alias("__tk")
+    )
+    gr = tk.select(
+        "doc_id",
+        "text",
+        "__tk",
+        T.word_ngrams_from_tokens(F.col("__tk"), 2).alias("__gr"),
+    )
+    n_tok = F.size("__tk")
+    dup = T.dup_ngram_fraction(F.col("__gr"))
+    punct = T.punct_ratio(F.col("text"))
+    stop = T.stopword_ratio(F.col("text"))
+    reason = (
+        F.when(n_tok < _GATE_MIN_TOKENS, "too_short")
+        .when(punct > _GATE_MAX_PUNCT, "high_punct")
+        .when(stop < _GATE_MIN_STOPWORD, "low_stopword")
+        .when(dup > _GATE_MAX_DUP_2GRAM, "repetitive")
+        .otherwise("kept")
+    )
+    return gr.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(dup, 6).cast("double").alias("dup_2gram_frac"),
+        reason.alias("reason"),
+        (reason == "kept").alias("kept"),
     )

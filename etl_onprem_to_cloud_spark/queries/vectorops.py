@@ -4,7 +4,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llm.similarity import brute_force_top_k, embedding_near_dup_pairs, ivf_top_k
+from ..llm.similarity import (
+    brute_force_top_k,
+    embedding_near_dup_pairs,
+    ivf_top_k,
+    srp_near_dup_pairs,
+    srp_planes,
+)
 from ._util import cat
 from . import query
 
@@ -82,6 +88,74 @@ WHERE round(list_dot_product(a.v, b.v) /
 def q_embedding_near_dup(spark, sf_dir):
     emb = cat(spark, sf_dir).embeddings
     return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH: deterministic hyperplanes, so unlike the
+# MLlib twins below this LSH family IS oracle-checkable -- the exact same
+# plane constants are embedded in the Spark plan and the SQL text.
+
+_SRP_TABLES, _SRP_BITS, _SRP_DIM, _SRP_THRESHOLD = 8, 8, 64, 0.4
+_SRP_PLANES = srp_planes(_SRP_TABLES * _SRP_BITS, _SRP_DIM)
+
+
+def _duck_srp_bucket(t: int) -> str:
+    terms = []
+    for b in range(_SRP_BITS):
+        plane = "[" + ", ".join(repr(v) for v in _SRP_PLANES[t * _SRP_BITS + b]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {plane}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SRP_KEYED_SQL = "\n  UNION ALL\n  ".join(
+    f"SELECT vec_id, {t} AS tbl, {_duck_srp_bucket(t)} AS bucket FROM e"
+    for t in range(_SRP_TABLES)
+)
+
+
+@query(
+    "q_srp_near_dup_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+k AS (
+  {_SRP_KEYED_SQL}
+),
+c AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+s AS (
+  SELECT id_a, id_b,
+    round(list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),
+      6) AS cosine
+  FROM c
+  JOIN e va ON va.vec_id = c.id_a
+  JOIN e vb ON vb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= {_SRP_THRESHOLD}
+""",
+    tags=("similarity", "ring-c", "lsh", "srp", "dedup"),
+    description="Signed-random-projection (random-hyperplane SimHash) LSH "
+    "cosine near-dup pairs: 8 tables x 4 bits of deterministic md5-derived "
+    "hyperplanes, candidates on banded bucket equality, exact-cosine "
+    "verify.  The blocking-free scale path for q_embedding_near_dup, and "
+    "-- unlike the seeded MLlib LSH -- fully oracle-checked.",
+)
+def q_srp_near_dup_pairs(spark, sf_dir):
+    emb = cat(spark, sf_dir).embeddings
+    return srp_near_dup_pairs(
+        emb,
+        dim=_SRP_DIM,
+        threshold=_SRP_THRESHOLD,
+        num_tables=_SRP_TABLES,
+        bits_per_table=_SRP_BITS,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -110,3 +110,33 @@ def test_prefix_jaccard_equals_naive(spark, sf_dir):
         tuple(r) for r in D.ngram_jaccard_pairs_prefix(docs, threshold=0.5).collect()
     )
     assert naive == pref and len(naive) > 0
+
+
+def test_srp_pairs_subset_of_exact_and_deterministic(spark, sf_dir):
+    """SRP-LSH pairs must be a SUBSET of the exact cosine-threshold
+    pairs (the verify step guarantees precision 1.0; only recall is
+    approximate), non-empty on the clustered fixture, and identical
+    across reruns (deterministic md5 hyperplanes, no RNG)."""
+    from etl_onprem_to_cloud_spark.llm.similarity import (
+        embedding_near_dup_pairs,
+        srp_near_dup_pairs,
+    )
+    from etl_onprem_to_cloud_spark.queries._util import cat
+
+    emb = cat(spark, sf_dir).embeddings
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, block_col=None
+        ).collect()
+    }
+    runs = [
+        {
+            (r.id_a, r.id_b)
+            for r in srp_near_dup_pairs(emb, dim=64, threshold=0.4).collect()
+        }
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1], "SRP buckets must be rerun-stable"
+    assert runs[0], "clustered fixture must yield some SRP pairs"
+    assert runs[0] <= exact, "verify step must keep precision exact"
