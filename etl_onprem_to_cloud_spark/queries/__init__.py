@@ -58,6 +58,7 @@ def oracle_queries() -> dict[str, str]:
 # Import for registration side effects (import order = base registry
 # order; the evidence-priority reorder below is what the driver sees).
 from . import netflix  # noqa: E402,F401
+from . import datamix  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import maintenance  # noqa: E402,F401
@@ -91,6 +92,9 @@ _CHANGED_R02 = (
     "q_srp_near_dup_pairs",  # new: SRP-LSH cosine near-dup
     "q_text_repetition",     # new: Gopher repetition metrics
     "q_text_quality_gate",   # new: composite quality gate
+    "q_split_train_val_test",    # new: deterministic split
+    "q_pack_contexts",           # new: context-window packing
+    "q_token_budget_per_source",  # new: per-source token budget
 )
 
 # Green rows already recorded by the round-1 driver (CORRECTNESS_r01).

@@ -252,3 +252,55 @@ def test_connected_components_fewer_jobs_than_two_action_loop(spark):
     assert new_jobs < old_jobs, (
         f"folded changed-flag should cost fewer jobs: new={new_jobs} old={old_jobs}"
     )
+
+
+def test_split_assignment_proportions_and_stability(spark, sf_dir):
+    """80/10/10 hash split: proportions near-nominal, and every doc's
+    assignment is unchanged when the corpus is subset (growth-stable
+    eval sets)."""
+    from etl_onprem_to_cloud_spark.queries import QUERIES
+
+    full = QUERIES["q_split_train_val_test"].fn(spark, sf_dir)
+    counts = {r["split"]: r["n"] for r in full.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.7 < counts["train"] / total < 0.9
+    assert 0.05 < counts["val"] / total < 0.15
+    assert 0.05 < counts["test"] / total < 0.15
+    sub = {r.doc_id: r["split"] for r in full.filter(F.col("doc_id") % 3 == 0).collect()}
+    again = {r.doc_id: r["split"] for r in full.collect() if r.doc_id % 3 == 0}
+    assert sub == again
+
+
+def test_token_budget_never_exceeded_and_prefix(spark, sf_dir):
+    from etl_onprem_to_cloud_spark.queries import QUERIES
+    from etl_onprem_to_cloud_spark.queries.datamix import _SOURCE_BUDGET
+
+    rows = QUERIES["q_token_budget_per_source"].fn(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rs:
+            run += r.n_tokens
+            assert r.cum_tokens == run, "cum must be a contiguous prefix sum"
+        assert run <= _SOURCE_BUDGET
+
+
+def test_pack_contexts_bins_are_offset_consistent(spark, sf_dir):
+    from etl_onprem_to_cloud_spark.queries import QUERIES
+    from etl_onprem_to_cloud_spark.queries.datamix import _PACK_CAPACITY
+
+    rows = QUERIES["q_pack_contexts"].fn(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rs:
+            assert r.token_offset == offset
+            assert r.bin_id == offset // _PACK_CAPACITY
+            offset += r.n_tokens
