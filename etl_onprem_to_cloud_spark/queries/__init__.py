@@ -95,6 +95,8 @@ _CHANGED_R02 = (
     "q_split_train_val_test",    # new: deterministic split
     "q_pack_contexts",           # new: context-window packing
     "q_token_budget_per_source",  # new: per-source token budget
+    "q_multimodal_decode_features",  # rows-only -> full value oracle
+    "q_multimodal_frame_sample",     # new: frame-sampling fan-out
 )
 
 # Green rows already recorded by the round-1 driver (CORRECTNESS_r01).

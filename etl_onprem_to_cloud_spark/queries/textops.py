@@ -328,11 +328,26 @@ def q_multimodal_metadata(spark, sf_dir):
 
 @query(
     "q_multimodal_decode_features",
-    oracle=None,  # mapInPandas stub decode -- Spark-side plumbing check only
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+    md5(text) AS h
+  FROM documents
+)
+SELECT doc_id, byte_len,
+  CAST(16 + CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % 64 AS INTEGER) AS width,
+  CAST(16 + CAST(('0x' || substr(h, 3, 2)) AS INTEGER) % 64 AS INTEGER) AS height,
+  round((CAST(('0x' || substr(h, 1, 2)) AS INTEGER) / 255.0) * 2.0 - 1.0, 6) AS f0
+FROM m
+""",
     tags=("multimodal", "ring-c", "pandas-udf"),
     description="Arrow-batched mapInPandas decode stub: binary payload -> "
-    "(width, height, feature vector).  Real codec is stubbed (see "
-    "llm/multimodal.py); the Spark plumbing is production-shaped.",
+    "(width, height, feature vector).  The codec itself is the documented "
+    "stub (md5-derived pseudo-decode; see llm/multimodal.py), but BECAUSE "
+    "the stub is md5-derived the oracle re-derives every output value in "
+    "SQL -- so the whole mapInPandas path (Arrow batching, schema, row "
+    "alignment) is value-verified, not just row-counted.",
 )
 def q_multimodal_decode_features(spark, sf_dir):
     media = attach_binary_payload(cat(spark, sf_dir).documents)
@@ -342,8 +357,43 @@ def q_multimodal_decode_features(spark, sf_dir):
         "byte_len",
         "width",
         "height",
-        F.round(F.element_at("features", 1), 6).cast("double").alias("f0"),
+        # cast BEFORE round: round() on a FloatType stays float32 and
+        # the cast would then surface the f32 representation error.
+        F.round(F.element_at("features", 1).cast("double"), 6)
+        .cast("double")
+        .alias("f0"),
     )
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    unnest(generate_series(
+      0, CAST(least(floor(byte_len / 64) + 1, 8) AS BIGINT) - 1)) AS frame_no
+  FROM m
+)
+SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+  CAST(frame_no * 64 AS BIGINT) AS byte_offset
+FROM f
+""",
+    tags=("multimodal", "ring-c", "video"),
+    description="Video-style frame sampling over a binary payload: one row "
+    "per sampled byte offset (every 64 bytes, capped at 8 frames), all "
+    "JVM-side sequence+explode -- the fan-out pattern a real frame "
+    "extractor feeds into, with the decode left to the pluggable codec "
+    "boundary (llm/multimodal.sample_frames).",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    from ..llm.multimodal import sample_frames
+
+    media = attach_binary_payload(cat(spark, sf_dir).documents)
+    return sample_frames(media, every_n_bytes=64, max_frames=8)
 
 
 _DUCK_PNAME_NORM = (
