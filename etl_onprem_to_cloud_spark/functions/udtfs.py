@@ -1,0 +1,40 @@
+"""Python UDTF surface (Spark table functions).
+
+Completes the UDF-surface story alongside ``@udf`` and ``pandas_udf``
+(functions/udfs.py): a UDTF is the row-GENERATING escape hatch -- one
+input row yields many output rows -- for generators that built-in
+``explode``/``sequence`` expressions cannot express (stateful parsers,
+tokenizer libraries, retrieval chunkers with overlap rules, ...).
+
+TokenChunks itself IS expressible with pure exprs (sequence + slice),
+which is deliberate: it gives the UDTF path a value-exact SQL oracle,
+so the driver verifies the whole lateral-join machinery (per-row fanout,
+column alignment, empty inputs) rather than trusting it.  Hot paths
+should still prefer the expression form -- a Python UDTF is row-at-a-
+time Python; this is API coverage, measured honest.
+"""
+
+from __future__ import annotations
+
+CHUNK_SIZE = 10
+
+try:  # pyspark >= 3.5
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no: int, chunk_text: string, n_tokens: int")
+    class TokenChunks:
+        """One row per CHUNK_SIZE-token chunk of the input text.
+
+        Token rule matches queries/_util.duck_tokens(lower=False):
+        split on runs of spaces, drop empties."""
+
+        def eval(self, text: str):  # noqa: D102 - UDTF contract
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(0, len(toks), CHUNK_SIZE):
+                chunk = toks[i : i + CHUNK_SIZE]
+                yield i // CHUNK_SIZE, " ".join(chunk), len(chunk)
+
+    HAS_UDTF = True
+except ImportError:  # pragma: no cover
+    TokenChunks = None
+    HAS_UDTF = False

@@ -97,6 +97,7 @@ _CHANGED_R02 = (
     "q_token_budget_per_source",  # new: per-source token budget
     "q_multimodal_decode_features",  # rows-only -> full value oracle
     "q_multimodal_frame_sample",     # new: frame-sampling fan-out
+    "q_udtf_token_chunks",           # new: Python UDTF lateral fan-out
 )
 
 # Green rows already recorded by the round-1 driver (CORRECTNESS_r01).

@@ -798,3 +798,51 @@ def q_text_quality_gate(spark, sf_dir):
         reason.alias("reason"),
         (reason == "kept").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface: the row-generating escape hatch, driver-verified
+# through a deterministic chunker with an exact SQL twin.
+
+from ..functions.udtfs import HAS_UDTF
+
+if HAS_UDTF:
+
+    @query(
+        "q_udtf_token_chunks",
+        oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS_RAW} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(0, CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1))
+      AS chunk_no
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+  array_to_string(list_slice(toks, chunk_no * 10 + 1, chunk_no * 10 + 10), ' ')
+    AS chunk_text,
+  CAST(len(list_slice(toks, chunk_no * 10 + 1, chunk_no * 10 + 10)) AS INTEGER)
+    AS n_tokens
+FROM c
+""",
+        tags=("text", "ring-c", "udtf", "chunking"),
+        description="Doc -> fixed-size token chunks (RAG/context chunking) "
+        "via a Python UDTF in a SQL LATERAL join -- exercises the table-"
+        "function escape hatch end-to-end (per-row fanout, column "
+        "alignment, empty docs) against an exact expression-based oracle; "
+        "see functions/udtfs.py for why the expr form stays the hot path.",
+    )
+    def q_udtf_token_chunks(spark, sf_dir):
+        from ..functions.udtfs import TokenChunks
+
+        c = cat(spark, sf_dir, register_views=True)
+        c.table("documents")
+        spark.udtf.register("token_chunks", TokenChunks)
+        return spark.sql(
+            """
+            SELECT d.doc_id, t.chunk_no, t.chunk_text, t.n_tokens
+            FROM documents d, LATERAL token_chunks(d.text) t
+            """
+        )
