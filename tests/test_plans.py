@@ -85,3 +85,38 @@ def test_q19_filter_pushed(spark, sf_dir):
     # assert the join stays broadcast instead of shuffling the fact side.
     df = QUERIES["q19_disjunctive_predicates"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_quality_gate_is_shuffle_free(spark, sf_dir):
+    """The composite gate must stay one codegen projection: no exchange,
+    no Python eval."""
+    df = QUERIES["q_text_quality_gate"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert not has_python_udf(df)
+
+
+def test_split_assignment_is_shuffle_free(spark, sf_dir):
+    df = QUERIES["q_split_train_val_test"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert not has_python_udf(df)
+
+
+def test_pack_contexts_single_window_shuffle(spark, sf_dir):
+    """Packing = one window keyed on source: exactly one hash/range
+    exchange pair at most (window sort may add a range partition only
+    if a global sort sneaks in -- it must not)."""
+    df = QUERIES["q_pack_contexts"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, "one shuffle on the partition column"
+
+
+def test_srp_has_no_python_udf_and_bounded_shuffles(spark, sf_dir):
+    """SRP-LSH stays JVM-side end to end (projections are higher-order
+    exprs, not UDFs); shuffles are the candidate join + verify joins,
+    not a cross product."""
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES["q_srp_near_dup_pairs"].fn(spark, sf_dir)
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
