@@ -70,6 +70,66 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "q_ann_ivf_label_cells",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, i.i AS dim, avg(v[i.i]) AS av
+  FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY label, i.i
+),
+cents AS (
+  SELECT label, list(av ORDER BY dim) AS c FROM dims GROUP BY label
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_QUERY_IDS_SQL})
+),
+probe AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, cents.label,
+      row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_dot_product(qv, c)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c, c)))
+          DESC, cents.label
+      ) AS c_rank
+    FROM q CROSS JOIN cents
+  ) WHERE c_rank <= 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(list_dot_product(qv, v)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+      6) AS cosine
+  FROM q JOIN probe USING (query_id)
+  JOIN e ON e.label = probe.label AND e.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+    tags=("similarity", "ring-c", "ann", "approx"),
+    description="IVF ANN with DETERMINISTIC cells: the fixture's label "
+    "column is the offline quantizer (centroid = per-cell mean), probe "
+    "the 3 nearest of 10 cells, exact cosine within probed cells.  Same "
+    "scale shape as the seeded-KMeans twin q_ann_ivf_topk, but cell "
+    "assignment is content-derived, so THIS variant is fully oracle-"
+    "checked -- the probe ranking, partial scan, and per-query top-k all "
+    "verify value-for-value.",
+)
+def q_ann_ivf_label_cells(spark, sf_dir):
+    emb = cat(spark, sf_dir).embeddings
+    out = ivf_top_k(emb, _QUERY_IDS, k=10, nprobe=3, cell_col="label")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
     "q_embedding_near_dup",
     oracle=f"""
 WITH e AS (
