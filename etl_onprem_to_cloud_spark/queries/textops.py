@@ -262,13 +262,42 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs_prefix(cat(spark, sf_dir).documents, threshold=0.5)
 
 
+def _simhash_sql(bits: int = 16) -> str:
+    # Mirrors llm/dedup.simhash_table: 32-bit token hash from the first
+    # 8 hex chars of md5, +1/-1 votes per bit, sign of the sum.
+    th = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    votes = ", ".join(
+        f"sum(CASE WHEN ({th} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+ex AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS_LOW})) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id, {votes} FROM ex GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM votes
+)"""
+
+
 @query(
     "q_dedup_simhash",
-    oracle=None,  # hex->int bit arithmetic is not portable to the oracle
+    oracle=f"""
+WITH {_simhash_sql(16)}
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM sh GROUP BY simhash HAVING count(*) > 1
+""",
     tags=("dedup", "ring-c", "simhash"),
     description="16-bit SimHash collision buckets (bucket size, kept doc). "
     "Bucket summary rather than raw pairs: the fixture vocabulary is tiny, "
-    "so pair fan-out is quadratic while buckets stay bounded.",
+    "so pair fan-out is quadratic while buckets stay bounded.  The md5 "
+    "tabulation hash makes the full bit-vote pipeline SQL-reproducible, "
+    "so the oracle rebuilds every bucket value-for-value.",
 )
 def q_dedup_simhash(spark, sf_dir):
     h = D.simhash_table(cat(spark, sf_dir).documents)
