@@ -100,6 +100,7 @@ _CHANGED_R02 = (
     "q_udtf_token_chunks",           # new: Python UDTF lateral fan-out
     "q_ann_ivf_label_cells",         # new: IVF with oracle-checked cells
     "q_dedup_simhash",               # rows-only -> full value oracle
+    "q_hll_sketch_rollup",           # new: mergeable-sketch rollup
 )
 
 # Green rows already recorded by the round-1 driver (CORRECTNESS_r01).

@@ -839,3 +839,51 @@ def q_calendar_arithmetic(spark, sf_dir):
             "quarter_start"
         ),
     )
+
+
+@query(
+    "q_hll_sketch_rollup",
+    oracle="""
+SELECT o_orderpriority,
+  count(DISTINCT o_custkey) AS exact_customers,
+  count(*) AS n_orders,
+  TRUE AS merged_estimate_ok
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "approx", "sketch", "rollup"),
+    description="Mergeable-sketch rollup -- THE incremental pattern at "
+    "100 TB: per-(priority, month) HLL sketches of distinct customers "
+    "are built once, then re-aggregated to priority level with "
+    "hll_union_agg, never recounting the base data (a month's sketch is "
+    "what an incremental pipeline would persist).  Oracle contract: "
+    "exact distinct count plus a flag asserting the merged estimate "
+    "lands within 5% of it -- a broken merge path flips the flag.",
+)
+def q_hll_sketch_rollup(spark, sf_dir):
+    c = cat(spark, sf_dir).orders
+    monthly = c.groupBy(
+        "o_orderpriority", F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rolled = monthly.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("n").alias("n_orders"),
+    )
+    exact = c.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return (
+        rolled.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (
+                F.abs(F.col("est").cast("double") - F.col("exact_customers").cast("double"))
+                <= 0.05 * F.col("exact_customers").cast("double")
+            ).alias("merged_estimate_ok"),
+        )
+    )

@@ -1,4 +1,5 @@
 from .windows import (
+    HAS_TWS,
     session_window_agg,
     stream_dedup,
     stream_static_enrich,
@@ -6,9 +7,11 @@ from .windows import (
     stream_events,
     tumbling_window_agg,
     user_running_totals_stateful,
+    user_running_totals_tws,
 )
 
 __all__ = [
+    "HAS_TWS",
     "session_window_agg",
     "stream_dedup",
     "stream_static_enrich",
@@ -16,4 +19,5 @@ __all__ = [
     "stream_events",
     "tumbling_window_agg",
     "user_running_totals_stateful",
+    "user_running_totals_tws",
 ]

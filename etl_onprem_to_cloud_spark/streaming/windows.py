@@ -170,6 +170,87 @@ def user_running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+# --- transformWithState twin: the arbitrary-state API that supersedes
+# applyInPandasWithState (typed state handles, timers, state TTL).  Kept
+# alongside the classic op so both stateful surfaces stay covered; needs
+# the RocksDB state store provider (see user_running_totals_tws).
+
+_TWS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user lifetime (count, sum) in a typed ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, float(total)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [float(total)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # The transformWithState wire protocol needs protobuf; without it
+    # the driver worker crashes at init, so runnability is gated
+    # separately from the API being importable.
+    try:
+        from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+        HAS_TWS = True
+    except ImportError:  # pragma: no cover - container lacks protobuf
+        HAS_TWS = False
+except ImportError:  # pragma: no cover - pyspark < 4
+    RunningTotalsProcessor = None
+    HAS_TWS = False
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """user_running_totals_stateful re-expressed on transformWithState
+    (same semantics, new API).  The session must run the RocksDB state
+    store provider:
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    """
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithState needs pyspark >= 4.0 AND the protobuf "
+            "package (its state-server wire protocol); this environment "
+            "lacks one of them -- use user_running_totals_stateful, the "
+            "applyInPandasWithState twin with identical semantics"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=_TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     key_cols: list[str],

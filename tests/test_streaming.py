@@ -191,3 +191,44 @@ def test_stream_static_enrich_matches_batch(spark, events_batch, events_stream_d
     assert got.count() == events_batch.count()
     bad = got.filter(F.col("tier") != (F.col("user_id") % 3).cast("int")).count()
     assert bad == 0, "every row carries its dimension attribute"
+
+
+def test_tws_running_totals_matches_batch(spark, events_batch, events_stream_dir):
+    """transformWithState twin of the applyInPandasWithState op: same
+    per-user lifetime totals, new typed-state API (RocksDB provider)."""
+    from etl_onprem_to_cloud_spark.streaming import HAS_TWS, user_running_totals_tws
+
+    if not HAS_TWS:
+        # API present but protobuf (the state-server wire protocol) or
+        # pyspark>=4 missing; the applyInPandasWithState twin covers the
+        # same semantics in test_stateful_running_totals.
+        pytest.skip("transformWithState not runnable here (needs protobuf)")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = events_batch.schema
+        stream = stream_events(spark, events_stream_dir, schema)
+        out = user_running_totals_tws(stream)
+        _run_stream(out, "update", "tws_totals_t")
+
+        updates = spark.table("tws_totals_t").collect()
+        final: dict[int, tuple] = {}
+        for r in updates:
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] >= cur[0]:
+                final[r["user_id"]] = (r["n_events"], round(r["total_value"], 4))
+        want = {
+            r["user_id"]: (r["n"], round(r["total"], 4))
+            for r in events_batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert final == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
