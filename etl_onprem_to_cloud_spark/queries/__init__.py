@@ -103,6 +103,15 @@ _CHANGED_R02 = (
     "q_hll_sketch_rollup",           # new: mergeable-sketch rollup
 )
 
+# Bench-headline queries with no driver correctness row yet: a benched
+# number should come with value evidence, so these run right after the
+# changed set.
+_BENCHED_UNCHECKED = (
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_type_profit",
+)
+
 # Green rows already recorded by the round-1 driver (CORRECTNESS_r01).
 _R01_CHECKED = frozenset({
     "q01_pricing_summary", "q03_shipping_priority",
@@ -134,12 +143,14 @@ _R01_CHECKED = frozenset({
 def _tier(name: str) -> int:
     if name in _CHANGED_R02:
         return 0
-    if name not in _R01_CHECKED:
+    if name in _BENCHED_UNCHECKED:
         return 1
-    return 2
+    if name not in _R01_CHECKED:
+        return 2
+    return 3
 
 
-_prio = {n: i for i, n in enumerate(_CHANGED_R02)}
+_prio = {n: i for i, n in enumerate(_CHANGED_R02 + _BENCHED_UNCHECKED)}
 QUERIES = dict(
     sorted(
         QUERIES.items(),
