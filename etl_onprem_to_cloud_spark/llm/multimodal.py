@@ -145,6 +145,40 @@ def sample_frames(
     ).withColumn("byte_offset", (F.col("frame_no") * every_n_bytes).cast("bigint"))
 
 
+def audio_chunks(
+    media: DataFrame,
+    sample_rate: int = 16000,
+    bytes_per_sample: int = 2,
+    chunk_ms: int = 1000,
+) -> DataFrame:
+    """Audio-style chunking over a binary payload: one row per fixed-
+    duration chunk, with sample offsets derived from byte length under
+    a declared (rate, width) contract -- the audio leg of the
+    multimodal story (image=decode/resize, video=frame-sample,
+    audio=chunk).  All JVM-side sequence+explode; the actual PCM decode
+    belongs behind the same pluggable codec boundary as images.
+
+    Output: (doc_id, chunk_no, start_ms, n_samples) where the last
+    chunk may be short; empty payloads yield no chunks."""
+    samples_per_chunk = sample_rate * chunk_ms // 1000
+    n_samples = F.floor(F.col("byte_len") / bytes_per_sample).cast("bigint")
+    n_chunks = F.ceil(n_samples / F.lit(samples_per_chunk)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        media.filter(F.col("byte_len") >= bytes_per_sample)
+        .select("doc_id", n_samples.alias("__n"), F.explode(idx).alias("chunk_no"))
+        .select(
+            "doc_id",
+            "chunk_no",
+            (F.col("chunk_no").cast("bigint") * chunk_ms).alias("start_ms"),
+            F.least(
+                F.lit(samples_per_chunk).cast("bigint"),
+                F.col("__n") - F.col("chunk_no").cast("bigint") * samples_per_chunk,
+            ).alias("n_samples"),
+        )
+    )
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

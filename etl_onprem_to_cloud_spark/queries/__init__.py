@@ -101,6 +101,7 @@ _CHANGED_R02 = (
     "q_ann_ivf_label_cells",         # new: IVF with oracle-checked cells
     "q_dedup_simhash",               # rows-only -> full value oracle
     "q_hll_sketch_rollup",           # new: mergeable-sketch rollup
+    "q_multimodal_audio_chunks",     # new: audio chunking fan-out
 )
 
 # Bench-headline queries with no driver correctness row yet: a benched

@@ -875,3 +875,37 @@ FROM c
             FROM documents d, LATERAL token_chunks(d.text) t
             """
         )
+
+
+@query(
+    "q_multimodal_audio_chunks",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+    CAST(floor(octet_length(encode(text)) / 2) AS BIGINT) AS n_samples
+  FROM documents
+  WHERE octet_length(encode(text)) >= 2
+),
+c AS (
+  SELECT doc_id, n_samples,
+    unnest(generate_series(
+      0, CAST(ceil(n_samples / 16000.0) AS BIGINT) - 1)) AS chunk_no
+  FROM m
+)
+SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+  CAST(chunk_no * 1000 AS BIGINT) AS start_ms,
+  least(CAST(16000 AS BIGINT), n_samples - chunk_no * 16000) AS n_samples
+FROM c
+""",
+    tags=("multimodal", "ring-c", "audio"),
+    description="Audio-style chunking: one row per 1000 ms chunk under a "
+    "declared 16 kHz / 16-bit contract, sample offsets derived from byte "
+    "length (llm/multimodal.audio_chunks).  JVM-side sequence+explode; "
+    "the PCM decode itself sits behind the same pluggable codec boundary "
+    "as images.",
+)
+def q_multimodal_audio_chunks(spark, sf_dir):
+    from ..llm.multimodal import audio_chunks
+
+    media = attach_binary_payload(cat(spark, sf_dir).documents)
+    return audio_chunks(media, sample_rate=16000, bytes_per_sample=2, chunk_ms=1000)
