@@ -102,6 +102,9 @@ _CHANGED_R02 = (
     "q_dedup_simhash",               # rows-only -> full value oracle
     "q_hll_sketch_rollup",           # new: mergeable-sketch rollup
     "q_multimodal_audio_chunks",     # new: audio chunking fan-out
+    "q_events_funnel",               # new: ordered conversion funnel
+    "q_events_retention_cohorts",    # new: weekly retention matrix
+    "q_dedup_keep_best_quality",     # new: dedup + quality composed
 )
 
 # Bench-headline queries with no driver correctness row yet: a benched

@@ -256,3 +256,113 @@ def q_events_json_struct(spark, sf_dir):
         F.to_json(F.struct(parsed["k"].alias("k"))).alias("reencoded"),
         F.json_tuple("props", "k").alias("k_str"),
     )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+""",
+    tags=("events", "funnel", "agg"),
+    description="Ordered conversion funnel (view -> click -> purchase): a "
+    "user advances a stage only with an event STRICTLY AFTER their "
+    "previous stage's first event.  Three keyed min-aggregations chained "
+    "by user_id -- each stage's table shrinks, so the joins get cheaper "
+    "down the funnel; output unpivoted to (stage, n_users) via stack().",
+)
+def q_events_funnel(spark, sf_dir):
+    ev = cat(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    f = (
+        v.join(c.select("user_id", "click_ts"), "user_id", "left")
+        .join(p.select("user_id", "purchase_ts"), "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.sum(F.col("click_ts").isNotNull().cast("long")).alias("n_click"),
+            F.sum(F.col("purchase_ts").isNotNull().cast("long")).alias("n_purchase"),
+        )
+    )
+    return f.selectExpr(
+        "stack(3, '1_view', n_view, '2_click', n_click, "
+        "'3_purchase', n_purchase) AS (stage, n_users)"
+    )
+
+
+@query(
+    "q_events_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT strftime(CAST(f.cohort_week AS DATE), '%Y-%m-%d') AS cohort_week,
+  CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER) AS week_offset,
+  count(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("events", "retention", "cohort", "agg"),
+    description="Weekly retention cohorts: users bucketed by first-event "
+    "ISO week, activity counted per (cohort, week offset) -- the classic "
+    "retention matrix.  One keyed first-event agg broadcast back onto the "
+    "event stream, then a two-key distinct-count; offsets are exact "
+    "(both engines truncate weeks to Monday).",
+)
+def q_events_retention_cohorts(spark, sf_dir):
+    ev = cat(spark, sf_dir).events.select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.date_format(F.col("cohort_week"), "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )

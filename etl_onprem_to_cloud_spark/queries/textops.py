@@ -909,3 +909,63 @@ def q_multimodal_audio_chunks(spark, sf_dir):
 
     media = attach_binary_payload(cat(spark, sf_dir).documents)
     return audio_chunks(media, sample_rate=16000, bytes_per_sample=2, chunk_ms=1000)
+
+
+@query(
+    "q_dedup_keep_best_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+    md5({_DUCK_NORM}) AS fingerprint,
+    {_DUCK_TOKS_RAW} AS toks,
+    {_DUCK_TOKS_LOW} AS toks_low
+  FROM documents
+),
+m AS (
+  SELECT doc_id, fingerprint,
+    round((
+      least(length(text) / 500.0, 1.0)
+      + least((CASE WHEN len(toks) > 0
+          THEN len(list_filter(toks_low, t -> t IN {_STOP_IN})) / len(toks)
+          ELSE 0.0 END) * 5.0, 1.0)
+      + greatest(1.0 - (CASE WHEN length(text) > 0
+          THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text)
+          ELSE 0.0 END) * 4.0, 0.0)
+    ) / 3.0, 6) AS quality_score
+  FROM t
+)
+SELECT fingerprint, doc_id AS keep_doc_id, quality_score,
+  count(*) OVER (PARTITION BY fingerprint) AS n_docs
+FROM m
+QUALIFY row_number() OVER (
+  PARTITION BY fingerprint ORDER BY quality_score DESC, doc_id) = 1
+""",
+    tags=("dedup", "ring-c", "quality"),
+    description="Dedup + quality composed: one survivor per content "
+    "fingerprint, chosen by highest quality score (doc_id tiebreak) "
+    "instead of blind min-id -- the keep-best policy a curation pipeline "
+    "actually wants.  One window over the fingerprint shuffle; the score "
+    "is the same codegen'd expression as q_text_stats.",
+)
+def q_dedup_keep_best_quality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = cat(spark, sf_dir).documents
+    scored = docs.select(
+        "doc_id",
+        T.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        T.quality_score(F.col("text")).alias("quality_score"),
+    )
+    w = Window.partitionBy("fingerprint")
+    rank_w = w.orderBy(F.col("quality_score").desc(), "doc_id")
+    return (
+        scored.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keep_doc_id"),
+            "quality_score",
+            "n_docs",
+        )
+    )
