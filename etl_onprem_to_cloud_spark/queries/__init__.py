@@ -105,6 +105,7 @@ _CHANGED_R02 = (
     "q_events_funnel",               # new: ordered conversion funnel
     "q_events_retention_cohorts",    # new: weekly retention matrix
     "q_dedup_keep_best_quality",     # new: dedup + quality composed
+    "q_incremental_rollup_merge",    # new: mergeable-partials rollup
 )
 
 # Bench-headline queries with no driver correctness row yet: a benched

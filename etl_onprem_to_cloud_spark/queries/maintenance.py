@@ -74,3 +74,56 @@ FROM orders"""
 )
 def q_profile_orders_columns(spark, sf_dir):
     return profile_columns(cat(spark, sf_dir).orders, _ORDER_COLS)
+
+
+@query(
+    "q_incremental_rollup_merge",
+    oracle="""
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+  CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    / count(value), 6) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("maintenance", "rollup", "incremental", "agg"),
+    description="Incremental rollup via mergeable partials: the 'base' "
+    "half of events (even ids, standing in for a persisted daily rollup) "
+    "and the 'delta' half are each reduced to (count, sum) partials, then "
+    "MERGED by re-aggregation -- never recomputing the base.  avg is "
+    "derived from merged partials, the reason avg itself is not the "
+    "persisted state.  Oracle: the same rollup computed flat over all "
+    "events, proving partial-merge == full recompute.",
+)
+def q_incremental_rollup_merge(spark, sf_dir):
+    from ..functions.numeric import dec
+
+    ev = cat(spark, sf_dir).events
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("sum_dec"),
+            F.count("value").alias("n_values"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 2 == 0))
+    delta = partial(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.sum("n_values").alias("n_values"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("sum_dec"), 2).cast("double").alias("sum_value"),
+        F.round(F.col("sum_dec").cast("double") / F.col("n_values"), 6)
+        .cast("double")
+        .alias("avg_value"),
+    )
