@@ -127,3 +127,50 @@ def q_incremental_rollup_merge(spark, sf_dir):
         .cast("double")
         .alias("avg_value"),
     )
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle="""
+SELECT event_type,
+  count(value) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("skew", "agg", "scale"),
+    description="Two-stage skew-safe aggregation (operators/skew.salted_agg): "
+    "events carry only a handful of event_type keys -- exactly the hot-key "
+    "shape -- so stage 1 aggregates by (key, salt) spreading each hot key "
+    "over 8 reducers and stage 2 merges the partials.  Exact-DECIMAL sums "
+    "make the two-stage result bit-equal to the flat group-by the oracle "
+    "runs, proving the mitigation changes the plan, not the answer.",
+)
+def q_skew_salted_agg(spark, sf_dir):
+    from ..functions.numeric import dec
+    from ..operators.skew import salted_agg
+
+    ev = (
+        cat(spark, sf_dir).events
+        .select("event_type", "value", dec("value").alias("value_dec"))
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("value", "count"),
+            "sum_dec": ("value_dec", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("sum_dec"), 2).cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
