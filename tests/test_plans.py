@@ -120,3 +120,22 @@ def test_srp_has_no_python_udf_and_bounded_shuffles(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("q_events_funnel", 5),
+    ("q_events_retention_cohorts", 3),
+    ("q_dedup_keep_best_quality", 1),
+    ("q_incremental_rollup_merge", 3),
+    ("q_skew_salted_agg", 2),
+    ("q_multimodal_audio_chunks", 0),
+])
+def test_new_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
