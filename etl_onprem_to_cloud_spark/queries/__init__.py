@@ -107,6 +107,7 @@ _CHANGED_R02 = (
     "q_dedup_keep_best_quality",     # new: dedup + quality composed
     "q_incremental_rollup_merge",    # new: mergeable-partials rollup
     "q_skew_salted_agg",             # new: skew mitigation, driver-checked
+    "q_fuzzy_levenshtein_pairs",     # new: edit-distance fuzzy join
 )
 
 # Bench-headline queries with no driver correctness row yet: a benched

@@ -98,3 +98,21 @@ def test_csv_permissive_survives_corrupt_rows(spark, tmp_path):
     ids = sorted(r.id for r in rows if r.id is not None)
     assert 1 in ids and 2 in ids
     assert all(len(r) == 3 for r in rows)
+
+
+def test_orc_roundtrip_with_partitioning(spark, tmp_path):
+    from etl_onprem_to_cloud_spark.sources.io import read_orc, write_orc
+
+    src = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+        "id: bigint, v: string, part: string",
+    )
+    path = str(tmp_path / "orc_t")
+    write_orc(src, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert {tuple(r) for r in back.select("id", "v", "part").collect()} == {
+        (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
+    }
+    # partition pruning reaches the scan
+    plan = back.filter(F.col("part") == "x")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
