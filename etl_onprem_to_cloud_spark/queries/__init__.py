@@ -108,6 +108,8 @@ _CHANGED_R02 = (
     "q_incremental_rollup_merge",    # new: mergeable-partials rollup
     "q_skew_salted_agg",             # new: skew mitigation, driver-checked
     "q_fuzzy_levenshtein_pairs",     # new: edit-distance fuzzy join
+    "q_rfm_segments",                # new: RFM quartile segmentation
+    "q_events_conversion_latency",   # new: funnel latency percentiles
 )
 
 # Bench-headline queries with no driver correctness row yet: a benched

@@ -366,3 +366,66 @@ def q_events_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active_users"))
     )
+
+
+@query(
+    "q_events_conversion_latency",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.view_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+l AS (
+  SELECT p.user_id,
+    date_diff('second', v.view_ts, p.purchase_ts) AS latency_sec
+  FROM p JOIN v USING (user_id)
+)
+SELECT count(*) AS n_converted,
+  CAST(quantile_disc(latency_sec, 0.5) AS BIGINT) AS p50_sec,
+  CAST(quantile_disc(latency_sec, 0.9) AS BIGINT) AS p90_sec,
+  CAST(max(latency_sec) AS BIGINT) AS max_sec
+FROM l
+""",
+    tags=("events", "funnel", "latency", "percentile"),
+    description="Time-to-convert distribution: per user, seconds from "
+    "first view to first subsequent purchase, reduced to discrete "
+    "p50/p90/max.  Discrete percentiles are actual data values, so both "
+    "engines agree exactly (no interpolation drift); the latency join "
+    "reuses the funnel's first-event aggregations.",
+)
+def q_events_conversion_latency(spark, sf_dir):
+    ev = cat(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lat = p.join(v, "user_id").select(
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).alias("latency_sec")
+    )
+
+    def disc(q):
+        return F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY latency_sec)"
+        )
+
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        disc(0.5).cast("bigint").alias("p50_sec"),
+        disc(0.9).cast("bigint").alias("p90_sec"),
+        F.max("latency_sec").cast("bigint").alias("max_sec"),
+    )

@@ -887,3 +887,72 @@ def q_hll_sketch_rollup(spark, sf_dir):
             ).alias("merged_estimate_ok"),
         )
     )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+WITH m AS (
+  SELECT o_custkey,
+    max(o_orderdate) AS last_order,
+    count(*) AS frequency,
+    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT o_custkey,
+    ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM m
+)
+SELECT o_custkey, CAST(r_score AS INTEGER) AS r_score,
+  CAST(f_score AS INTEGER) AS f_score,
+  CAST(m_score AS INTEGER) AS m_score,
+  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+    || CAST(m_score AS VARCHAR) AS segment
+FROM s
+""",
+    tags=("window", "segmentation", "rfm"),
+    description="RFM customer segmentation: per-customer recency/"
+    "frequency/monetary reduced once, then three ntile(4) quartile "
+    "scores -- the classic marketing segmentation.  Every ntile ORDER BY "
+    "carries the customer key as tiebreaker, so bucket boundaries are "
+    "total-ordered and engine-independent; monetary in exact DECIMAL.  "
+    "Scale note: a global ntile is a single-partition window -- exact "
+    "and fine for the per-customer aggregate (|customers| rows, not "
+    "|orders|), but at billions of customers the production path swaps "
+    "each ntile for approx_percentile quartile BOUNDARIES broadcast "
+    "into a when-chain, trading boundary exactness for full "
+    "parallelism.",
+)
+def q_rfm_segments(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = cat(spark, sf_dir)
+    m = c.orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    m_w = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    s = m.select(
+        "o_custkey",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return s.select(
+        "o_custkey",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
