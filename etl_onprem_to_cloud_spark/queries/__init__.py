@@ -58,6 +58,7 @@ def oracle_queries() -> dict[str, str]:
 # Import for registration side effects (import order = base registry
 # order; the evidence-priority reorder below is what the driver sees).
 from . import netflix  # noqa: E402,F401
+from . import pii  # noqa: E402,F401
 from . import datamix  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401

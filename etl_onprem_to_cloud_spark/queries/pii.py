@@ -1,0 +1,138 @@
+"""PII scan / redaction queries (Ring C, training-data hygiene).
+
+The fixture tables are synthetic and carry no real PII, so each query
+first CONSTRUCTS a deterministic contact blob from customer fields --
+identically on the Spark and DuckDB sides -- and then exercises the
+real operators under test (functions/pii.py regex scan + redaction) on
+that blob.  The scan itself is a narrow scan-project stage: no shuffle,
+full codegen, safe to run over 100 TB of raw text as written.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import pii as P
+from ._util import cat
+from . import query
+
+_DUCK_BLOB = (
+    "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@' || "
+    "lower(c_mktsegment) || '.example.com> tel:+1-' || "
+    "CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' || "
+    "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || "
+    "' ip=10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || "
+    "CAST(c_nationkey AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR)"
+)
+
+
+def _spark_blob():
+    key = F.col("c_custkey")
+    return F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        key.cast("string"),
+        F.lit("@"),
+        F.lower(F.col("c_mktsegment")),
+        F.lit(".example.com> tel:+1-"),
+        (key % 900 + 100).cast("string"),
+        F.lit("-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" ip=10."),
+        (key % 256).cast("string"),
+        F.lit("."),
+        F.col("c_nationkey").cast("string"),
+        F.lit("."),
+        (key % 100).cast("string"),
+    )
+
+
+@query(
+    "q_pii_scan_contacts",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey, {_DUCK_BLOB} AS contact
+  FROM customer
+)
+SELECT c_custkey,
+  CAST(len({P.duck_find_emails('contact')}) AS INTEGER) AS n_emails,
+  {P.duck_email_domain('contact')} AS email_domain,
+  {P.duck_has_phone('contact')} AS phone_found,
+  {P.duck_has_ipv4('contact')} AS ip_found,
+  {P.duck_redact_pii('contact')} AS redacted
+FROM c
+""",
+    tags=("pii", "text", "ring-c"),
+    description=(
+        "Per-contact PII scan: email count/domain, phone + IPv4 detection, "
+        "typed-placeholder redaction (functions/pii.py)."
+    ),
+)
+def q_pii_scan_contacts(spark, sf_dir):
+    cust = cat(spark, sf_dir).customer
+    contact = _spark_blob()
+    return cust.select(
+        "c_custkey",
+        F.size(P.find_emails(contact)).alias("n_emails"),
+        P.email_domain(contact).alias("email_domain"),
+        P.has_phone(contact).alias("phone_found"),
+        P.has_ipv4(contact).alias("ip_found"),
+        P.redact_pii(contact).alias("redacted"),
+    )
+
+
+@query(
+    "q_pii_redaction_summary",
+    oracle=f"""
+WITH c AS (
+  SELECT c_mktsegment, {_DUCK_BLOB} AS contact
+  FROM customer
+),
+s AS (
+  SELECT c_mktsegment,
+    {P.duck_email_domain('contact')} AS dom,
+    {P.duck_has_phone('contact')} AS p,
+    {P.duck_has_ipv4('contact')} AS ip,
+    {P.duck_redact_pii('contact')} AS red
+  FROM c
+)
+SELECT c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_contacts,
+  CAST(count(DISTINCT dom) AS BIGINT) AS n_domains,
+  CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_phones,
+  CAST(sum(CASE WHEN ip THEN 1 ELSE 0 END) AS BIGINT) AS n_ips,
+  CAST(sum(CASE WHEN red NOT LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clean_after_redact
+FROM s
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("pii", "agg", "ring-c"),
+    description=(
+        "Per-segment redaction audit: contacts, distinct email domains, "
+        "phone/IP hits, and rows fully cleaned by redaction."
+    ),
+)
+def q_pii_redaction_summary(spark, sf_dir):
+    cust = cat(spark, sf_dir).customer
+    contact = _spark_blob()
+    scanned = cust.select(
+        "c_mktsegment",
+        P.email_domain(contact).alias("dom"),
+        P.has_phone(contact).cast("int").alias("p"),
+        P.has_ipv4(contact).cast("int").alias("ip"),
+        P.redact_pii(contact).alias("red"),
+    )
+    return (
+        scanned.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_contacts"),
+            F.count_distinct("dom").alias("n_domains"),
+            F.sum("p").alias("n_phones"),
+            F.sum("ip").alias("n_ips"),
+            F.sum((~F.col("red").contains("@")).cast("bigint")).alias(
+                "n_clean_after_redact"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
