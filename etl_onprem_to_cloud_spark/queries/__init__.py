@@ -59,6 +59,7 @@ def oracle_queries() -> dict[str, str]:
 # order; the evidence-priority reorder below is what the driver sees).
 from . import netflix  # noqa: E402,F401
 from . import pii  # noqa: E402,F401
+from . import hygiene  # noqa: E402,F401
 from . import datamix  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
