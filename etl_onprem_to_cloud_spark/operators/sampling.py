@@ -53,6 +53,17 @@ def stratified_sample(
     return df.filter(hash_gate(F.col(key_col).cast("string"), salt) < thresh)
 
 
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, salt: str = "wsample"
+) -> DataFrame:
+    """Per-row weighted hash-gate: keep iff gate < clamp(weight,0,1) *
+    modulus -- e.g. length-proportional document sampling.  Same
+    stability properties as deterministic_sample; one scan, no
+    shuffle, rerun- and repartition-stable."""
+    thresh = (F.least(weight, F.lit(1.0)) * _MOD).cast("bigint")
+    return df.filter(hash_gate(F.col(key_col).cast("string"), salt) < thresh)
+
+
 def duck_hash_gate(key_expr: str, salt: str = "sample") -> str:
     """DuckDB twin of hash_gate for oracle SQL."""
     return (

@@ -60,6 +60,7 @@ def oracle_queries() -> dict[str, str]:
 from . import netflix  # noqa: E402,F401
 from . import pii  # noqa: E402,F401
 from . import hygiene  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 from . import datamix  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
