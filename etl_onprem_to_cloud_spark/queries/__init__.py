@@ -57,6 +57,7 @@ def oracle_queries() -> dict[str, str]:
 
 # Import for registration side effects (import order = base registry
 # order; the evidence-priority reorder below is what the driver sees).
+from . import scale  # noqa: E402,F401
 from . import lifecycle  # noqa: E402,F401
 from . import netflix  # noqa: E402,F401
 from . import pii  # noqa: E402,F401
@@ -82,7 +83,14 @@ from . import relational  # noqa: E402,F401
 # green in CORRECTNESS_r01.json.  Sorting is stable, so import order
 # above breaks ties inside each tier.
 
-# New in round 3 (fresh evidence needed first).
+# New in round 4 (fresh evidence needed first).
+_CHANGED_R04 = (
+    "q_cms_heavy_hitters",
+    "q_bloom_semi_join_reduction",
+    "q_zorder_layout_stats",
+)
+
+# New in round 3.
 _CHANGED_R03 = (
     "q_scd2_order_status_history",
     "q_table_diff_orders",
@@ -161,18 +169,25 @@ _R01_CHECKED = frozenset({
 
 
 def _tier(name: str) -> int:
-    if name in _CHANGED_R03:
+    if name in _CHANGED_R04:
         return 0
-    if name in _CHANGED_R02:
+    if name in _CHANGED_R03:
         return 1
-    if name in _BENCHED_UNCHECKED:
+    if name in _CHANGED_R02:
         return 2
-    if name not in _R01_CHECKED:
+    if name in _BENCHED_UNCHECKED:
         return 3
-    return 4
+    if name not in _R01_CHECKED:
+        return 4
+    return 5
 
 
-_prio = {n: i for i, n in enumerate(_CHANGED_R03 + _CHANGED_R02 + _BENCHED_UNCHECKED)}
+_prio = {
+    n: i
+    for i, n in enumerate(
+        _CHANGED_R04 + _CHANGED_R03 + _CHANGED_R02 + _BENCHED_UNCHECKED
+    )
+}
 QUERIES = dict(
     sorted(
         QUERIES.items(),

@@ -1,0 +1,180 @@
+"""Scale-pattern queries: sketches, runtime filters, and data layout.
+
+Three patterns that decide whether a plan survives 100 TB, each made
+concrete and oracle-checked:
+
+- count-min sketch heavy hitters (mergeable frequency sketch; the
+  estimates themselves are md5-deterministic, so DuckDB recomputes the
+  identical sketch -- a full value oracle, not a bounded check),
+- Bloom-filter semi-join reduction (result provably equals the plain
+  join; the oracle runs the plain join),
+- Z-order layout locality (Morton interleave recomputed bit-for-bit by
+  the oracle from a shared expression generator).
+
+The reference delegates every aggregation to Athena (README.md:184-199)
+and writes a single unpartitioned file (etl/transform.py:205); these
+are Ring C / 100 TB extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions.numeric import dsum_round
+from ..operators import layout as LY
+from ..operators import sketches as SK
+from ._util import cat, duck_dsum
+from . import query
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+# DuckDB twin of operators/sketches._cell_idx for depth column/value {d}.
+_DUCK_H60 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _duck_cell(d_expr: str, key_expr: str) -> str:
+    h = _DUCK_H60.format(
+        expr=f"CAST({d_expr} AS VARCHAR) || '|' || CAST({key_expr} AS VARCHAR)"
+    )
+    return f"({h} % {_CMS_WIDTH})"
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+exact AS (
+  SELECT o_custkey, count(*) AS exact_orders FROM orders GROUP BY o_custkey
+),
+stats AS (SELECT avg(exact_orders) AS mean_freq FROM exact),
+cells AS (
+  SELECT dp.d AS d, {_duck_cell('dp.d', 'o_custkey')} AS idx, count(*) AS cnt
+  FROM orders CROSS JOIN depths dp
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT e.o_custkey, min(coalesce(c.cnt, 0)) AS cms_estimate
+  FROM exact e CROSS JOIN depths dp
+  LEFT JOIN cells c
+    ON c.d = dp.d AND c.idx = {_duck_cell('dp.d', 'e.o_custkey')}
+  GROUP BY e.o_custkey
+)
+SELECT e.o_custkey, e.exact_orders, est.cms_estimate,
+  est.cms_estimate >= e.exact_orders AS overestimate_ok
+FROM exact e JOIN est USING (o_custkey) CROSS JOIN stats
+WHERE e.exact_orders >= 1.5 * stats.mean_freq
+""",
+    tags=("agg", "approx", "sketch", "heavy-hitters", "scale"),
+    description=(
+        "Count-min sketch heavy hitters: one shuffle reduces orders to a "
+        "4x256 mergeable counter matrix; estimates (min over hash rows) "
+        "are md5-deterministic, so the oracle recomputes the identical "
+        "sketch and checks every estimate value, plus the one-sided "
+        "error invariant estimate >= truth (operators/sketches.py)."
+    ),
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    orders = cat(spark, sf_dir).orders
+    key = F.col("o_custkey").cast("string")
+    cells = SK.cms_build(orders, key, _CMS_DEPTH, _CMS_WIDTH)
+    exact = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_orders"))
+    est = SK.cms_estimate(exact, cells, key, _CMS_DEPTH, _CMS_WIDTH)
+    mean = exact.agg(F.avg("exact_orders").alias("mean_freq"))
+    return (
+        est.join(F.broadcast(mean))
+        .filter(F.col("exact_orders") >= 1.5 * F.col("mean_freq"))
+        .select(
+            "o_custkey",
+            "exact_orders",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_orders")).alias("overestimate_ok"),
+        )
+    )
+
+
+@query(
+    "q_bloom_semi_join_reduction",
+    oracle=f"""
+SELECT o.o_orderpriority,
+  count(*) AS n_items,
+  {duck_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 450000
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "sketch", "runtime-filter", "scale"),
+    description=(
+        "Bloom-filter semi-join reduction: an 8192-bit md5 bitset of the "
+        "high-value orders' keys is broadcast and applied to lineitem "
+        "BEFORE the join shuffle; false positives die in the join, so "
+        "the result -- and the oracle -- is exactly the plain join "
+        "(operators/sketches.py bloom_semi_join)."
+    ),
+)
+def q_bloom_semi_join_reduction(spark, sf_dir):
+    c = cat(spark, sf_dir)
+    hot = c.orders.filter(F.col("o_totalprice") > 450000)
+    joined = SK.bloom_semi_join(c.lineitem, hot, "l_orderkey", "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum_round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )
+
+
+_Z_BITS = 8
+_Z_BUCKETS = 64
+
+
+@query(
+    "q_zorder_layout_stats",
+    oracle=f"""
+WITH z AS (
+  SELECT l_orderkey, l_linenumber,
+    l_partkey % 256 AS x, l_suppkey % 256 AS y,
+    {LY.morton_sql('(l_partkey % 256)', '(l_suppkey % 256)', _Z_BITS)} AS zval
+  FROM lineitem
+),
+b AS (
+  SELECT x, y,
+    ntile({_Z_BUCKETS}) OVER (ORDER BY zval, l_orderkey, l_linenumber) AS bucket
+  FROM z
+)
+SELECT bucket, count(*) AS n,
+  min(x) AS min_x, max(x) AS max_x,
+  min(y) AS min_y, max(y) AS max_y
+FROM b GROUP BY bucket
+""",
+    tags=("layout", "zorder", "scale"),
+    description=(
+        "Z-order layout locality: Morton-interleave (l_partkey, "
+        "l_suppkey) low bits, carve the Z-ordered rows into 64 "
+        "file-sized buckets, report each bucket's (x, y) bounding box -- "
+        "tight boxes are what make parquet footer stats prune on EITHER "
+        "column.  The oracle rebuilds the interleave from the same "
+        "generator (operators/layout.py morton_sql); the production "
+        "writer is zorder_write (range exchange, no global sort)."
+    ),
+)
+def q_zorder_layout_stats(spark, sf_dir):
+    li = cat(spark, sf_dir).lineitem
+    x = (F.col("l_partkey") % 256).cast("int")
+    y = (F.col("l_suppkey") % 256).cast("int")
+    z = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        x.alias("x"),
+        y.alias("y"),
+        LY.morton_code(x, y, _Z_BITS).alias("zval"),
+    )
+    w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
+    b = z.select("x", "y", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
