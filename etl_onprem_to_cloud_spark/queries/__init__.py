@@ -88,6 +88,10 @@ _CHANGED_R04 = (
     "q_cms_heavy_hitters",
     "q_bloom_semi_join_reduction",
     "q_zorder_layout_stats",
+    "q_token_entropy_docs",
+    "q_psi_price_drift",
+    "q_winsorized_price_stats",
+    "q_resample_match_uniform_length",
 )
 
 # New in round 3.

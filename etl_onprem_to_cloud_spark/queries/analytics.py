@@ -16,7 +16,7 @@ from pyspark.sql import Window, functions as F
 
 from ..functions import text as T
 from ..operators.sampling import _MOD, duck_hash_gate, weighted_sample
-from ._util import cat, duck_tokens, duck_word_ngrams, fmt_ts
+from ._util import cat, duck_tokens, duck_word_ngrams, fmt_ts, ts_lit
 from . import query
 
 _TOKS = duck_tokens("text")
@@ -247,4 +247,185 @@ def q_top_bigrams(spark, sf_dir):
         counted.withColumn("rank", F.row_number().over(w).cast("int"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
+    )
+
+
+@query(
+    "q_token_entropy_docs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok
+),
+g AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+    sum(CAST(round(c * ln(c), 6) AS DECIMAL(18,6))) AS s
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(g.n, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(g.n_distinct, 0) AS BIGINT) AS n_distinct,
+  CASE WHEN coalesce(g.n, 0) > 0
+    THEN round(ln(g.n) - CAST(g.s AS DOUBLE) / g.n, 6) ELSE 0.0 END AS entropy
+FROM documents d LEFT JOIN g USING (doc_id)
+""",
+    tags=("text", "quality", "entropy", "ring-c"),
+    description=(
+        "Shannon token entropy per document (a perplexity-style quality "
+        "signal: near-zero = degenerate repetition).  Identity "
+        "H = ln(n) - sum(c*ln(c))/n needs only per-term counts; the "
+        "per-term c*ln(c) terms are rounded then DECIMAL-summed so both "
+        "engines accumulate exactly (see module docstring)."
+    ),
+)
+def q_token_entropy_docs(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    tf = (
+        docs.select(
+            "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")), 6).cast("decimal(18,6)")
+        ).alias("s"),
+    )
+    return docs.select("doc_id").join(g, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias("n_distinct"),
+        F.when(
+            F.coalesce(F.col("n"), F.lit(0)) > 0,
+            F.round(F.log("n") - F.col("s").cast("double") / F.col("n"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )
+
+
+_PSI_PIVOT = "1996-01-01 00:00:00"
+_PSI_BINS = 8  # least(floor(price/50000), 7) -> bins 0..7
+
+
+@query(
+    "q_psi_price_drift",
+    oracle=f"""
+WITH b AS (
+  SELECT least(CAST(floor(o_totalprice / 50000) AS INT), 7) AS price_bin,
+    sum(CASE WHEN o_orderdate < TIMESTAMP '{_PSI_PIVOT}' THEN 1 ELSE 0 END)
+      AS n_base,
+    sum(CASE WHEN o_orderdate >= TIMESTAMP '{_PSI_PIVOT}' THEN 1 ELSE 0 END)
+      AS n_cur
+  FROM orders GROUP BY 1
+),
+t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM b)
+SELECT price_bin,
+  CAST(n_base AS BIGINT) AS n_base,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  round((n_base + 1) / (tb + {_PSI_BINS}), 6) AS p_base,
+  round((n_cur + 1) / (tc + {_PSI_BINS}), 6) AS p_cur,
+  round(((n_base + 1) / (tb + {_PSI_BINS}) - (n_cur + 1) / (tc + {_PSI_BINS}))
+        * ln(((n_base + 1) / (tb + {_PSI_BINS}))
+             / ((n_cur + 1) / (tc + {_PSI_BINS}))), 6) AS psi_contrib
+FROM b CROSS JOIN t
+""",
+    tags=("drift", "monitoring", "analytics", "scale"),
+    description=(
+        "Population-stability-index drift monitor: order-value histogram "
+        "before/after a pivot date, add-one-smoothed shares, per-bin PSI "
+        "contribution (p-q)*ln(p/q).  One scan, one 8-row aggregate -- "
+        "the shape of a daily data-quality gate over a 100 TB feed."
+    ),
+)
+def q_psi_price_drift(spark, sf_dir):
+    orders = cat(spark, sf_dir).orders
+    pivot = ts_lit(orders, "o_orderdate", _PSI_PIVOT)
+    price_bin = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(7)
+    )
+    b = orders.groupBy(price_bin.alias("price_bin")).agg(
+        F.sum(F.when(F.col("o_orderdate") < pivot, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("o_orderdate") >= pivot, 1).otherwise(0)).alias("n_cur"),
+    )
+    t = b.agg(F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc"))
+    p = (F.col("n_base") + 1) / (F.col("tb") + _PSI_BINS)
+    q = (F.col("n_cur") + 1) / (F.col("tc") + _PSI_BINS)
+    return b.join(F.broadcast(t)).select(
+        "price_bin",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+@query(
+    "q_winsorized_price_stats",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority,
+    quantile_cont(o_totalprice, 0.01) AS lo,
+    quantile_cont(o_totalprice, 0.99) AS hi
+  FROM orders GROUP BY o_orderpriority
+),
+w AS (
+  SELECT o.o_orderpriority, c.lo, c.hi,
+    greatest(c.lo, least(c.hi, o.o_totalprice)) AS clipped,
+    CASE WHEN o.o_totalprice < c.lo THEN 1 ELSE 0 END AS is_lo,
+    CASE WHEN o.o_totalprice > c.hi THEN 1 ELSE 0 END AS is_hi
+  FROM orders o JOIN c USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+  count(*) AS n,
+  CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
+  CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
+  round(any_value(lo), 4) AS cutoff_lo,
+  round(any_value(hi), 4) AS cutoff_hi,
+  round(CAST(sum(CAST(round(clipped, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / count(*), 4) AS winsorized_mean
+FROM w GROUP BY o_orderpriority
+""",
+    tags=("agg", "robust-stats", "quantile", "analytics"),
+    description=(
+        "Winsorized (1%/99%-clipped) order-value statistics per priority: "
+        "exact interpolated percentile cutoffs (bit-identical between "
+        "Spark percentile and DuckDB quantile_cont -- probed, not "
+        "assumed), clip counts, DECIMAL-summed robust mean.  Scale note: "
+        "exact percentile materializes each group's values; the 100 TB "
+        "path swaps in approx_percentile(accuracy=10000) unchanged."
+    ),
+)
+def q_winsorized_price_stats(spark, sf_dir):
+    orders = cat(spark, sf_dir).orders
+    cuts = orders.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.01)).alias("lo"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("hi"),
+    )
+    w = orders.join(F.broadcast(cuts), "o_orderpriority")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("o_totalprice")))
+    return w.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_hi"),
+        F.round(F.any_value(F.col("lo")), 4).alias("cutoff_lo"),
+        F.round(F.any_value(F.col("hi")), 4).alias("cutoff_hi"),
+        F.round(
+            F.sum(F.round(clipped, 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("winsorized_mean"),
     )

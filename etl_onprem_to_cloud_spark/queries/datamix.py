@@ -126,3 +126,73 @@ def q_token_budget_per_source(spark, sf_dir):
         partition_col="source",
         order_col="doc_id",
     )
+
+
+_MATCH_SALT = "distmatch"
+
+
+@query(
+    "q_resample_match_uniform_length",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, least(CAST(floor(n_chars / 100) AS INT), 5) AS bucket
+  FROM documents
+),
+c AS (SELECT bucket, count(*) AS n_before FROM d GROUP BY bucket),
+t AS (SELECT sum(n_before) AS total, count(*) AS nb FROM c),
+r AS (
+  SELECT c.bucket, c.n_before,
+    least(1.0, (t.total / t.nb) / c.n_before) AS rate
+  FROM c CROSS JOIN t
+),
+a AS (
+  SELECT d.doc_id, d.bucket
+  FROM d JOIN r USING (bucket)
+  WHERE {duck_hash_gate('CAST(doc_id AS VARCHAR)', _MATCH_SALT)}
+        < CAST(floor(least(r.rate, 1.0) * 2147483647) AS BIGINT)
+),
+n AS (SELECT bucket, count(*) AS n_after FROM a GROUP BY bucket)
+SELECT r.bucket,
+  CAST(r.n_before AS BIGINT) AS n_before,
+  CAST(coalesce(n.n_after, 0) AS BIGINT) AS n_after,
+  round(r.rate, 6) AS rate
+FROM r LEFT JOIN n USING (bucket)
+""",
+    tags=("datamix", "ring-c", "sampling", "distribution-matching"),
+    description=(
+        "Importance resampling to a target length distribution: bucket "
+        "docs by length, derive per-bucket acceptance rates that flatten "
+        "the histogram (rate = min(1, target_share/actual_share)), "
+        "accept via the deterministic md5 hash-gate "
+        "(operators/sampling.weighted_sample).  Two tiny aggregates + "
+        "one stateless filter -- no extra shuffle of the corpus, and "
+        "rerun-stable, which is what makes mixture rebalancing safe to "
+        "re-execute mid-pipeline at 100 TB."
+    ),
+)
+def q_resample_match_uniform_length(spark, sf_dir):
+    from ..operators.sampling import weighted_sample
+
+    docs = cat(spark, sf_dir).documents
+    bucket = F.least(F.floor(F.col("n_chars") / 100).cast("int"), F.lit(5))
+    d = docs.select("doc_id", bucket.alias("bucket"))
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = counts.agg(
+        F.sum("n_before").alias("total"), F.count(F.lit(1)).alias("nb")
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_before",
+        F.least(
+            F.lit(1.0), (F.col("total") / F.col("nb")) / F.col("n_before")
+        ).alias("rate"),
+    )
+    with_rate = d.join(F.broadcast(rates.select("bucket", "rate")), "bucket")
+    accepted = weighted_sample(with_rate, "doc_id", F.col("rate"), salt=_MATCH_SALT)
+    after = accepted.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_after"))
+    return rates.join(after, "bucket", "left").select(
+        "bucket",
+        F.col("n_before").cast("bigint").alias("n_before"),
+        F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+        F.round(F.col("rate"), 6).alias("rate"),
+    )
