@@ -1,3 +1,4 @@
+from .joins import click_purchase_attribution_stream
 from .windows import (
     HAS_TWS,
     session_window_agg,
@@ -12,6 +13,7 @@ from .windows import (
 
 __all__ = [
     "HAS_TWS",
+    "click_purchase_attribution_stream",
     "session_window_agg",
     "stream_dedup",
     "stream_static_enrich",

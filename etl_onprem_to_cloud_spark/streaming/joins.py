@@ -1,0 +1,74 @@
+"""Watermarked stream-stream joins.
+
+The missing piece between stream-static enrichment (windows.py
+stream_static_enrich) and the batch as-of join (operators/asof.py):
+joining two UNBOUNDED sides.  Spark buffers both sides in state; the
+join is only feasible when watermarks plus a time-range condition bound
+how long a row can wait for its match -- state is then
+O(arrival rate x (watermark + max_delay)) per side, independent of
+stream length.
+
+``click_purchase_attribution_stream`` is the canonical shape: attribute
+each purchase to every click by the same user in the preceding
+``max_delay``.  Written against unbounded DataFrames but runnable on
+batch ones unchanged -- which is how the test differentials it against
+the batch result (tests/test_streaming_joins.py).
+
+The reference has no streaming at all (its 5-minute cron is commented
+out, reference dags/etl_csv_to_dwh.py:14); Ring B/C extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def click_purchase_attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Inner-join purchases to same-user clicks in the trailing window.
+
+    Both sides get event-time watermarks (TIMESTAMP cast as in
+    windows.py _with_watermark: the session runs fixed-UTC, so the cast
+    from TIMESTAMP_NTZ is value-preserving); the range condition
+    ``click_ts <= purchase_ts <= click_ts + max_delay`` lets Spark
+    evict click state older than watermark + max_delay and purchase
+    state older than watermark.
+
+    ``watermark=None`` keeps all state forever (inner joins permit it):
+    correct for any arrival order, but unbounded -- use only when the
+    replay source is not time-ordered (e.g. backfills over unsorted
+    files) AND the run is finite.  A production stream should always
+    set a watermark; events arriving later than it are dropped, which
+    is the documented trade against bounded state.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if watermark is not None:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
