@@ -139,3 +139,35 @@ def test_new_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_semi_join_prunes_before_join(spark, sf_dir):
+    """The Bloom bitset predicate must sit on the big side BELOW the
+    join (that is its whole point), and the only shuffle is the final
+    aggregate -- the join itself broadcasts the small side."""
+    df = QUERIES["q_bloom_semi_join_reduction"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) == 1
+    plan = explain_str(df, "simple")
+    join_pos = plan.index("BroadcastHashJoin")
+    assert "bloom0" in plan[join_pos:], "bitset filter missing from big side"
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # q_cms_heavy_hitters, q_psi_price_drift and
+    # q_resample_match_uniform_length each broadcast a ONE-ROW grand
+    # total as a conditionless join (BroadcastNestedLoopJoin with a
+    # 1-row build side -- the intended scalar-fanout pattern, not an
+    # accidental cartesian), so only CartesianProduct is banned here.
+    ("q_cms_heavy_hitters", 4),
+    ("q_token_entropy_docs", 3),
+    ("q_psi_price_drift", 2),
+    ("q_winsorized_price_stats", 2),
+    ("q_resample_match_uniform_length", 5),
+])
+def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
