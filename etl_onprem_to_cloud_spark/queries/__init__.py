@@ -92,6 +92,8 @@ _CHANGED_R04 = (
     "q_psi_price_drift",
     "q_winsorized_price_stats",
     "q_resample_match_uniform_length",
+    "q_reservoir_k_per_group",
+    "q_quantile_normalize_prices",
 )
 
 # New in round 3.

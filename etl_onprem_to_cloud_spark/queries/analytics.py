@@ -429,3 +429,79 @@ def q_winsorized_price_stats(spark, sf_dir):
             4,
         ).alias("winsorized_mean"),
     )
+
+
+_RESERVOIR_K = 20
+
+
+@query(
+    "q_reservoir_k_per_group",
+    oracle=f"""
+WITH r AS (
+  SELECT lang, doc_id,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY {duck_hash_gate("CAST(doc_id AS VARCHAR)", "reservoir")}, doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= {_RESERVOIR_K}
+""",
+    tags=("sampling", "ring-c", "deterministic", "reservoir"),
+    description=(
+        "Deterministic fixed-k-per-stratum sample (reservoir-sampling "
+        "semantics without RNG state): rank docs per language by their "
+        "md5 hash-gate and keep the first k.  Content-derived order "
+        "means the sample is stable under repartitioning and reruns, "
+        "and adding new docs displaces members exactly as a true "
+        "reservoir would.  One shuffle on the stratum key."
+    ),
+)
+def q_reservoir_k_per_group(spark, sf_dir):
+    from ..operators.sampling import hash_gate
+
+    docs = cat(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        hash_gate(F.col("doc_id").cast("string"), "reservoir"), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+    )
+
+
+@query(
+    "q_quantile_normalize_prices",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+  round(percent_rank() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS u,
+  round((o_totalprice - min(o_totalprice) OVER (PARTITION BY o_orderpriority))
+        / (max(o_totalprice) OVER (PARTITION BY o_orderpriority)
+           - min(o_totalprice) OVER (PARTITION BY o_orderpriority)), 6)
+    AS minmax_scaled
+FROM orders
+""",
+    tags=("window", "normalization", "ml-preprocessing", "analytics"),
+    description=(
+        "Feature normalization as window algebra: per-priority uniform "
+        "quantile (percent_rank with a unique total order) and min-max "
+        "scaling.  Both are per-group windows -- one shuffle on the "
+        "group key, no global sort, no driver-side statistics."
+    ),
+)
+def q_quantile_normalize_prices(spark, sf_dir):
+    orders = cat(spark, sf_dir).orders
+    wo = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wa = Window.partitionBy("o_orderpriority")
+    lo = F.min("o_totalprice").over(wa)
+    hi = F.max("o_totalprice").over(wa)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(wo), 6).alias("u"),
+        F.round(
+            (F.col("o_totalprice") - lo) / (hi - lo), 6
+        ).alias("minmax_scaled"),
+    )
