@@ -55,6 +55,10 @@ HEADLINE = [
     # metrics (the two new heavy Ring C families).
     "q_srp_near_dup_pairs",
     "q_text_repetition",
+    # r04 additions: the mergeable count-min sketch and the token-entropy
+    # quality scorer (new sketch + text-quality families).
+    "q_cms_heavy_hitters",
+    "q_token_entropy_docs",
 ]
 
 
