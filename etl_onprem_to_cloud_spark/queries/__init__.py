@@ -94,6 +94,7 @@ _CHANGED_R04 = (
     "q_resample_match_uniform_length",
     "q_reservoir_k_per_group",
     "q_quantile_normalize_prices",
+    "q_incremental_ingest_dedup",
 )
 
 # New in round 3.

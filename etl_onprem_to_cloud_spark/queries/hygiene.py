@@ -106,3 +106,57 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 def q_boilerplate_chunks(spark, sf_dir):
     docs = cat(spark, sf_dir).documents
     return DC.chunk_boilerplate_stats(docs, chunk_tokens=4, min_docs=2)
+
+
+@query(
+    "q_incremental_ingest_dedup",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+    md5(array_to_string(
+      list_filter(string_split_regex(lower(text), ' +'), t -> t != ''), ' '))
+      AS fingerprint
+  FROM documents
+),
+corpus AS (SELECT * FROM fp WHERE doc_id % 10 != 0),
+incoming AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+seen AS (
+  SELECT fingerprint, min(doc_id) AS first_doc_id
+  FROM corpus GROUP BY fingerprint
+)
+SELECT i.doc_id,
+  s.fingerprint IS NOT NULL AS is_duplicate,
+  s.first_doc_id AS duplicate_of
+FROM incoming i LEFT JOIN seen s ON i.fingerprint = s.fingerprint
+""",
+    tags=("dedup", "ring-c", "incremental", "ingest"),
+    description=(
+        "Incremental-ingest dedup: classify an incoming batch against "
+        "the existing corpus by content fingerprint (llm/dedup.py "
+        "normalization).  The corpus side reduces to one row per "
+        "fingerprint BEFORE the join, so a daily 100 TB ingest joins "
+        "against a fingerprint index, never the corpus text -- the "
+        "incremental counterpart of q_dedup_exact_groups."
+    ),
+)
+def q_incremental_ingest_dedup(spark, sf_dir):
+    from ..functions.text import doc_fingerprint
+
+    docs = cat(spark, sf_dir).documents
+    fp = docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    corpus = fp.filter(F.col("doc_id") % 10 != 0)
+    incoming = fp.filter(F.col("doc_id") % 10 == 0)
+    seen = corpus.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("first_doc_id")
+    )
+    return (
+        incoming.alias("i")
+        .join(seen.alias("s"), "fingerprint", "left")
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("s.first_doc_id").isNotNull().alias("is_duplicate"),
+            F.col("s.first_doc_id").alias("duplicate_of"),
+        )
+    )

@@ -5,8 +5,10 @@ from .io import (
     read_csv,
     read_json,
     read_parquet,
+    read_text,
     write_csv,
     write_parquet,
+    write_text,
 )
 
 __all__ = [
@@ -16,6 +18,8 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_parquet",
+    "read_text",
     "write_csv",
     "write_parquet",
+    "write_text",
 ]

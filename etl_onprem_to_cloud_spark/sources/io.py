@@ -95,6 +95,21 @@ def write_orc(
     w.orc(path)
 
 
+def read_text(
+    spark: SparkSession, path: str, whole_text: bool = False
+) -> DataFrame:
+    """Raw text source: one row per line (``value: string``), or one
+    row per file with ``whole_text`` -- the shape raw training-corpus
+    drops arrive in before any structure is imposed."""
+    return spark.read.text(path, wholetext=whole_text)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: requires a single string column (Spark enforces it);
+    one line per row, partition-parallel like every other sink."""
+    df.write.mode(mode).text(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

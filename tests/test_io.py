@@ -116,3 +116,29 @@ def test_orc_roundtrip_with_partitioning(spark, tmp_path):
     # partition pruning reaches the scan
     plan = back.filter(F.col("part") == "x")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_text_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.sources.io import read_text, write_text
+
+    lines = [("line one",), ("line two",), ("third",)]
+    src = spark.createDataFrame(lines, "value string")
+    path = str(tmp_path / "text_out")
+    write_text(src, path)
+    back = read_text(spark, path)
+    assert back.columns == ["value"]
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        v for (v,) in lines
+    )
+
+
+def test_read_text_whole_file(spark, tmp_path):
+    from etl_onprem_to_cloud_spark.sources.io import read_text
+
+    f = tmp_path / "doc.txt"
+    f.write_text("alpha\nbeta\n")
+    got = read_text(spark, str(tmp_path), whole_text=True).collect()
+    assert len(got) == 1
+    assert got[0]["value"] == "alpha\nbeta\n"
