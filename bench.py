@@ -59,6 +59,11 @@ HEADLINE = [
     # quality scorer (new sketch + text-quality families).
     "q_cms_heavy_hitters",
     "q_token_entropy_docs",
+    # r05 additions: large-star/small-star transitive closure (vs the
+    # min-label q_dedup_clusters above) and the span-coverage mask (the
+    # heaviest new span-level path: positional explode + self-semi-join).
+    "q_dedup_clusters_star",
+    "q_span_doc_coverage",
 ]
 
 

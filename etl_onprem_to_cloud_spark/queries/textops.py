@@ -577,9 +577,11 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
-@query(
-    "q_dedup_clusters",
-    oracle=f"""
+# Shared by q_dedup_clusters (min-label propagation) and
+# q_dedup_clusters_star (large-star/small-star): the oracle only
+# specifies WHAT a component is (min reachable doc id over verified
+# LSH pairs), so both Spark algorithms must hash-match the same SQL.
+_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, {_DUCK_TOKS_LOW} AS tk FROM documents
 ),
@@ -617,7 +619,12 @@ walk(node, root) AS (
 )
 SELECT node AS doc_id, min(root) AS component
 FROM walk GROUP BY node
-""",
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     tags=("dedup", "ring-c", "graph", "connected-components"),
     description="Transitive dedup closure: MinHash-LSH verified pairs "
     "(the scale path -- the exact pairwise baseline is quadratic) -> "
@@ -631,6 +638,26 @@ def q_dedup_clusters(spark, sf_dir):
         docs, num_hashes=9, bands=3, jaccard_threshold=0.5
     )
     cc = D.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "q_dedup_clusters_star",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "ring-c", "graph", "connected-components"),
+    description="Same transitive closure as q_dedup_clusters, computed "
+    "with the large-star/small-star algorithm (Kiveris et al., SoCC "
+    "2014) instead of min-label propagation: O(log^2 n) rounds "
+    "regardless of graph diameter, the scale-safe choice for long "
+    "duplicate chains.  Identical oracle -- both algorithms must agree "
+    "bit-for-bit.",
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    pairs = D.minhash_lsh_candidate_pairs(
+        docs, num_hashes=9, bands=3, jaccard_threshold=0.5
+    )
+    cc = D.connected_components_star(pairs)
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 

@@ -1,0 +1,172 @@
+"""Round-5 additions: large-star/small-star connected components,
+span-level corpus analysis, small-file compaction, and the idempotent
+foreachBatch sink.
+
+The three new oracled queries (q_repeated_spans, q_span_doc_coverage,
+q_bigram_pmi, q_dedup_clusters_star) are value-checked against DuckDB
+by tests/test_oracle_parity.py automatically; the tests here cover the
+semantics the oracle can't see -- algorithm agreement on adversarial
+graph shapes, file layout effects, and crash-replay behavior.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_onprem_to_cloud_spark.llm.dedup import (
+    connected_components,
+    connected_components_star,
+    minhash_lsh_candidate_pairs,
+)
+from etl_onprem_to_cloud_spark.operators.layout import compact_files
+from etl_onprem_to_cloud_spark.sources.io import load_table
+from etl_onprem_to_cloud_spark.streaming.sinks import (
+    idempotent_foreach_batch,
+    partitioned_parquet_writer,
+)
+
+
+def _labels(df):
+    return {(r.node, r.component) for r in df.collect()}
+
+
+def test_star_cc_long_chain(spark):
+    """A 40-node path has diameter 39: min-label would need 39 rounds,
+    large-star/small-star must finish in its default 25 (O(log^2 n))."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    got = _labels(connected_components_star(pairs))
+    assert got == {(i, 0) for i in range(41)}
+
+
+def test_star_cc_multiple_components_and_dups(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (10, 11), (11, 12), (20, 21), (2, 3)],
+        ["id_a", "id_b"],
+    )
+    got = _labels(connected_components_star(pairs))
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_star_cc_agrees_with_label_propagation(spark, sf_dir):
+    """Both algorithms, same real pair input -> identical labeling."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs, num_hashes=9, bands=3, jaccard_threshold=0.5
+    )
+    star = _labels(connected_components_star(pairs))
+    prop = _labels(connected_components(pairs))
+    assert star == prop and len(star) > 0
+
+
+def test_star_cc_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(pairs, max_iterations=1)
+
+
+def test_compact_files_file_count(spark, tmp_path):
+    df = spark.range(0, 50_000).withColumn(
+        "payload", F.concat_ws("-", F.col("id"), F.lit("x" * 64))
+    )
+    out = str(tmp_path / "compacted")
+    # Tiny target -> several files; returned count == files on disk.
+    n = compact_files(df, out, target_file_bytes=256 * 1024)
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert len(files) == n > 1
+    # Round-trip integrity.
+    assert spark.read.parquet(out).count() == 50_000
+    # Uniform sizing: round-robin repartition keeps the max/min file
+    # size ratio tight (no skewed writer).
+    sizes = sorted(os.path.getsize(f) for f in files)
+    assert sizes[-1] < sizes[0] * 2.5
+
+
+def test_compact_files_single_file_for_small_input(spark, tmp_path):
+    df = spark.range(0, 10).repartition(8)
+    out = str(tmp_path / "small")
+    n = compact_files(df, out)
+    assert n == 1
+    assert len(glob.glob(os.path.join(out, "part-*.parquet"))) == 1
+
+
+def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
+    data = str(tmp_path / "data")
+    ledger = str(tmp_path / "ledger")
+    writes = []
+
+    def record(df, bid):
+        partitioned_parquet_writer(data)(df, bid)
+        writes.append(bid)
+
+    sink = idempotent_foreach_batch(record, ledger)
+    df = spark.range(0, 100)
+    sink(df, 0)
+    sink(df, 1)
+    sink(df, 0)  # replay -- must be a no-op
+    assert writes == [0, 1]
+    assert spark.read.parquet(data).count() == 200
+
+
+def test_idempotent_sink_crash_between_write_and_marker(spark, tmp_path):
+    """Crash after data write but before marker: replay overwrites the
+    batch directory instead of duplicating rows."""
+    data = str(tmp_path / "data")
+    ledger = str(tmp_path / "ledger")
+    df = spark.range(0, 50)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing(d, bid):
+        partitioned_parquet_writer(data)(d, bid)
+        raise Boom()
+
+    with pytest.raises(Boom):
+        idempotent_foreach_batch(crashing, ledger)(df, 7)
+    # Replay with the healthy writer: same batch id, overwrite path.
+    idempotent_foreach_batch(
+        partitioned_parquet_writer(data), ledger
+    )(df, 7)
+    assert spark.read.parquet(data).count() == 50
+
+
+def test_idempotent_sink_in_real_stream(spark, tmp_path):
+    """End-to-end: file-source stream -> foreachBatch(idempotent) with
+    availableNow, then a second identical run over the same checkpoint
+    is a no-op (offsets committed) and a run with a FRESH checkpoint
+    replays batch ids but the ledger absorbs them."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    ckpt1, ckpt2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).write.parquet(src)
+
+    sink = idempotent_foreach_batch(partitioned_parquet_writer(out), ledger)
+    stream = spark.readStream.schema("id bigint, k bigint").parquet(src)
+
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", ckpt1
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1000
+
+    # Fresh checkpoint: Spark re-delivers batch 0; the ledger de-dupes.
+    q2 = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", ckpt2
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1000

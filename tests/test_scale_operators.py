@@ -115,11 +115,11 @@ def test_with_salt_spreads_exact_duplicate_rows(spark):
     # salt would collapse them all onto one salt value (ADVICE r01).
     from etl_onprem_to_cloud_spark.operators.skew import with_salt
 
-    dupes = spark.range(1).select(
+    # 1024 identical rows built LINEARLY (a unionAll-doubling loop
+    # squares the plan: 2^10 leaves x 32 range partitions = 32k tasks
+    # of pure closure deserialization -- it stalled the whole suite).
+    dupes = spark.range(1024).select(
         F.lit(42).alias("k"), F.lit("same").alias("v")
-    )
-    for _ in range(10):
-        dupes = dupes.unionAll(dupes)  # 1024 identical rows
-    dupes = dupes.repartition(8)
+    ).repartition(8)
     n_salts = with_salt(dupes, salts=16).select("__salt").distinct().count()
     assert n_salts > 1, "identical rows must not all map to one salt"
