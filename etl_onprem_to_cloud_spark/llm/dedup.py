@@ -689,7 +689,11 @@ def connected_components_star(
     sig = _signature(edges)
     converged = False
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # Lazy checkpoint: the signature aggregation is the round's ONE
+        # action and materializes the checkpoint in the same job (the
+        # connected_components trick -- no separate eager-materialize
+        # pass per round).
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if new_sig == sig:
             converged = True

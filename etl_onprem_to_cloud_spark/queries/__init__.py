@@ -114,6 +114,7 @@ _CHANGED_R05 = (
     "q_span_doc_coverage",
     "q_bigram_pmi",
     "q_dedup_clusters_star",
+    "q_bigram_lm_logprob",
 )
 
 # New in round 4 (fresh evidence needed first).

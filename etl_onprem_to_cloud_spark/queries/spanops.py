@@ -291,3 +291,114 @@ def q_bigram_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "q_bigram_lm_logprob",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+u AS (
+  SELECT unnest(toks) AS tok FROM t
+),
+uc AS (
+  SELECT tok, count(*) AS n FROM u GROUP BY tok
+),
+v AS (
+  SELECT count(*) AS vocab FROM uc
+),
+b AS (
+  SELECT doc_id, unnest({duck_word_ngrams('toks', 2)}) AS bigram FROM t
+),
+bc AS (
+  SELECT bigram, count(*) AS n_b FROM b GROUP BY bigram
+),
+terms AS (
+  SELECT b.doc_id,
+    round(ln((bc.n_b + 1) / CAST(uc.n + v.vocab AS DOUBLE)), 6) AS lp
+  FROM b
+  JOIN bc USING (bigram)
+  JOIN uc ON uc.tok = string_split(b.bigram, ' ')[1]
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+    sum(CAST(lp AS DECIMAL(18,6))) AS s
+  FROM terms GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  round(CAST(COALESCE(agg.s, 0) AS DOUBLE)
+        / greatest(COALESCE(agg.n_bigrams, 0), 1), 6) AS avg_logprob
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("text", "quality", "language-model", "ring-c"),
+    description=(
+        "KenLM-style LM quality score: per-document average "
+        "log-probability under an add-one-smoothed bigram model trained "
+        "on the corpus itself -- ln((c(w1 w2)+1)/(c(w1)+V)) averaged "
+        "over the doc's bigrams.  Low scores flag gibberish/OCR noise, "
+        "anomalously high scores flag boilerplate; both tails are "
+        "standard training-data filters.  Two word-count aggregations + "
+        "two vocabulary joins; per-term logs are rounded then "
+        "DECIMAL-summed so both engines accumulate identically."
+    ),
+)
+def q_bigram_lm_logprob(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    uc = (
+        tk.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = F.broadcast(uc.agg(F.count(F.lit(1)).alias("vocab")))
+    b = tk.select(
+        "doc_id",
+        F.explode(T.word_ngrams_from_tokens(F.col("toks"), 2)).alias(
+            "bigram"
+        ),
+    )
+    bc = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_b"))
+    terms = (
+        b.join(bc, "bigram")
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(
+            uc.select(F.col("tok").alias("w1"), F.col("n").alias("n_u")),
+            "w1",
+        )
+        .crossJoin(vocab)
+        .withColumn(
+            "lp",
+            F.round(
+                F.log(
+                    (F.col("n_b") + 1)
+                    / (F.col("n_u") + F.col("vocab")).cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("s")
+    )
+    return (
+        tk.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.round(
+                F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

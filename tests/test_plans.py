@@ -171,3 +171,23 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     assert not has_python_udf(df)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # q_repeated_spans: span count agg + the rank window.
+    ("q_repeated_spans", 2),
+    # q_span_doc_coverage: span agg, semi-join, distinct, per-doc agg,
+    # final left join.
+    ("q_span_doc_coverage", 5),
+    # q_bigram_pmi: two count aggs, two unigram joins, rank window; the
+    # corpus totals ride in as a 1-row BroadcastNestedLoopJoin (the
+    # intended scalar-fanout pattern), so only CartesianProduct is
+    # banned.
+    ("q_bigram_pmi", 5),
+])
+def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
