@@ -115,6 +115,7 @@ _CHANGED_R05 = (
     "q_bigram_pmi",
     "q_dedup_clusters_star",
     "q_bigram_lm_logprob",
+    "q_training_data_pipeline",
 )
 
 # New in round 4 (fresh evidence needed first).

@@ -160,3 +160,109 @@ def q_incremental_ingest_dedup(spark, sf_dir):
             F.col("s.first_doc_id").alias("duplicate_of"),
         )
     )
+
+
+@query(
+    "q_training_data_pipeline",
+    oracle=f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(array_to_string({_TOKS}, ' '))
+),
+d AS (
+  SELECT documents.* FROM documents JOIN keep USING (doc_id)
+),
+t AS (
+  SELECT doc_id, source, text, {_TOKS} AS toks FROM d
+),
+g AS (
+  SELECT doc_id, source, text, toks,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks) - 1),
+        i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+    ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+),
+m AS (
+  SELECT doc_id, source, len(toks) AS n_tok,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text)
+      ELSE 0.0 END AS punct,
+    CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) / len(toks)
+      ELSE 0.0 END AS stop,
+    CASE WHEN len(grams) > 0
+      THEN 1.0 - len(list_distinct(grams)) / len(grams)
+      ELSE 0.0 END AS dup
+  FROM g
+),
+kept AS (
+  SELECT doc_id, source, n_tok FROM m
+  WHERE n_tok >= 20 AND punct <= 0.1 AND stop >= 0.02 AND dup <= 0.09
+),
+s AS (
+  SELECT source, n_tok,
+    CAST((CAST(concat('0x', substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647) % 100 AS INTEGER)
+      AS bucket
+  FROM kept
+)
+SELECT
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM s
+GROUP BY 1, 2
+ORDER BY split, source
+""",
+    tags=("ring-c", "pipeline", "dedup", "quality", "mixture"),
+    description=(
+        "The training-data prep pipeline END-TO-END in one Spark plan: "
+        "exact dedup (md5 fingerprint min-by) -> C4/Gopher quality gate "
+        "(same thresholds as q_text_quality_gate) -> deterministic "
+        "train/val/test split (same hash gate as q_split_train_val_test) "
+        "-> per-(split, source) doc and token counts.  One shuffle for "
+        "the dedup, one for the final aggregate; the gate and split are "
+        "pure projections in between -- the composition costs no more "
+        "than its most expensive stage, which is the point of running "
+        "the whole pipeline in one engine."
+    ),
+)
+def q_training_data_pipeline(spark, sf_dir):
+    from ..llm import dedup as D
+    from ..operators.datamix import split_assignment
+    from ..functions import text as T
+    from .textops import (
+        _GATE_MAX_DUP_2GRAM,
+        _GATE_MAX_PUNCT,
+        _GATE_MIN_STOPWORD,
+        _GATE_MIN_TOKENS,
+    )
+
+    docs = cat(spark, sf_dir).documents
+    deduped = D.exact_dedup(docs)
+    tk = deduped.select(
+        "doc_id",
+        "source",
+        "text",
+        T.tokens(F.lower(F.col("text"))).alias("__tk"),
+    ).withColumn("__gr", T.word_ngrams_from_tokens(F.col("__tk"), 2))
+    n_tok = F.size("__tk")
+    kept = tk.filter(
+        (n_tok >= _GATE_MIN_TOKENS)
+        & (T.punct_ratio(F.col("text")) <= _GATE_MAX_PUNCT)
+        & (T.stopword_ratio(F.col("text")) >= _GATE_MIN_STOPWORD)
+        & (T.dup_ngram_fraction(F.col("__gr")) <= _GATE_MAX_DUP_2GRAM)
+    ).select("doc_id", "source", n_tok.alias("n_tok"))
+    _bucket, split = split_assignment(F.col("doc_id").cast("string"))
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("split", "source")
+    )

@@ -184,6 +184,13 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # intended scalar-fanout pattern), so only CartesianProduct is
     # banned.
     ("q_bigram_pmi", 5),
+    # q_bigram_lm_logprob: bigram-count agg, two vocab joins, per-doc
+    # agg, final left join; vocab size is a 1-row broadcast.
+    ("q_bigram_lm_logprob", 5),
+    # End-to-end prep pipeline: dedup agg + semi-join share one
+    # exchange, final rollup is the other; the gate and split stages
+    # are pure projections (no shuffle of their own).
+    ("q_training_data_pipeline", 3),
 ])
 def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
