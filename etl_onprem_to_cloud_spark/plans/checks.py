@@ -39,3 +39,11 @@ def shuffle_count(df: DataFrame) -> int:
     # the detail section and would double-count).
     plan = explain_str(df, mode="simple")
     return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters lists from every file scan in the plan -- the
+    evidence that a filter on a partition column prunes DIRECTORIES
+    (never reads the files) rather than rows."""
+    plan = explain_str(df)
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)

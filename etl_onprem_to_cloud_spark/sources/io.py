@@ -48,8 +48,18 @@ def read_csv(
     )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Parquet scan.  ``merge_schema=True`` unions the footers of every
+    file (schema evolution: columns added over time come back as nulls
+    on old files).  Off by default -- merging reads every footer up
+    front, which at 100 TB is a real listing+IO cost you only pay when
+    the layout actually evolved."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql.types import (
 
 from etl_onprem_to_cloud_spark.plans import explain_str
 from etl_onprem_to_cloud_spark.sources.io import (
+    load_table,
     read_csv,
     read_json,
     read_parquet,
@@ -142,3 +143,40 @@ def test_read_text_whole_file(spark, tmp_path):
     got = read_text(spark, str(tmp_path), whole_text=True).collect()
     assert len(got) == 1
     assert got[0]["value"] == "alpha\nbeta\n"
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter: the scan lists only the
+    matching source= directories."""
+    from etl_onprem_to_cloud_spark.plans.checks import partition_filters
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet, write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "by_source")
+    write_parquet(docs, out, partition_by=["source"])
+
+    scan = read_parquet(spark, out).filter(F.col("source") == "src1")
+    pf = partition_filters(scan)
+    assert pf and any("source" in f for f in pf), pf
+    want = docs.filter(F.col("source") == "src1").count()
+    assert scan.count() == want > 0
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Old files keep working when new columns arrive: mergeSchema
+    unions footers, old rows surface NULL for the added column."""
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    out = str(tmp_path / "evolving")
+    spark.range(0, 10).select(F.col("id"), F.lit("a").alias("v")).write.parquet(
+        out + "/batch=1"
+    )
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("v"), F.lit(1).alias("added")
+    ).write.parquet(out + "/batch=2")
+
+    merged = read_parquet(spark, out, merge_schema=True)
+    assert set(merged.columns) >= {"id", "v", "added"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("added").isNull()).count() == 10
