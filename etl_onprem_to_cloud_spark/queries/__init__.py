@@ -116,6 +116,7 @@ _CHANGED_R05 = (
     "q_dedup_clusters_star",
     "q_bigram_lm_logprob",
     "q_training_data_pipeline",
+    "q_embedding_outliers",
 )
 
 # New in round 4 (fresh evidence needed first).

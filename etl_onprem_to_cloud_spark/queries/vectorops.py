@@ -252,3 +252,112 @@ if HAS_ML:
         emb = cat(spark, sf_dir).embeddings
         out = ml_brp_near_neighbors(emb, _QUERY_IDS, k=10)
         return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+    unnest(generate_series(1, len(embedding))) AS idx,
+    CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+c AS (
+  SELECT label, idx,
+    round(CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS m
+  FROM e GROUP BY label, idx
+),
+lc AS (
+  SELECT label, sum(CAST(round(m * m, 6) AS DECIMAL(18,6))) AS nc2
+  FROM c GROUP BY label
+),
+terms AS (
+  SELECT e.vec_id, e.label,
+    sum(CAST(round(e.val * c.m, 6) AS DECIMAL(18,6))) AS dot,
+    sum(CAST(round(e.val * e.val, 6) AS DECIMAL(18,6))) AS nv2
+  FROM e JOIN c ON e.label = c.label AND e.idx = c.idx
+  GROUP BY e.vec_id, e.label
+)
+SELECT t.vec_id, t.label,
+  CASE WHEN t.nv2 = 0 OR lc.nc2 = 0 THEN 0.0
+       ELSE round(CAST(t.dot AS DOUBLE) /
+            (sqrt(CAST(t.nv2 AS DOUBLE)) * sqrt(CAST(lc.nc2 AS DOUBLE))), 6)
+  END AS cos_centroid,
+  CASE WHEN t.nv2 = 0 OR lc.nc2 = 0 THEN 0.0
+       ELSE round(CAST(t.dot AS DOUBLE) /
+            (sqrt(CAST(t.nv2 AS DOUBLE)) * sqrt(CAST(lc.nc2 AS DOUBLE))), 6)
+  END < 0.0 AS is_outlier
+FROM terms t JOIN lc ON t.label = lc.label
+ORDER BY vec_id
+""",
+    tags=("embeddings", "quality", "outlier", "ring-c"),
+    description=(
+        "Label-coherence outlier detection: cosine of every embedding "
+        "to its own label's centroid; vectors anti-correlated with "
+        "their centroid (cos < 0) are flagged -- the standard "
+        "mislabeled/noise filter in embedding-curated training sets.  "
+        "Exploded (vec_id, idx, val) form with per-term rounding and "
+        "DECIMAL accumulation so Spark and the oracle sum in any order "
+        "yet agree bit-for-bit; sqrt is IEEE-correctly-rounded, so the "
+        "final cosine is deterministic too."
+    ),
+)
+def q_embedding_outliers(spark, sf_dir):
+    emb = cat(spark, sf_dir).embeddings
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "fval"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("idx"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    c = e.groupBy("label", "idx").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    lc = c.groupBy("label").agg(
+        F.sum(F.round(F.col("m") * F.col("m"), 6).cast("decimal(18,6)")).alias(
+            "nc2"
+        )
+    )
+    terms = (
+        e.join(c, ["label", "idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(F.col("val") * F.col("m"), 6).cast("decimal(18,6)")
+            ).alias("dot"),
+            F.sum(
+                F.round(F.col("val") * F.col("val"), 6).cast("decimal(18,6)")
+            ).alias("nv2"),
+        )
+    )
+    cos = F.when(
+        (F.col("nv2") == 0) | (F.col("nc2") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("nv2").cast("double"))
+                * F.sqrt(F.col("nc2").cast("double"))
+            ),
+            6,
+        )
+    )
+    return (
+        terms.join(lc, "label")
+        .select(
+            "vec_id",
+            "label",
+            cos.alias("cos_centroid"),
+            (cos < 0.0).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

@@ -191,6 +191,9 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # exchange, final rollup is the other; the gate and split stages
     # are pure projections (no shuffle of their own).
     ("q_training_data_pipeline", 3),
+    # q_embedding_outliers: exploded (label, idx) centroid agg, the
+    # rejoin, per-vec agg, label-norm join.
+    ("q_embedding_outliers", 5),
 ])
 def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
