@@ -716,3 +716,56 @@ def connected_components_star(
         F.col("src").alias("node"), F.col("dst").alias("component")
     )
     return children.unionByName(roots).distinct()
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """DIRECTED containment pairs: (contained_id, container_id,
+    containment) where containment = |S(contained) ∩ S(container)| /
+    |S(contained)| >= threshold over distinct word shingles.
+
+    Jaccard misses the asymmetric dup shape: a short doc quoted whole
+    inside a much longer one scores J = |A|/|B| (tiny) but containment
+    C(A->B) = 1.0.  Containment is the right measure for quote/subset
+    dedup and for nested-crawl cleanup (page embedded in an archive
+    page).  Same inverted-index join as ngram_jaccard_pairs -- one
+    grouped self-join on the shingle key, both directions emitted from
+    the one grouped pair row; ``block_col`` bounds fan-out at scale
+    exactly as in the Jaccard form.
+    """
+    blocks = (block_col,) if block_col else ()
+    ex = _exploded_shingles(docs, id_col, text_col, shingle_n, extra_cols=blocks)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+    )
+    fwd = common.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = common.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

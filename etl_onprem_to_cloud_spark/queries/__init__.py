@@ -117,6 +117,8 @@ _CHANGED_R05 = (
     "q_bigram_lm_logprob",
     "q_training_data_pipeline",
     "q_embedding_outliers",
+    "q_dedup_containment",
+    "q_cross_source_dup_matrix",
 )
 
 # New in round 4 (fresh evidence needed first).

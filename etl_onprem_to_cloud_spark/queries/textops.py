@@ -1057,3 +1057,121 @@ def q_fuzzy_levenshtein_pairs(spark, sf_dir):
         )
         .filter(F.col("edit_distance") <= 1)
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LOW} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, {duck_shingles('tk')} AS sh FROM toks
+),
+ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+    count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+d AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+    round(n_common / n_a, 6) AS containment
+  FROM pairs
+  UNION ALL
+  SELECT id_b AS contained_id, id_a AS container_id,
+    round(n_common / n_b, 6) AS containment
+  FROM pairs
+)
+SELECT contained_id, container_id, containment
+FROM d WHERE containment >= 0.8
+""",
+    tags=("dedup", "ring-c", "containment"),
+    description="Directed shingle-containment pairs (|A∩B|/|A| >= 0.8): "
+    "the asymmetric dup measure Jaccard misses -- a short doc quoted "
+    "whole inside a long one scores J=|A|/|B| (tiny) but containment "
+    "1.0.  Quote/subset dedup and nested-crawl cleanup.",
+)
+def q_dedup_containment(spark, sf_dir):
+    return D.containment_pairs(cat(spark, sf_dir).documents, threshold=0.8)
+
+
+@query(
+    "q_cross_source_dup_matrix",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LOW} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, {duck_shingles('tk')} AS sh FROM toks
+),
+sig AS (
+  SELECT doc_id, sh, {_minhash_sig_sql()} AS sig FROM sh WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+    round(len(list_intersect(sa.sh, sb.sh)) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+      AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_a,
+  greatest(da.source, db.source) AS source_b,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(CAST(sum(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+    AS avg_jaccard
+FROM verified
+JOIN documents da ON da.doc_id = verified.id_a
+JOIN documents db ON db.doc_id = verified.id_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+""",
+    tags=("dedup", "ring-c", "minhash", "provenance"),
+    description="Cross-source duplication matrix: MinHash-LSH verified "
+    "near-dup pairs rolled up by unordered source pair -- which feeds "
+    "are re-publishing which (the provenance view that decides what to "
+    "crawl less).  Pair volume is LSH-bounded; the source lookups are "
+    "two joins on doc_id; DECIMAL-accumulated avg for cross-engine "
+    "bit-equality.",
+)
+def q_cross_source_dup_matrix(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    pairs = D.minhash_lsh_candidate_pairs(
+        docs, num_hashes=9, bands=3, jaccard_threshold=0.5
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")), "id_b")
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

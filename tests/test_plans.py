@@ -194,6 +194,12 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # q_embedding_outliers: exploded (label, idx) centroid agg, the
     # rejoin, per-vec agg, label-norm join.
     ("q_embedding_outliers", 5),
+    # q_dedup_containment: shingle spread + self-join + pair agg + two
+    # size joins, each direction of the union sharing the plan.
+    ("q_dedup_containment", 8),
+    # q_cross_source_dup_matrix: the LSH pair pipeline + two source
+    # joins + the final rollup.
+    ("q_cross_source_dup_matrix", 6),
 ])
 def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
