@@ -64,6 +64,8 @@ HEADLINE = [
     # heaviest new span-level path: positional explode + self-semi-join).
     "q_dedup_clusters_star",
     "q_span_doc_coverage",
+    # The end-to-end training-data prep story in one plan.
+    "q_training_data_pipeline",
 ]
 
 

@@ -187,10 +187,12 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # q_bigram_lm_logprob: bigram-count agg, two vocab joins, per-doc
     # agg, final left join; vocab size is a 1-row broadcast.
     ("q_bigram_lm_logprob", 5),
-    # End-to-end prep pipeline: dedup agg + semi-join share one
-    # exchange, final rollup is the other; the gate and split stages
-    # are pure projections (no shuffle of their own).
-    ("q_training_data_pipeline", 3),
+    # End-to-end prep pipeline: dedup agg + semi-join, the exploded
+    # repetition aggregation + its keep-join, final rollup.  More
+    # exchanges than the all-projection form but 7x faster: a filter
+    # on the in-row dup fraction pushdown-inlines the gram
+    # construction into per-element re-evaluation.
+    ("q_training_data_pipeline", 6),
     # q_embedding_outliers: exploded (label, idx) centroid agg, the
     # rejoin, per-vec agg, label-norm join.
     ("q_embedding_outliers", 5),
