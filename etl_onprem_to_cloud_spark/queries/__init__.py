@@ -119,6 +119,7 @@ _CHANGED_R05 = (
     "q_embedding_outliers",
     "q_dedup_containment",
     "q_cross_source_dup_matrix",
+    "q_curation_blend",
 )
 
 # New in round 4 (fresh evidence needed first).

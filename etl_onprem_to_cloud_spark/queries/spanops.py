@@ -402,3 +402,111 @@ def q_bigram_lm_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_STOP_IN = "('" + "', '".join(T.STOPWORDS) + "')"
+
+
+@query(
+    "q_curation_blend",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+),
+u AS (
+  SELECT unnest(toks) AS tok FROM t
+),
+uc AS (
+  SELECT tok, count(*) AS n FROM u GROUP BY tok
+),
+v AS (
+  SELECT count(*) AS vocab FROM uc
+),
+b AS (
+  SELECT doc_id, unnest({duck_word_ngrams('toks', 2)}) AS bigram FROM t
+),
+bc AS (
+  SELECT bigram, count(*) AS n_b FROM b GROUP BY bigram
+),
+terms AS (
+  SELECT b.doc_id,
+    round(ln((bc.n_b + 1) / CAST(uc.n + v.vocab AS DOUBLE)), 6) AS lp
+  FROM b
+  JOIN bc USING (bigram)
+  JOIN uc ON uc.tok = string_split(b.bigram, ' ')[1]
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+    sum(CAST(lp AS DECIMAL(18,6))) AS s
+  FROM terms GROUP BY doc_id
+),
+lm AS (
+  SELECT t.doc_id,
+    round(CAST(COALESCE(agg.s, 0) AS DOUBLE)
+          / greatest(COALESCE(agg.n_bigrams, 0), 1), 6) AS avg_logprob
+  FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+),
+q AS (
+  SELECT doc_id, source,
+    round((
+      least(length(text) / 500.0, 1.0)
+      + least((CASE WHEN len(toks) > 0
+          THEN len(list_filter(toks, t -> t IN {_STOP_IN})) / len(toks)
+          ELSE 0.0 END) * 5.0, 1.0)
+      + greatest(1.0 - (CASE WHEN length(text) > 0
+          THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / length(text)
+          ELSE 0.0 END) * 4.0, 0.0)
+    ) / 3.0, 6) AS quality_score
+  FROM t
+),
+j AS (
+  SELECT q.doc_id, q.source, q.quality_score, lm.avg_logprob,
+    round((percent_rank() OVER (PARTITION BY q.source ORDER BY q.quality_score)
+         + percent_rank() OVER (PARTITION BY q.source ORDER BY lm.avg_logprob))
+         / 2, 6) AS blend
+  FROM q JOIN lm ON q.doc_id = lm.doc_id
+)
+SELECT doc_id, source, quality_score, avg_logprob, blend,
+  CAST(least(floor(blend * 10), 9) AS INTEGER) AS decile
+FROM j
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "curation", "ring-c"),
+    description=(
+        "Curation scoring: heterogeneous quality signals (C4-style "
+        "heuristic score + bigram-LM log-prob) percentile-normalized "
+        "WITHIN each source, then blended and bucketed into deciles -- "
+        "the per-source normalization is what keeps one verbose feed "
+        "from dominating a global quality cut.  Two rank windows over "
+        "the source partition on top of the LM pipeline."
+    ),
+)
+def q_curation_blend(spark, sf_dir):
+    docs = cat(spark, sf_dir).documents
+    lm = q_bigram_lm_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    qs = docs.select(
+        "doc_id",
+        "source",
+        T.quality_score(F.col("text")).alias("quality_score"),
+    )
+    w_q = Window.partitionBy("source").orderBy("quality_score")
+    w_lm = Window.partitionBy("source").orderBy("avg_logprob")
+    blend = F.round(
+        (F.percent_rank().over(w_q) + F.percent_rank().over(w_lm)) / 2, 6
+    )
+    return (
+        qs.join(lm, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            "avg_logprob",
+            blend.alias("blend"),
+        )
+        .withColumn(
+            "decile",
+            F.least(F.floor(F.col("blend") * 10), F.lit(9)).cast("int"),
+        )
+        .orderBy("doc_id")
+    )

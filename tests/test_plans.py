@@ -202,6 +202,9 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # q_cross_source_dup_matrix: the LSH pair pipeline + two source
     # joins + the final rollup.
     ("q_cross_source_dup_matrix", 6),
+    # q_curation_blend: the LM pipeline + the lm join + two rank
+    # windows over the source partition (windows share the exchange).
+    ("q_curation_blend", 8),
 ])
 def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
