@@ -120,6 +120,8 @@ _CHANGED_R05 = (
     "q_dedup_containment",
     "q_cross_source_dup_matrix",
     "q_curation_blend",
+    "q_rolling_24h_active_users",
+    "q_gdpr_purge_audit",
 )
 
 # New in round 4 (fresh evidence needed first).

@@ -505,3 +505,54 @@ def q_quantile_normalize_prices(spark, sf_dir):
             (F.col("o_totalprice") - lo) / (hi - lo), 6
         ).alias("minmax_scaled"),
     )
+
+
+@query(
+    "q_rolling_24h_active_users",
+    oracle="""
+WITH hu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+),
+hours AS (
+  SELECT DISTINCT h FROM hu
+),
+r AS (
+  SELECT hours.h, hu.user_id
+  FROM hours JOIN hu
+    ON hu.h BETWEEN hours.h - INTERVAL 23 HOUR AND hours.h
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_24h
+FROM r GROUP BY h ORDER BY hour
+""",
+    tags=("events", "window", "distinct", "analytics"),
+    description=(
+        "Rolling 24h distinct active users per hour (the DAU curve).  "
+        "Spark has no DISTINCT window aggregate and a time-range "
+        "self-join degenerates to a nested-loop, so the scale shape is "
+        "contribution EXPLODE: each (hour, user) row fans out to the "
+        "24 target hours it keeps the user active in, then one "
+        "count_distinct groupBy -- linear in events x 24, partial-agg "
+        "friendly, no range join.  The oracle uses the naive interval "
+        "join (fine for DuckDB at oracle scale)."
+    ),
+)
+def q_rolling_24h_active_users(spark, sf_dir):
+    ev = cat(spark, sf_dir).events
+    hu = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    contrib = hu.select(
+        F.explode(
+            F.expr("sequence(h, h + interval 23 hours, interval 1 hour)")
+        ).alias("th"),
+        "user_id",
+    )
+    actual = hu.select(F.col("h").alias("th")).distinct()
+    return (
+        contrib.join(actual, "th")
+        .groupBy("th")
+        .agg(F.count_distinct("user_id").alias("active_users_24h"))
+        .select(fmt_ts("th", "hour"), "active_users_24h")
+        .orderBy("hour")
+    )

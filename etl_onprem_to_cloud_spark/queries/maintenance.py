@@ -174,3 +174,60 @@ def q_skew_salted_agg(spark, sf_dir):
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "q_gdpr_purge_audit",
+    oracle="""
+WITH total AS (
+  SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type
+),
+kept AS (
+  SELECT e.event_type, count(*) AS n_kept
+  FROM events e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events t
+    WHERE t.user_id % 101 = 0 AND t.user_id = e.user_id
+  )
+  GROUP BY e.event_type
+)
+SELECT total.event_type,
+  CAST(total.n_total - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_purged,
+  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+FROM total LEFT JOIN kept ON total.event_type = kept.event_type
+ORDER BY total.event_type
+""",
+    tags=("maintenance", "compliance", "anti-join"),
+    description=(
+        "Right-to-erasure purge with audit: drop every event of the "
+        "tombstoned users (deterministic user_id % 101 stand-in for the "
+        "deletion-request table) via a broadcast anti-join, and report "
+        "per-event-type purged vs kept counts -- the audit record a "
+        "compliance pipeline must emit.  At scale the tombstone side is "
+        "the small one: broadcast anti-join, no shuffle of the fact "
+        "table beyond the final rollup."
+    ),
+)
+def q_gdpr_purge_audit(spark, sf_dir):
+    ev = cat(spark, sf_dir).events
+    tombstones = ev.filter(F.col("user_id") % 101 == 0).select(
+        "user_id"
+    ).distinct()
+    kept = ev.join(F.broadcast(tombstones), "user_id", "left_anti")
+    kept_agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    total_agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return (
+        total_agg.join(kept_agg, "event_type", "left")
+        .select(
+            "event_type",
+            (
+                F.col("n_total") - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_purged"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )

@@ -205,6 +205,11 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # q_curation_blend: the LM pipeline + the lm join + two rank
     # windows over the source partition (windows share the exchange).
     ("q_curation_blend", 8),
+    # q_rolling_24h_active_users: (hour,user) dedup, the contribution
+    # explode's distinct-hour semi-join, the count_distinct rollup.
+    ("q_rolling_24h_active_users", 5),
+    # q_gdpr_purge_audit: broadcast anti-join + two event_type rollups.
+    ("q_gdpr_purge_audit", 4),
 ])
 def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
