@@ -304,3 +304,57 @@ def test_pack_contexts_bins_are_offset_consistent(spark, sf_dir):
             assert r.token_offset == offset
             assert r.bin_id == offset // _PACK_CAPACITY
             offset += r.n_tokens
+
+
+@given(data=rows)
+@SETTINGS
+def test_containment_dominates_jaccard_and_identity(spark, data):
+    """For every pair: containment(A->B) >= jaccard(A,B) (the
+    intersection is divided by the smaller-or-equal denominator), and
+    identical texts have containment 1.0 in both directions."""
+    from etl_onprem_to_cloud_spark.llm.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_k, t) in enumerate(data)] or [(0, "a b c")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(docs, threshold=0.0).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for (a, b), j in jac.items():
+        c = max(cont.get((a, b), 0.0), cont.get((b, a), 0.0))
+        assert c >= j - 1e-9, (a, b, c, j)
+    texts_by_id = {i: t for i, (_k, t) in enumerate(data)}
+    for (a, b), c in cont.items():
+        if texts_by_id.get(a) is not None and texts_by_id.get(a) == texts_by_id.get(b):
+            assert c == 1.0
+
+
+@given(data=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                     min_size=1, max_size=20))
+@SETTINGS
+def test_star_cc_matches_label_propagation_on_random_graphs(spark, data):
+    """Both CC algorithms agree on arbitrary small graphs (self-loops
+    and duplicate edges included)."""
+    from etl_onprem_to_cloud_spark.llm.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in data if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = {(r.node, r.component)
+            for r in connected_components_star(pairs).collect()}
+    prop = {(r.node, r.component)
+            for r in connected_components(pairs).collect()}
+    assert star == prop
