@@ -66,6 +66,9 @@ HEADLINE = [
     "q_span_doc_coverage",
     # The end-to-end training-data prep story in one plan.
     "q_training_data_pipeline",
+    # Rolling distinct actives: the contribution-explode shape that
+    # replaces a range join.
+    "q_rolling_24h_active_users",
 ]
 
 
