@@ -516,6 +516,21 @@ def connected_components(
     return labels
 
 
+def _prefix_len(n_sh: Column, threshold: float) -> Column:
+    """Safe-side prefix length ``floor((1-t)*n)+1`` for prefix
+    filtering.  Computed as ``n - ceil((t - 1e-6)*n) + 1``: the naive
+    float form loses pairs outright -- ``1.0 - 0.8`` is
+    0.19999999999999996, so ``floor(0.2*10)`` becomes 1 instead of 2
+    and a doc's prefix shrinks below the pigeonhole bound (a true
+    containment-0.8 pair WAS dropped at sf0.1 before this).  The 1e-6
+    slack also covers the verify step's round(.,6) tolerance; a prefix
+    one shingle too LONG only adds candidates (still exact), one too
+    SHORT loses results."""
+    return (
+        n_sh - F.ceil((threshold - 1e-6) * n_sh).cast("int") + 1
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -564,7 +579,7 @@ def ngram_jaccard_pairs_prefix(
         .join(sets.select(id_col, "n_sh"), id_col)
         .filter(
             F.col("rnk")
-            <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + 1
+            <= _prefix_len(F.col("n_sh"), threshold)
         )
         .select(id_col, *blocks, "shingle")
     )
@@ -769,3 +784,71 @@ def containment_pairs(
         F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def containment_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact containment pairs via ASYMMETRIC prefix filtering: same
+    result as :func:`containment_pairs`, cheaper candidates.
+
+    For C(A->B) = |A∩B|/|A| >= t, A must share at least one shingle
+    among its first floor((1-t)*|A|)+1 shingles under a fixed global
+    (rarest-first) order -- the bound depends only on the CONTAINED
+    side, so only A-side rows are prefix-restricted while the container
+    side keeps its full inverted index.  At t=0.8 the prefix is ~20% of
+    each doc's shingles, so the candidate join touches ~5x fewer
+    A-side postings than the naive self-join; high-frequency shingles
+    (the k^2 candidate generators) rank last and rarely enter a prefix.
+    Verification on full collect_set sets keeps the result exact.
+    """
+    ex = _exploded_shingles(docs, id_col, text_col, shingle_n)
+    sets = ex.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "shingle")
+            ),
+        )
+        .join(sets.select(id_col, "n_sh"), id_col)
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= _prefix_len(F.col("n_sh"), threshold)
+    ).select(F.col(id_col).alias("contained_id"), "shingle")
+    full = ex.select(F.col(id_col).alias("container_id"), "shingle")
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col(id_col).alias("contained_id"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("container_id"), F.col("sh").alias("sh_b")
+    )
+    return (
+        cand.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.col("n_a"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )

@@ -236,3 +236,36 @@ def test_streaming_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
         for r in flat.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_prefix_bound_float_regression(spark):
+    """floor((1-t)*n) with t=0.8 computes floor(1.9999999999999996)=1
+    and shrinks the prefix below the pigeonhole bound: doc A (10
+    shingles, 2 unique-to-A) contained at exactly 0.8 in doc B used to
+    vanish from the prefix variant because A's two rarest shingles are
+    exactly its two non-shared ones.  The safe-side bound must keep the
+    pair, for containment AND for jaccard at a non-binary threshold."""
+    from etl_onprem_to_cloud_spark.llm.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    w = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w[:12])),   # shingles s0..s9
+            (2, " ".join(w[:10])),   # shingles s0..s7 (8 shared)
+        ],
+        ["doc_id", "text"],
+    )
+    naive = {(r.contained_id, r.container_id)
+             for r in containment_pairs(docs, threshold=0.8).collect()}
+    pref = {(r.contained_id, r.container_id)
+            for r in containment_pairs_prefix(docs, threshold=0.8).collect()}
+    assert (1, 2) in naive
+    assert naive == pref
+    jn = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect())
+    jp = sorted(tuple(r) for r in ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect())
+    assert jn == jp
