@@ -95,3 +95,54 @@ def interval_join(
         & (points[point_ts] <= intervals[end_col])
     )
     return points.join(intervals, cond, how)
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average via batch
+    ``applyInPandas`` -- the grouped-map escape hatch for semantics the
+    built-in operators genuinely cannot express: the EWMA recurrence
+    ``s_t = (1-a)*s_{t-1} + a*x_t`` (init ``s_1 = x_1``) depends on its
+    own previous OUTPUT, which no window frame provides.  (The closed
+    form with pow() exists but is numerically unstable and
+    engine-divergent; the recurrence is the stable, portable shape.)
+
+    Scale shape: one shuffle on ``key_cols``; each group is processed
+    in one Arrow batch.  The recurrence forces a sequential pass WITHIN
+    a key (inherent to the operator, not the implementation); across
+    keys it parallelizes like any grouped-map.  The update is written
+    as the explicit ``(1-a)*s + a*x`` double expression so an external
+    SQL engine replaying the same recurrence (e.g. a recursive CTE)
+    reproduces it bit-for-bit -- pandas' own ewm() uses a different
+    (weight-normalized) operation order and is NOT bit-stable against
+    SQL.  Ties in ``order_cols`` would make the scan order ambiguous;
+    callers must pass a total order per key.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # A fresh StructType -- StructType.add would MUTATE df's cached
+    # schema object and desync it from the plan.
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    one_minus = 1.0 - alpha
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        s = None
+        out = []
+        for x in pdf[value_col]:
+            x = float(x)
+            s = x if s is None else one_minus * s + alpha * x
+            out.append(s)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, out_schema)

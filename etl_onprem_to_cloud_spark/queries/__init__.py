@@ -122,6 +122,7 @@ _CHANGED_R05 = (
     "q_curation_blend",
     "q_rolling_24h_active_users",
     "q_gdpr_purge_audit",
+    "q_ewma_user_values",
 )
 
 # New in round 4 (fresh evidence needed first).

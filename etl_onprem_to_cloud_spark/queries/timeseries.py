@@ -245,3 +245,63 @@ def q_sessions_gaps_islands(spark, sf_dir):
         fmt_ts(F.max("ts"), "session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_ewma_user_values",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, event_id, ts, value, rn, value AS ewma
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.ts, s.value, s.rn,
+    0.75 * rec.ewma + 0.25 * s.value
+  FROM s JOIN rec ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+)
+SELECT user_id, event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+  round(value, 6) AS value,
+  floor(ewma * 1000000) / 1000000 AS ewma
+FROM rec
+ORDER BY user_id, event_id
+""",
+    tags=("timeseries", "pandas-udf", "grouped-map", "ring-b"),
+    description=(
+        "Per-user EWMA of event values (alpha=0.25, init = first "
+        "value) over (ts, event_id) order -- the batch applyInPandas "
+        "surface, used where it is genuinely required: the recurrence "
+        "reads its own previous output, which no window frame can.  "
+        "alpha is chosen binary-exact and the update is the literal "
+        "(1-a)*s + a*x double expression, so the recursive-CTE oracle "
+        "replays the identical IEEE operation sequence."
+    ),
+)
+def q_ewma_user_values(spark, sf_dir):
+    from ..operators.timeseries import ewma
+
+    ev = cat(spark, sf_dir).events.select("user_id", "event_id", "ts", "value")
+    out = ewma(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.25,
+    )
+    # TRUNCATE the ewma to 6 decimals instead of round(): alpha=0.25
+    # products land exactly on .5 decimal boundaries, where Spark's
+    # round (BigDecimal via shortest-repr) and DuckDB's round (scaled
+    # multiply) disagree by 1 ulp of the 6th digit.  floor(x*1e6)/1e6
+    # depends only on the (bit-identical) double value, never on a
+    # decimal re-interpretation -- 3 of 10k rows flipped before this.
+    return out.select(
+        "user_id",
+        "event_id",
+        fmt_ts("ts", "ts"),
+        F.round("value", 6).alias("value"),
+        (F.floor(F.col("ewma") * 1000000) / 1000000).alias("ewma"),
+    ).orderBy("user_id", "event_id")
