@@ -75,177 +75,101 @@ from . import tpch2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
 # --- Evidence-priority ordering -------------------------------------------
-# The round-1 driver recorded correctness rows for only the FIRST 50
-# registry entries, leaving the rest (all of Ring C, streaming twins,
-# tpch2, time-series, maintenance) without hard evidence
-# (VERDICT.md "Next round" item 1).  Order the registry so (a) entries
-# that are new or whose oracle contract changed this round come first,
-# then (b) entries with no driver row yet, then (c) entries already
-# green in CORRECTNESS_r01.json.  Sorting is stable, so import order
-# above breaks ties inside each tier.
+# Policy (fixed after round-2 advice): order the registry purely by
+# VERIFICATION NEED -- entries that are new this round or whose
+# oracle/implementation contract changed come first, then entries that
+# have never received a driver correctness row in any round, then
+# entries already driver-green (CORRECTNESS_r01 + r02).  Known-green
+# queries never outrank unverified ones, so whatever subset the driver
+# checks, it lands on the queries most likely to hide a defect.
+# Re-verification of the green tier happens every round in the local
+# suite (tests/test_oracle_parity.py hash-compares all oracled queries
+# against DuckDB).
 
-# VERDICT.md round-1 item 1 names these queries as the explicit "Done ="
-# evidence bar ("green rows for q_dedup_minhash_lsh,
-# q_ann_brute_force_topk, q_text_stats, q_events_user_sessions,
-# q02-q22, etc.").  If the driver again samples a prefix of the
-# registry, these MUST be inside it -- so they outrank everything.
-_JUDGE_NAMED = (
-    "q_dedup_minhash_lsh",
-    "q_ann_brute_force_topk",
-    "q_text_stats",
-    "q_events_user_sessions",
-    "q_dedup_clusters",
-    "q_events_tumbling_hourly",
-    "q_events_sliding_half_hour",
-    "q02_min_cost_supplier",
-    "q04_late_shipping_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_cnt_by_part",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q21_waiting_supplier",
-    "q22_dormant_rich_customers",
-)
-
-# New in round 5.
-_CHANGED_R05 = (
-    "q_repeated_spans",
-    "q_span_doc_coverage",
-    "q_bigram_pmi",
-    "q_dedup_clusters_star",
-    "q_bigram_lm_logprob",
-    "q_training_data_pipeline",
-    "q_embedding_outliers",
-    "q_dedup_containment",
-    "q_cross_source_dup_matrix",
-    "q_curation_blend",
-    "q_rolling_24h_active_users",
-    "q_gdpr_purge_audit",
-    "q_ewma_user_values",
-)
-
-# New in round 4 (fresh evidence needed first).
-_CHANGED_R04 = (
-    "q_cms_heavy_hitters",
-    "q_bloom_semi_join_reduction",
-    "q_zorder_layout_stats",
-    "q_token_entropy_docs",
-    "q_psi_price_drift",
-    "q_winsorized_price_stats",
-    "q_resample_match_uniform_length",
-    "q_reservoir_k_per_group",
-    "q_quantile_normalize_prices",
-    "q_incremental_ingest_dedup",
-)
-
-# New in round 3.
-_CHANGED_R03 = (
-    "q_scd2_order_status_history",
-    "q_table_diff_orders",
-    "q_cdc_apply_user_state",
-)
-
-# New in / contract changed in round 2.
-_CHANGED_R02 = (
-    "q_netflix_clean",
-    "q_netflix_report",
-    "q11_important_parts",
+# New in / contract changed in round 3 (q12: oracle HUGEINT fix +
+# pinned ORDER BY, VERDICT r2 item 1; the rest are round-3 additions).
+_CHANGED_THIS_ROUND = (
     "q12_shipping_lateness",
-    "q20_heavy_part_suppliers",
-    "q_approx_count_distinct",      # no_oracle -> bounded-rtol oracle
-    "q_approx_percentiles_orders",  # no_oracle -> bounded-rtol oracle
-    "q_merge_upsert_latest_events",  # deterministic tiebreaker added
-    "q_asof_join_click_attribution",  # oracle made tie-deterministic
-    "q_srp_near_dup_pairs",  # new: SRP-LSH cosine near-dup
-    "q_text_repetition",     # new: Gopher repetition metrics
-    "q_text_quality_gate",   # new: composite quality gate
-    "q_split_train_val_test",    # new: deterministic split
-    "q_pack_contexts",           # new: context-window packing
-    "q_token_budget_per_source",  # new: per-source token budget
-    "q_multimodal_decode_features",  # rows-only -> full value oracle
-    "q_multimodal_frame_sample",     # new: frame-sampling fan-out
-    "q_udtf_token_chunks",           # new: Python UDTF lateral fan-out
-    "q_ann_ivf_label_cells",         # new: IVF with oracle-checked cells
-    "q_dedup_simhash",               # rows-only -> full value oracle
-    "q_hll_sketch_rollup",           # new: mergeable-sketch rollup
-    "q_multimodal_audio_chunks",     # new: audio chunking fan-out
-    "q_events_funnel",               # new: ordered conversion funnel
-    "q_events_retention_cohorts",    # new: weekly retention matrix
-    "q_dedup_keep_best_quality",     # new: dedup + quality composed
-    "q_incremental_rollup_merge",    # new: mergeable-partials rollup
-    "q_skew_salted_agg",             # new: skew mitigation, driver-checked
-    "q_fuzzy_levenshtein_pairs",     # new: edit-distance fuzzy join
-    "q_rfm_segments",                # new: RFM quartile segmentation
-    "q_events_conversion_latency",   # new: funnel latency percentiles
 )
 
-# Bench-headline queries with no driver correctness row yet: a benched
-# number should come with value evidence, so these run right after the
-# changed set.
-_BENCHED_UNCHECKED = (
+# Never driver-checked in r01 or r02 (61 entries).  Ordered with the
+# families VERDICT r2 item 2 called out first (events/JSON surface,
+# PII, decontamination, dedup variants, multimodal, time-series, skew,
+# q07-q09), then the remaining unchecked entries in import order.
+_NEVER_CHECKED = (
+    "q_events_funnel",
+    "q_events_retention_cohorts",
+    "q_events_json_extract",
+    "q_events_json_struct",
+    "q_pii_scan_contacts",
+    "q_pii_redaction_summary",
+    "q_decontaminate_ngram_overlap",
+    "q_dedup_simhash",
+    "q_srp_near_dup_pairs",
+    "q_multimodal_decode_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_audio_chunks",
+    "q_multimodal_metadata",
+    "q_resample_hourly_locf",
+    "q_skew_salted_agg",
     "q07_volume_shipping",
     "q08_market_share",
     "q09_product_type_profit",
+    "q_asof_join_click_attribution",
+    "q_text_repetition",
+    "q_text_quality_gate",
+    "q_split_train_val_test",
+    "q_pack_contexts",
+    "q_token_budget_per_source",
+    "q_udtf_token_chunks",
+    "q_ann_ivf_label_cells",
+    "q_hll_sketch_rollup",
+    "q_dedup_keep_best_quality",
+    "q_incremental_rollup_merge",
+    "q_fuzzy_levenshtein_pairs",
+    "q_rfm_segments",
+    "q_events_conversion_latency",
+    "q_boilerplate_chunks",
+    "q_event_type_transitions",
+    "q_events_hourly_anomalies",
+    "q_sample_weighted_by_length",
+    "q_inverted_index_tokens",
+    "q_top_bigrams",
+    "q_events_user_stats",
+    "q_sample_stratified_docs",
+    "q_interval_join_busy_hours",
+    "q_rolling_1h_sum_per_user",
+    "q_sessions_gaps_islands",
+    "q_profile_orders_columns",
+    "q_text_language_id",
+    "q_text_fingerprint",
+    "q_dedup_exact_groups",
+    "q_dedup_exact_keep",
+    "q_dedup_ngram_jaccard",
+    "q_docs_by_source",
+    "q_fuzzy_part_name_pairs",
+    "q_tfidf_top_terms",
+    "q_dedup_ngram_jaccard_blocked",
+    "q_ann_ivf_topk",
+    "q_embedding_near_dup",
+    "q_ml_minhash_lsh_pairs",
+    "q_ml_brp_ann_topk",
+    "q_string_functions2",
+    "q_null_semantics",
+    "q_union_by_name_missing",
+    "q_calendar_arithmetic",
 )
-
-# Green rows already recorded by the round-1 driver (CORRECTNESS_r01).
-_R01_CHECKED = frozenset({
-    "q01_pricing_summary", "q03_shipping_priority",
-    "q05_local_supplier_volume", "q06_forecast_revenue",
-    "q10_returned_items", "q15_top_supplier", "q18_large_volume_customer",
-    "q_anti_join_dormant_customers", "q_array_functions_docs",
-    "q_bitwise_ops", "q_case_when_order_buckets",
-    "q_collect_sorted_regions", "q_conditional_agg_orders",
-    "q_correlated_exists_sql", "q_count_distinct_segments",
-    "q_cross_join_region_matrix", "q_cube_order_status_priority",
-    "q_date_functions_orders", "q_full_outer_join_nation_activity",
-    "q_grouping_sets_order_dims", "q_histogram_doc_lengths",
-    "q_in_subquery_sql", "q_left_join_nation_coverage",
-    "q_map_functions_events", "q_math_functions_lineitem",
-    "q_minmax_by_nation", "q_orders_per_month", "q_percentiles_orders",
-    "q_pivot_status_by_priority", "q_posexplode_tokens",
-    "q_rollup_customer_geo", "q_scalar_subquery_sql",
-    "q_semi_join_active_customers", "q_setops_building_vs_finished",
-    "q_star_revenue_by_region_year", "q_stats_moments_lineitem",
-    "q_string_extract_position", "q_string_functions_part",
-    "q_theta_join_price_bands", "q_token_doc_frequency",
-    "q_topk_orders_global", "q_topk_per_group_customer_orders",
-    "q_window_distribution_funcs", "q_window_first_last_nth",
-    "q_window_lag_lead", "q_window_range_frame", "q_window_rank_orders",
-    "q_window_running_sum",
-})
 
 
 def _tier(name: str) -> int:
-    if name in _JUDGE_NAMED:
+    if name in _CHANGED_THIS_ROUND:
         return 0
-    if name in _CHANGED_R05:
+    if name in _NEVER_CHECKED:
         return 1
-    if name in _CHANGED_R04:
-        return 2
-    if name in _CHANGED_R03:
-        return 3
-    if name in _CHANGED_R02:
-        return 4
-    if name in _BENCHED_UNCHECKED:
-        return 5
-    if name not in _R01_CHECKED:
-        return 6
-    return 7
+    return 2
 
 
-_prio = {
-    n: i
-    for i, n in enumerate(
-        _JUDGE_NAMED
-        + _CHANGED_R05
-        + _CHANGED_R04
-        + _CHANGED_R03
-        + _CHANGED_R02
-        + _BENCHED_UNCHECKED
-    )
-}
+_prio = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND + _NEVER_CHECKED)}
 QUERIES = dict(
     sorted(
         QUERIES.items(),

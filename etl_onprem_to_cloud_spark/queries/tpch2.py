@@ -585,12 +585,13 @@ SELECT
     WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 90 THEN '30_to_90d'
     ELSE 'over_90d'
   END AS lateness,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY lateness
+ORDER BY lateness
 """,
     tags=("join", "agg", "tpch"),
     description="TPC-H Q12 analogue (shipping modes and priority): the "
@@ -617,6 +618,7 @@ def q12_shipping_lateness(spark, sf_dir):
             F.sum(high.cast("bigint")).alias("high_line_count"),
             F.sum((~high).cast("bigint")).alias("low_line_count"),
         )
+        .orderBy("lateness")
     )
 
 
