@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -239,6 +242,50 @@ def srp_planes(
     ]
 
 
+def _srp_dots_pandas(planes: list[list[float]]):
+    """Vectorized projection: one numpy matmul per Arrow batch computes
+    every (row, plane) dot product at once.  The planes matrix rides
+    into the executor inside the serialized UDF closure (num_planes*dim
+    float64 -- a few KB)."""
+    from pyspark.sql.functions import pandas_udf
+
+    plane_t = np.asarray(planes, dtype=np.float64).T  # dim x n_planes
+
+    @pandas_udf("array<double>")
+    def srp_dots(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)  # batch x dim
+        return pd.Series(list(mat @ plane_t))
+
+    return srp_dots
+
+
+def _pair_cosine_pandas():
+    """Vectorized twin of functions.vectors.cosine_similarity for the
+    candidate-verify step: one numpy pass per Arrow batch instead of an
+    interpreted 64-element fold per pair.  Matches the HOF form's
+    semantics (double math, NULL when either norm is zero) and its
+    round-6 output: the only float difference is dot-sum order, ~1e-16
+    relative, invisible after rounding to 1e-6 (differential-tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.array(list(va), dtype=np.float64)
+        b = np.array(list(vb), dtype=np.float64)
+        num = (a * b).sum(axis=1)
+        den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den > 0, num / den, np.nan)
+        # Nullable dtype: a zero norm must surface as SQL NULL (as the
+        # HOF form does), not NaN -- Spark orders NaN above every value,
+        # so a NaN would wrongly survive a >= threshold filter.
+        out = pd.Series(np.round(cos, 6), dtype="Float64")
+        out[den <= 0] = pd.NA
+        return out
+
+    return pair_cos
+
+
 def srp_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,
@@ -248,6 +295,7 @@ def srp_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "srp",
+    projection: str = "pandas",
 ) -> DataFrame:
     """Cosine near-dup pairs via signed-random-projection LSH
     (random-hyperplane SimHash) -> (id_a, id_b, cosine), id_a < id_b.
@@ -277,10 +325,20 @@ def srp_near_dup_pairs(
     lambda -- building a separate 64-literal dot-product tree per plane
     made analysis+codegen the dominant cost (9s fixed overhead on a
     500-row input); the single-literal form is ~15x cheaper to plan.
+
+    ``projection`` picks the dot-product engine: ``"pandas"`` (default)
+    is an Arrow-batched numpy matmul -- one BLAS gemm per batch instead
+    of num_tables*bits_per_table interpreted ``aggregate``/``zip_with``
+    folds per row, ~10x cheaper at real embedding dims; ``"expr"`` is
+    the pure-codegen higher-order-function form.  Both are
+    differential-tested to produce identical pair sets
+    (tests/test_similarity_ml.py): the only float difference is
+    summation order inside one dot product, and a sign flip would need
+    |dot| < ~1e-13, far below the fixture's (and any real corpus')
+    margin around zero.
     """
     n_planes = num_tables * bits_per_table
     planes = srp_planes(n_planes, dim, seed)
-    planes_lit = F.lit(planes)  # one literal node, not n_planes*dim of them
 
     # Spread a compact (one-file) corpus before the CPU-heavy projection
     # pass: num_tables*bits_per_table interpreted dot folds per row run
@@ -294,17 +352,36 @@ def srp_near_dup_pairs(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    dots = vecs.select(
-        F.col(id_col),
-        F.transform(
-            planes_lit,
-            lambda p: F.aggregate(
-                F.zip_with(F.col("__v"), p, lambda x, y: x * y),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            ),
-        ).alias("__dots"),
-    )
+    if projection == "pandas":
+        dots = vecs.select(
+            F.col(id_col),
+            _srp_dots_pandas(planes)(F.col("__v")).alias("__dots"),
+        )
+    elif projection == "expr":
+        # One literal node, not n_planes*dim of them -- and built by the
+        # SQL parser: F.lit on a nested python list walks Py4J once per
+        # element (~2.4s for 64x64 doubles); parsing the equivalent
+        # array(array(...)) text costs ~4ms.
+        planes_lit = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(v) for v in p) + ")" for p in planes
+            )
+            + ")"
+        )
+        dots = vecs.select(
+            F.col(id_col),
+            F.transform(
+                planes_lit,
+                lambda p: F.aggregate(
+                    F.zip_with(F.col("__v"), p, lambda x, y: x * y),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                ),
+            ).alias("__dots"),
+        )
+    else:
+        raise ValueError(f"projection must be 'pandas' or 'expr', got {projection!r}")
 
     def bucket(t: int) -> F.Column:
         acc = F.lit(0).cast("long")
@@ -348,15 +425,18 @@ def srp_near_dup_pairs(
     )
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if projection == "pandas":
+        # Candidate volume is occupancy-bounded but still the widest
+        # stage (dozens of pairs per vector); verify each pair with one
+        # numpy batch pass rather than an interpreted 64-element fold.
+        cos = _pair_cosine_pandas()(F.col("__va"), F.col("__vb"))
+    else:
+        cos = F.round(
+            cosine_similarity(F.col("__va"), F.col("__vb")), 6
+        ).cast("double")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
-            .cast("double")
-            .alias("cosine"),
-        )
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

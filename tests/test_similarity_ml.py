@@ -140,3 +140,24 @@ def test_srp_pairs_subset_of_exact_and_deterministic(spark, sf_dir):
     assert runs[0] == runs[1], "SRP buckets must be rerun-stable"
     assert runs[0], "clustered fixture must yield some SRP pairs"
     assert runs[0] <= exact, "verify step must keep precision exact"
+
+
+def test_srp_pandas_projection_matches_expr_twin(spark, sf_dir):
+    """Differential: the vectorized numpy-matmul projection and the
+    pure-codegen higher-order-function projection must produce the
+    IDENTICAL (id_a, id_b, cosine) output -- summation order inside one
+    dot product is the only float difference, and no fixture dot sits
+    within 1e-13 of the sign boundary."""
+    from etl_onprem_to_cloud_spark.llm.similarity import srp_near_dup_pairs
+    from etl_onprem_to_cloud_spark.queries._util import cat
+
+    emb = cat(spark, sf_dir).embeddings
+    pandas_out = sorted(
+        tuple(r)
+        for r in srp_near_dup_pairs(emb, dim=64, projection="pandas").collect()
+    )
+    expr_out = sorted(
+        tuple(r)
+        for r in srp_near_dup_pairs(emb, dim=64, projection="expr").collect()
+    )
+    assert pandas_out == expr_out and len(pandas_out) > 0
