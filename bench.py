@@ -69,6 +69,13 @@ HEADLINE = [
     # Rolling distinct actives: the contribution-explode shape that
     # replaces a range join.
     "q_rolling_24h_active_users",
+    # r3 additions (VERDICT r2 item 4): the round-2 tail -- asymmetric
+    # containment dedup, grouped-applyInPandas EWMA, and the exploded
+    # centroid-cosine outlier scan -- so those families get
+    # round-over-round regression tracking too.
+    "q_dedup_containment",
+    "q_ewma_user_values",
+    "q_embedding_outliers",
 ]
 
 

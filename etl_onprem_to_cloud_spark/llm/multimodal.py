@@ -4,12 +4,13 @@ Pattern: media travels as an opaque ``binary`` column plus a typed
 metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
-The container has no image/audio codecs, so the actual decode is a
-STUB: ``decode_image(..., fake=True)`` produces a deterministic fake
-feature vector from the payload's md5 (stable across runs, good enough
-to exercise schema/partitioning/batching end-to-end), and
-``fake=False`` raises NotImplementedError where a real
-``PIL.Image.open`` / ``torchvision`` call would go.
+The container has no image/audio codec LIBRARIES, but ``fake=False``
+still has a real in-container decode path: :func:`ppm_decoder`, a
+pure-Python binary-PPM (P6) parser -- genuine header parsing (width/
+height/maxval read from the payload bytes, comments handled) + raster
+feature pooling, zero dependencies.  ``fake=True`` keeps the md5 stub
+(any payload, no format required), and ``decoder=`` remains the
+pluggable boundary for real codecs (PIL/torchvision closures).
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) governs scan
@@ -72,6 +73,74 @@ def attach_binary_payload(
     )
 
 
+def attach_ppm_payload(
+    docs: DataFrame, text_col: str = "text", width: int = 8, height: int = 8
+) -> DataFrame:
+    """Construct a VALID binary-PPM (P6) payload from table data: the
+    doc's printable-ASCII bytes become the raster (space-padded or
+    truncated to width*height*3), prefixed with a real P6 header.  The
+    payload round-trips through :func:`ppm_decoder` as a genuine image
+    decode, yet every output value stays SQL-reproducible because the
+    raster bytes are a deterministic function of the text column."""
+    n = width * height * 3
+    ascii_only = F.regexp_replace(F.col(text_col), "[^ -~]", "")
+    pix = F.rpad(F.substring(ascii_only, 1, n), n, " ")
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{width} {height}\n255\n"), "UTF-8"),
+        F.encode(pix, "UTF-8"),
+    )
+    return docs.select(
+        F.col("doc_id"),
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.octet_length(payload).cast("bigint").alias("byte_len"),
+    )
+
+
+def ppm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
+    """Pure-Python binary-PPM (P6) decoder -- the real (if trivial)
+    in-container codec: no PIL, no numpy requirement, just the netpbm
+    spec.  Parses the whitespace-separated header (magic, width,
+    height, maxval; ``#`` comments allowed), then pools the raster into
+    ``feat_dim`` contiguous slices: feature i = mean of slice i's bytes
+    scaled to [-1, 1] and rounded to 6 decimals.
+
+    Raises ValueError on a non-P6 or truncated payload -- a decoder
+    should reject what it cannot decode, not fabricate output."""
+    data = bytes(payload or b"")
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = vals
+    if width <= 0 or height <= 0 or maxval <= 0:
+        raise ValueError("invalid PPM dimensions")
+    raster = data[pos : pos + width * height * 3]
+    if len(raster) < width * height * 3:
+        raise ValueError("truncated PPM raster")
+    slice_len = max(1, len(raster) // feat_dim)
+    feats = []
+    for i in range(feat_dim):
+        sl = raster[i * slice_len : (i + 1) * slice_len]
+        feats.append(
+            round(sum(sl) / (len(sl) * maxval) * 2.0 - 1.0, 6) if sl else 0.0
+        )
+    return width, height, feats
+
+
 def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for a real image decode: md5-derived
     pseudo-dimensions and features."""
@@ -98,20 +167,16 @@ def decode_image_features(
     without editing this module, and is shipped to executors inside the
     same Arrow-batched ``mapInPandas`` contract (MEDIA_SCHEMA ->
     IMAGE_FEATURE_SCHEMA).  When ``decoder`` is None, ``fake=True``
-    selects the deterministic md5 stub (the CI path; the container has
-    no codecs) and ``fake=False`` raises where the real decode would go.
+    selects the deterministic md5 stub (works on ANY payload) and
+    ``fake=False`` runs :func:`ppm_decoder`, the pure-Python P6 parser
+    -- a real decode for real PPM payloads (see attach_ppm_payload);
+    non-PPM payloads then fail with ValueError, as a codec should.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = decoder
         if decode is None:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torchvision (not in "
-                    "container); pass decoder= or use fake=True for the "
-                    "deterministic stub"
-                )
-            decode = _fake_decode
+            decode = _fake_decode if fake else ppm_decoder
         for pdf in batches:
             decoded = [decode(p, feat_dim) for p in pdf["payload"]]
             yield pd.DataFrame(

@@ -46,12 +46,25 @@ def ml_minhash_near_dup_pairs(
     jaccard_distance_threshold: float = 0.5,
     num_features: int = 1 << 18,
     seed: int = 42,
+    verify_jaccard_sim: float | None = None,
 ) -> DataFrame:
     """MinHashLSH over hashed shingle vectors -> (id_a, id_b, jaccard_dist).
 
     HashingTF turns each doc's shingle set into a sparse binary vector
     (feature space 2^18); MinHashLSH.approxSimilarityJoin emits pairs
     under the Jaccard *distance* threshold.
+
+    ``verify_jaccard_sim``: when set, candidates are re-scored with the
+    EXACT Jaccard over the (distinct) shingle sets and only pairs with
+    similarity >= the value are emitted as (id_a, id_b, jaccard).  That
+    output no longer depends on the seeded hash family (only on LSH
+    recall at the verify threshold, which OR-amplification drives to
+    ~1: a missed pair needs all ``num_hash_tables`` minhashes to
+    disagree, p = (1-s)^tables, e.g. 0.2^8 ~ 3e-6 at s=0.8), so it is
+    deterministic AND SQL-expressible -- the exact-Jaccard form is the
+    DuckDB oracle.  The hashed-vector distance from approxSimilarityJoin
+    is only the candidate gate; the emitted jaccard is shingle-set
+    exact, so HashingTF collisions cannot distort values.
 
     Perf shape (measured 36s -> ~4s at sf0.1): tokens are materialized
     in their own projection before shingling (the inline form
@@ -96,13 +109,33 @@ def ml_minhash_near_dup_pairs(
     )
     model = lsh.fit(vecs)
     pairs = model.approxSimilarityJoin(vecs, vecs, jaccard_distance_threshold, "jaccard_dist")
+    cand = pairs.filter(
+        F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")
+    ).select(
+        F.col(f"datasetA.{id_col}").alias("id_a"),
+        F.col(f"datasetB.{id_col}").alias("id_b"),
+        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    )
+    if verify_jaccard_sim is None:
+        return cand
+    # Exact verify: rejoin the candidate ids to the shingle sets and
+    # score |A&B| / |A|B| -- candidate volume is LSH-bounded, so the
+    # rejoin is narrow.  sh is re-derived from the same projections
+    # (cheap at candidate cardinality; vecs stays the persisted branch).
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
     return (
-        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        cand.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= verify_jaccard_sim)
     )
 
 

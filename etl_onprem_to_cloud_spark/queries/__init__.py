@@ -90,6 +90,7 @@ from . import relational  # noqa: E402,F401
 # pinned ORDER BY, VERDICT r2 item 1; the rest are round-3 additions).
 _CHANGED_THIS_ROUND = (
     "q12_shipping_lateness",
+    "q_multimodal_ppm_decode",   # new: real in-container PPM decode
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -226,18 +226,52 @@ from ..llm.similarity_ml import HAS_ML
 
 if HAS_ML:
 
+    from ._util import duck_shingles, duck_tokens
+
+    _MLH_TOKS = duck_tokens("text")
+
     @query(
         "q_ml_minhash_lsh_pairs",
-        oracle=None,  # seeded MinHashLSH hash family is not reproducible in SQL
+        oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_MLH_TOKS} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, {duck_shingles('tk')} AS sh FROM toks
+),
+ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+    count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+  round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM pairs
+WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.8
+""",
         tags=("dedup", "ring-c", "minhash", "lsh", "mllib"),
-        description="Stock MinHashLSH near-dup pairs over hashed shingle "
-        "vectors (approxSimilarityJoin on banded buckets; never cross-product).",
+        description="Stock MinHashLSH candidates verified with the EXACT "
+        "shingle-set Jaccard at sim >= 0.8 (VERDICT r2 item 5): the emitted "
+        "pair set no longer depends on the seeded hash family -- only on "
+        "OR-amplified recall, (1-0.8)^8 ~ 3e-6 miss probability per true "
+        "pair -- so the all-pairs exact-Jaccard SQL is a value oracle.  "
+        "approxSimilarityJoin stays the banded candidate gate; never "
+        "cross-product.",
     )
     def q_ml_minhash_lsh_pairs(spark, sf_dir):
         from ..llm.similarity_ml import ml_minhash_near_dup_pairs
 
         docs = cat(spark, sf_dir).documents
-        return ml_minhash_near_dup_pairs(docs, jaccard_distance_threshold=0.5)
+        return ml_minhash_near_dup_pairs(
+            docs,
+            num_hash_tables=8,
+            jaccard_distance_threshold=0.5,
+            verify_jaccard_sim=0.8,
+        )
 
     @query(
         "q_ml_brp_ann_topk",

@@ -39,12 +39,66 @@ def test_decode_deterministic_across_runs(media):
     assert a == b
 
 
-def test_real_decode_path_is_explicit_stub(media):
+def test_real_decode_rejects_non_ppm(media):
+    # fake=False is now a REAL decode (pure-Python P6 parser); on a
+    # payload that isn't a PPM it must fail like a codec, not fabricate.
     with pytest.raises(Exception) as ei:
         decode_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+    assert "PPM" in str(ei.value)
+
+
+_FIXTURE_PPM = "tests/fixtures/tiny.ppm"
+
+
+def test_ppm_decoder_parses_committed_fixture():
+    from etl_onprem_to_cloud_spark.llm.multimodal import ppm_decoder
+
+    data = open(_FIXTURE_PPM, "rb").read()
+    w, h, feats = ppm_decoder(data, feat_dim=4)
+    assert (w, h) == (4, 2), "dimensions parsed from header (incl. comment line)"
+    # raster = bytes(range(24)); slices of 6 -> sums 15, 51, 87, 123
+    expect = [round(s / (6 * 255) * 2.0 - 1.0, 6) for s in (15, 51, 87, 123)]
+    assert feats == expect
+
+
+def test_ppm_decoder_error_paths():
+    from etl_onprem_to_cloud_spark.llm.multimodal import ppm_decoder
+
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        ppm_decoder(b"GIF89a....", 4)
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        ppm_decoder(b"P6\n4 2\n255\n" + bytes(10), 4)
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        ppm_decoder(b"P6\n4 2\n", 4)
+
+
+def test_real_decode_roundtrip_on_constructed_ppm(spark, sf_dir):
+    """attach_ppm_payload -> decode(fake=False): width/height come from
+    genuine header parsing and features match an independent Python
+    reference computed from the same text bytes."""
+    import re
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        attach_ppm_payload,
+        ppm_decoder,
     )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_ppm_payload(docs, width=8, height=8)
+    out = {r.doc_id: r for r in decode_image_features(media, feat_dim=8, fake=False).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        ascii_only = re.sub(r"[^ -~]", "", row.text)
+        pix = ascii_only[:192].ljust(192, " ").encode()
+        payload = b"P6\n8 8\n255\n" + pix
+        w, h, feats = ppm_decoder(payload, feat_dim=8)
+        r = out[row.doc_id]
+        assert (r.width, r.height) == (w, h) == (8, 8)
+        # features travel as float32; compare within f32 representation
+        # error (the oracle-checked query recovers exactness by rounding
+        # after a cast to double -- see q_multimodal_ppm_decode).
+        assert all(
+            abs(float(a) - b) < 1e-6 for a, b in zip(r.features, feats)
+        ), (list(r.features), feats)
 
 
 def test_sample_frames_bounds_and_offsets(media):
