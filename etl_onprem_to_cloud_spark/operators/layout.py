@@ -67,9 +67,14 @@ def zorder_write(
     stats then cover a compact rectangle, so a reader filtering on
     either column skips most files.
     """
+    # pmod, not %: Spark's % is sign-preserving, and a negative
+    # remainder fed into morton_code's bitwiseAND operates on
+    # two's-complement bits, collapsing all negative keys onto
+    # degenerate max-valued codes (morton_code documents a non-negative
+    # precondition; enforce it here).
     code = morton_code(
-        (F.col(x_col) % (1 << bits)).cast("int"),
-        (F.col(y_col) % (1 << bits)).cast("int"),
+        F.pmod(F.col(x_col), F.lit(1 << bits)).cast("int"),
+        F.pmod(F.col(y_col), F.lit(1 << bits)).cast("int"),
         bits,
     )
     (

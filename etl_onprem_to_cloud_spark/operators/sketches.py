@@ -98,9 +98,27 @@ def cms_estimate(
     The estimate is min over hash rows of the addressed counter --
     always >= the true count.  ``cells`` is tiny (<= depth*width rows)
     and is broadcast, so this adds no shuffle to ``keys_df``.
+
+    Contract: output has exactly one row per INPUT ROW of ``keys_df``
+    (duplicates preserved via an internal row id, so a caller never
+    silently loses rows); ``keys_df`` may use any column names EXCEPT
+    the ``__cms_``-prefixed internals reserved here -- the sketch's
+    (d, idx, cnt) columns are renamed to ``__cms_*`` before the join so
+    a keys_df that itself has d/idx/cnt columns stays unambiguous.
     """
+    reserved = {"__cms_row", "__cms_probe", "__cms_d", "__cms_idx", "__cms_cnt"}
+    clash = reserved.intersection(keys_df.columns)
+    if clash:
+        raise ValueError(f"keys_df uses reserved column names: {sorted(clash)}")
+    sk = cells.select(
+        F.col("d").alias("__cms_d"),
+        F.col("idx").alias("__cms_idx"),
+        F.col("cnt").alias("__cms_cnt"),
+    )
     probes = keys_df.withColumn(
-        "__probe",
+        "__cms_row", F.monotonically_increasing_id()
+    ).withColumn(
+        "__cms_probe",
         F.explode(
             F.array(
                 *[
@@ -114,15 +132,17 @@ def cms_estimate(
         ),
     )
     joined = probes.join(
-        F.broadcast(cells),
-        (probes["__probe.d"] == cells["d"]) & (probes["__probe.idx"] == cells["idx"]),
+        F.broadcast(sk),
+        (probes["__cms_probe.d"] == sk["__cms_d"])
+        & (probes["__cms_probe.idx"] == sk["__cms_idx"]),
         "left",
     )
     group_cols = [c for c in keys_df.columns]
     return (
-        joined.groupBy(*group_cols)
+        joined.groupBy("__cms_row", *group_cols)
         # a missing cell means no key ever hashed there -> count 0
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(estimate_col))
+        .agg(F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).alias(estimate_col))
+        .drop("__cms_row")
     )
 
 

@@ -123,6 +123,13 @@ def ewma(
     (weight-normalized) operation order and is NOT bit-stable against
     SQL.  Ties in ``order_cols`` would make the scan order ambiguous;
     callers must pass a total order per key.
+
+    NULL semantics (explicit): a NULL ``value_col`` contributes nothing
+    to the state and gets a NULL ewma -- the skip-and-propagate rule,
+    matching what a recursive-CTE oracle that carries state past NULL
+    rows computes.  (Without the pd.isna guard a None arrives as object
+    dtype and float(None) kills the whole job with an opaque executor
+    TypeError.)
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -139,6 +146,9 @@ def ewma(
         s = None
         out = []
         for x in pdf[value_col]:
+            if pd.isna(x):
+                out.append(None)  # skip-and-propagate: state unchanged
+                continue
             x = float(x)
             s = x if s is None else one_minus * s + alpha * x
             out.append(s)

@@ -43,22 +43,29 @@ def idempotent_foreach_batch(
     """Wrap ``write_fn(df, batch_id)`` so replayed batch_ids are no-ops.
 
     The ledger is a directory of empty marker files -- the cheapest
-    durable set membership that works on any Hadoop-visible filesystem.
-    Listing is never needed (existence check per batch), so the ledger
-    can grow without slowing the stream; compaction is a maintenance
-    concern, not a correctness one.
+    durable set membership -- and is read/written through the Hadoop
+    FileSystem API, so ``ledger_dir`` may live on ANY Hadoop-visible
+    filesystem (``file:``, ``hdfs:``, ``s3a:``): markers on a shared FS
+    survive driver loss/failover, which a driver-local ``os.path``
+    ledger would not.  Listing is never needed (existence check per
+    batch), so the ledger can grow without slowing the stream;
+    compaction is a maintenance concern, not a correctness one.
     """
-    os.makedirs(ledger_dir, exist_ok=True)
 
     def _wrapped(df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(ledger_dir, f"batch_id={batch_id}")
-        if os.path.exists(marker):
+        spark = df.sparkSession
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        ledger = jvm.org.apache.hadoop.fs.Path(ledger_dir)
+        fs = ledger.getFileSystem(hconf)
+        marker = jvm.org.apache.hadoop.fs.Path(ledger, f"batch_id={batch_id}")
+        if fs.exists(marker):
             return
         write_fn(df, batch_id)
         # Marker AFTER the write: a crash in between replays the batch,
         # which the batch-scoped overwrite in write_fn absorbs.
-        with open(marker, "w"):
-            pass
+        fs.mkdirs(ledger)
+        fs.createNewFile(marker)
 
     return _wrapped
 

@@ -89,3 +89,18 @@ def test_matched_ts_exposed(frames):
     row = {r.lv: r for r in out.collect()}
     assert row["L2"].ts_matched == _ts("2024-01-01 11:00:00")
     assert row["L4"].ts_matched is None
+
+
+def test_ewma_null_values_skip_and_propagate(spark):
+    """ADVICE r2: NULL value rows must not kill the executor -- they get
+    a NULL ewma and leave the recurrence state untouched."""
+    from etl_onprem_to_cloud_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 20.0)],
+        "k int, t int, v double",
+    )
+    rows = {r.t: r.ewma for r in ewma(df, ["k"], ["t"], "v", alpha=0.5).collect()}
+    assert rows[1] == 10.0
+    assert rows[2] is None, "null input -> null output"
+    assert rows[3] == 0.5 * 10.0 + 0.5 * 20.0, "state carried past the null row"
