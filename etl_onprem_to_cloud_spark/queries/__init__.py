@@ -11,6 +11,7 @@ formatted strings; every ranked/limited output carries a total order.
 Entries without an oracle (``oracle=None``) are the genuinely
 non-SQL-expressible or approximate ops (stateful streaming, IVF probes,
 seeded LSH) -- the driver records a weaker rows-only check for those.
+(Currently 2 of 160: KMeans IVF and the seeded BRP-LSH twin.)
 """
 
 from __future__ import annotations

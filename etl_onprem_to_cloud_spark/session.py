@@ -99,7 +99,22 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
     s3a: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the engine SparkSession (conf from build_conf)."""
+    """Build (or fetch) the engine SparkSession (conf from build_conf).
+
+    Local-mode JVM sizing: ``spark.driver.memory`` is only honored at
+    JVM launch, not through SparkSession.builder, so it is injected via
+    PYSPARK_SUBMIT_ARGS before the gateway starts.  The 1g pyspark
+    default is badly undersized for local[32] (the driver JVM hosts ALL
+    execution + broadcast memory in local mode): the sf1 scale
+    rehearsal OOM'd an AQE broadcast build under 1g.  Default 16g,
+    override with SPARK_GRAFT_DRIVER_MEM.  On a real cluster this knob
+    is inert (driver memory comes from spark-submit).
+    """
+    if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {driver_mem} pyspark-shell"
+        )
     cpus = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     conf = build_conf(shuffle_partitions, extra_conf, s3a)

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""100x-rehearsal harness (VERDICT r2 item 8): measure how the headline
+queries scale from sf0.1 to a derived sf1 (10x rows) and report the
+per-query scaling exponent.
+
+The sf1 input is DERIVED from the driver's sf0.1 parquet (never
+regenerated from scratch -- TESTDATA.md forbids that): 10 replicas,
+each with shifted surrogate keys, and with content PERTURBED so that
+near-duplicate density stays constant instead of every row gaining 9
+exact twins:
+
+- documents: replica i > 0 suffixes every token with ``_r{i}`` --
+  shingle sets across replicas are disjoint, so dedup workload per
+  replica matches the original corpus (10 independent shards, which is
+  what a real 10x corpus looks like), not a pathological
+  10-copies-of-everything corpus.
+- embeddings: replica i rotates the vector left by i components --
+  norm-preserving, and rotations of high-dimensional random vectors
+  are ~orthogonal, so SRP/ANN bucket occupancy per vector stays
+  realistic.
+- events / orders / lineitem / customer: key shift only (the
+  workload there is keyed aggregation, where duplicate *content* is
+  irrelevant).
+- dims (region nation supplier part): copied once -- dimension tables
+  do not scale with fact volume.
+
+Usage:
+    python scripts/scale_rehearsal.py            # build (if absent) + time
+    SPARK_GRAFT_SF1_DIR=/tmp/my_sf1 python scripts/scale_rehearsal.py
+
+Prints a markdown table (for PLANS.md) plus one JSON line with
+{query: {"t_sf01": s, "t_sf1": s, "exponent": e}}; exponent =
+log10(t_sf1 / t_sf01), so 1.0 = perfectly linear in data volume,
+< 1 = fixed overhead amortizing away, > 1 = super-linear (flag).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_onprem_to_cloud_spark.queries import QUERIES
+from etl_onprem_to_cloud_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+REPLICAS = 10
+SHIFT = 10_000_000
+
+# The 10 most expensive bench queries + one relational and one
+# sessionization representative.
+REHEARSAL = [
+    "q_srp_near_dup_pairs",
+    "q_dedup_clusters_star",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard_blocked",
+    "q_dedup_minhash_lsh",
+    "q_ml_minhash_lsh_pairs",
+    "q_dedup_containment",
+    "q_training_data_pipeline",
+    "q_ewma_user_values",
+    "q_embedding_outliers",
+    "q01_pricing_summary",
+    "q_events_user_sessions",
+]
+
+DIMS = ["region", "nation", "supplier", "part"]
+KEY_SHIFTS = {
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+}
+
+
+def _replicate(spark, table: str) -> None:
+    src = spark.read.parquet(f"{SRC}/{table}.parquet")
+    outs = []
+    for i in range(REPLICAS):
+        rep = src
+        if table == "documents":
+            rep = rep.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
+            if i > 0:
+                toks = F.filter(F.split(F.col("text"), " +"), lambda t: t != "")
+                rep = rep.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ", F.transform(toks, lambda t: F.concat(t, F.lit(f"_r{i}")))
+                    ),
+                )
+        elif table == "embeddings":
+            rep = rep.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+            if i > 0:
+                dim = 64
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", i + 1, dim - i),
+                        F.slice("embedding", 1, i),
+                    ),
+                )
+        else:
+            for k in KEY_SHIFTS.get(table, []):
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+        outs.append(rep)
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    df.repartition(32).write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+
+
+def build() -> None:
+    spark = get_spark(app_name="scale-rehearsal-build")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+    for t in ["documents", "embeddings", "events", "orders", "lineitem", "customer"]:
+        _replicate(spark, t)
+        print(f"# built {t}", file=sys.stderr)
+    spark.stop()
+
+
+def main() -> None:
+    if not os.path.isdir(DST) or not os.path.isdir(f"{DST}/lineitem.parquet"):
+        print(f"# building derived sf1 at {DST}", file=sys.stderr)
+        build()
+
+    spark = get_spark(app_name="scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm at sf0.001 so JIT/codegen are paid before timing.
+    warm = "/root/testdata/sf0.001"
+    for name in REHEARSAL:
+        try:
+            QUERIES[name].fn(spark, warm).count()
+        except Exception as e:  # pragma: no cover
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
+
+    results: dict[str, dict[str, float]] = {}
+    print("| query | sf0.1 (s) | sf1 (s) | ratio | exponent |")
+    print("|---|---|---|---|---|")
+    for name in REHEARSAL:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SRC).count()
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, DST).count()
+        t_big = time.perf_counter() - t0
+        ratio = t_big / t_small
+        exp = math.log10(ratio)
+        results[name] = {
+            "t_sf01": round(t_small, 3),
+            "t_sf1": round(t_big, 3),
+            "exponent": round(exp, 3),
+        }
+        flag = " **SUPER-LINEAR**" if exp > 1.0 else ""
+        print(
+            f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.2f}x | {exp:.2f}{flag} |"
+        )
+    print(json.dumps({"metric": "scale_rehearsal", "sf_ratio": 10, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
