@@ -91,7 +91,8 @@ from . import relational  # noqa: E402,F401
 # pinned ORDER BY, VERDICT r2 item 1; the rest are round-3 additions).
 _CHANGED_THIS_ROUND = (
     "q12_shipping_lateness",
-    "q_multimodal_ppm_decode",   # new: real in-container PPM decode
+    "q_multimodal_ppm_decode",     # new: real in-container PPM decode
+    "q_semantic_dedup_clusters",   # new: SRP pairs -> CC closure
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -218,6 +218,67 @@ def q_srp_near_dup_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "q_semantic_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+k AS (
+  {_SRP_KEYED_SQL}
+),
+c AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT id_a, id_b
+  FROM c
+  JOIN e va ON va.vec_id = c.id_a
+  JOIN e vb ON vb.vec_id = c.id_b
+  WHERE round(list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),
+      6) >= {_SRP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT ed.dst, w.root FROM walk w JOIN edges ed ON ed.src = w.node
+)
+SELECT node AS vec_id, min(root) AS component
+FROM walk GROUP BY node
+""",
+    tags=("similarity", "ring-c", "dedup", "graph", "connected-components", "srp"),
+    description="SEMANTIC near-dedup closure: SRP-LSH cosine pairs over the "
+    "embedding column (deterministic hyperplanes, exact-cosine verified) -> "
+    "large-star/small-star connected components; component id = min vec_id "
+    "= the canonical survivor per semantic cluster.  The embedding-space "
+    "twin of q_dedup_clusters (which clusters lexical MinHash pairs) -- "
+    "the standard final stage of an embedding-based dedup pipeline, and "
+    "fully value-checked via the recursive-CTE reachability oracle.",
+)
+def q_semantic_dedup_clusters(spark, sf_dir):
+    from ..llm.dedup import connected_components_star
+
+    emb = cat(spark, sf_dir).embeddings
+    pairs = srp_near_dup_pairs(
+        emb,
+        dim=_SRP_DIM,
+        threshold=_SRP_THRESHOLD,
+        num_tables=_SRP_TABLES,
+        bits_per_table=_SRP_BITS,
+    ).select("id_a", "id_b")
+    cc = connected_components_star(pairs)
+    return cc.select(F.col("node").alias("vec_id"), "component")
+
+
 # ---------------------------------------------------------------------------
 # Stock pyspark.ml LSH variants (seeded-random hash families -> rows-only
 # checks; the md5-based queries above are the oracle-checkable twins).
