@@ -104,3 +104,31 @@ def test_ewma_null_values_skip_and_propagate(spark):
     assert rows[1] == 10.0
     assert rows[2] is None, "null input -> null output"
     assert rows[3] == 0.5 * 10.0 + 0.5 * 20.0, "state carried past the null row"
+
+
+def test_ewma_stream_matches_grouped(spark, sf_dir):
+    """Differential: the partition-streaming mapInPandas form and the
+    grouped applyInPandas form are bit-identical (incl. null rows and
+    keys that straddle Arrow batch boundaries -- forced tiny batches)."""
+    from etl_onprem_to_cloud_spark.operators.timeseries import ewma
+    from etl_onprem_to_cloud_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.when(F.col("value") > 8, None).otherwise(F.col("value")).alias("v")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        a = sorted(
+            (r.user_id, r.event_id, r.ewma)
+            for r in ewma(ev, ["user_id"], ["event_id"], "v", 0.3, impl="stream").collect()
+        )
+        b = sorted(
+            (r.user_id, r.event_id, r.ewma)
+            for r in ewma(ev, ["user_id"], ["event_id"], "v", 0.3, impl="grouped").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert a == b and len(a) > 0
+    assert any(x[2] is None for x in a), "null rows exercised"
