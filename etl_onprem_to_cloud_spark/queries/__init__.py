@@ -93,6 +93,8 @@ _CHANGED_THIS_ROUND = (
     "q12_shipping_lateness",
     "q_multimodal_ppm_decode",     # new: real in-container PPM decode
     "q_semantic_dedup_clusters",   # new: SRP pairs -> CC closure
+    "q_embedding_quantize_int8",   # new: int8 quantization + error stats
+    "q_vocab_coverage",            # new: tokenizer vocab coverage curve
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -1230,3 +1230,66 @@ def q_cross_source_dup_matrix(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS_LOW}) AS token FROM documents
+),
+cnt AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+),
+tot AS (SELECT sum(cnt) AS total FROM cnt),
+ranked AS (
+  SELECT token, cnt,
+    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+    sum(cnt) OVER (ORDER BY cnt DESC, token
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+  FROM cnt
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+  round(CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_frac
+FROM ranked CROSS JOIN tot
+WHERE rank <= 100
+ORDER BY rank
+""",
+    tags=("text", "ring-c", "vocab", "window"),
+    description="Vocabulary coverage curve: top-100 corpus tokens by "
+    "frequency with the cumulative fraction of all token occurrences "
+    "they cover -- the tokenizer-design primitive (how big must a vocab "
+    "be to cover X% of the stream).  One token-count shuffle, a 1-row "
+    "broadcast total, and a rank window over the (tiny) vocab relation; "
+    "ties broken by token for a total order.",
+)
+def q_vocab_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = cat(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    ranked = (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rank") <= 100)
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.col("cum_cnt").cast("double") / F.col("total").cast("double"), 6
+            ).alias("cum_frac"),
+        )
+        .orderBy("rank")
+    )
