@@ -69,6 +69,17 @@ REHEARSAL = [
     "q_embedding_outliers",
     "q01_pricing_summary",
     "q_events_user_sessions",
+    # Relational heavy legs (fact-fact joins + star + windows).
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q08_market_share",
+    "q18_large_volume_customer",
+    "q_topk_per_group_customer_orders",
+    # Round-3 additions.
+    "q_semantic_dedup_clusters",
+    "q_embedding_quantize_int8",
+    "q_vocab_coverage",
+    "q_multimodal_ppm_decode",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
