@@ -76,6 +76,12 @@ HEADLINE = [
     "q_dedup_containment",
     "q_ewma_user_values",
     "q_embedding_outliers",
+    # r3 additions: the semantic (embedding-space) dedup closure, int8
+    # quantization, vocab coverage, and the real PPM decode path.
+    "q_semantic_dedup_clusters",
+    "q_embedding_quantize_int8",
+    "q_vocab_coverage",
+    "q_multimodal_ppm_decode",
 ]
 
 
