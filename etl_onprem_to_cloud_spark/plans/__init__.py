@@ -5,9 +5,11 @@ from .checks import (
     pushed_filters,
     shuffle_count,
 )
+from .metrics import execution_metrics
 
 __all__ = [
     "explain_str",
+    "execution_metrics",
     "has_broadcast_join",
     "has_python_udf",
     "pushed_filters",

@@ -253,3 +253,30 @@ def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_
     assert not has_python_udf(df)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_q01_map_side_combine_measured(spark, sf_dir):
+    """Not just 'one exchange' in the plan -- the executed metrics must
+    show the partial aggregation actually collapsed the shuffle: records
+    through the exchange are a tiny fraction of scanned rows, and
+    nothing spilled."""
+    from etl_onprem_to_cloud_spark.plans import execution_metrics
+
+    df = QUERIES["q01_pricing_summary"].fn(spark, sf_dir)
+    m = execution_metrics(df)
+    assert m["scan_output_rows"] > 0
+    assert m["spill_bytes"] == 0
+    assert m["shuffle_records_written"] < m["scan_output_rows"] / 10, (
+        "map-side combine missing: shuffle carries near-raw row counts"
+    )
+
+
+def test_broadcast_join_moves_no_fact_shuffle(spark, sf_dir):
+    """q05's star joins broadcast the dims: the only shuffled records
+    belong to the final aggregation, not the fact table."""
+    from etl_onprem_to_cloud_spark.plans import execution_metrics
+
+    df = QUERIES["q05_local_supplier_volume"].fn(spark, sf_dir)
+    m = execution_metrics(df)
+    assert m["spill_bytes"] == 0
+    assert m["shuffle_records_written"] < m["scan_output_rows"] / 10
