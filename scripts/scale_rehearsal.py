@@ -46,6 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from etl_onprem_to_cloud_spark.plans import execution_metrics
 from etl_onprem_to_cloud_spark.queries import QUERIES
 from etl_onprem_to_cloud_spark.session import get_spark
 
@@ -156,15 +157,19 @@ def main() -> None:
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     results: dict[str, dict[str, float]] = {}
-    print("| query | sf0.1 (s) | sf1 (s) | ratio | exponent |")
-    print("|---|---|---|---|---|")
+    print("| query | sf0.1 (s) | sf1 (s) | ratio | exponent | sf1 spill |")
+    print("|---|---|---|---|---|---|")
     for name in REHEARSAL:
         fn = QUERIES[name].fn
         t0 = time.perf_counter()
         fn(spark, SRC).count()
         t_small = time.perf_counter() - t0
+        # At sf1, execute through execution_metrics: one job yields both
+        # the timing and the spill/shuffle evidence.  Construction stays
+        # INSIDE the timer -- the iterative CC queries do their rounds
+        # eagerly while the DataFrame is being built.
         t0 = time.perf_counter()
-        fn(spark, DST).count()
+        m = execution_metrics(fn(spark, DST))
         t_big = time.perf_counter() - t0
         ratio = t_big / t_small
         exp = math.log10(ratio)
@@ -172,10 +177,13 @@ def main() -> None:
             "t_sf01": round(t_small, 3),
             "t_sf1": round(t_big, 3),
             "exponent": round(exp, 3),
+            "sf1_spill_bytes": int(m["spill_bytes"]),
+            "sf1_shuffle_bytes": int(m["shuffle_bytes_written"]),
         }
         flag = " **SUPER-LINEAR**" if exp > 1.0 else ""
         print(
-            f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.2f}x | {exp:.2f}{flag} |"
+            f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.2f}x | "
+            f"{exp:.2f}{flag} | {m['spill_bytes']:,} B |"
         )
     print(json.dumps({"metric": "scale_rehearsal", "sf_ratio": 10, "queries": results}))
     spark.stop()
