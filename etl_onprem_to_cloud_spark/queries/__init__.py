@@ -87,10 +87,20 @@ from . import relational  # noqa: E402,F401
 # suite (tests/test_oracle_parity.py hash-compares all oracled queries
 # against DuckDB).
 
-# New in / contract changed in round 3 (q12: oracle HUGEINT fix +
-# pinned ORDER BY, VERDICT r2 item 1; the rest are round-3 additions).
+# Contract changed in round 3: q12's oracle (HUGEINT fix + pinned
+# ORDER BY, VERDICT r2 item 1) -- its red row must be re-verified
+# first.
 _CHANGED_THIS_ROUND = (
     "q12_shipping_lateness",
+)
+
+# New queries added in round 3.  They sort AFTER the never-checked
+# backlog below: both tiers are unverified by the driver, but the
+# backlog entries have waited two rounds (VERDICT r2 item 2 defines
+# this round's evidence bar as driver rows for them), while each
+# round-3 addition was locally oracle-verified at BOTH sf0.001 and
+# sf0.01 when it was built.  They rotate to the front next round.
+_NEW_THIS_ROUND = (
     "q_multimodal_ppm_decode",     # new: real in-container PPM decode
     "q_semantic_dedup_clusters",   # new: SRP pairs -> CC closure
     "q_embedding_quantize_int8",   # new: int8 quantization + error stats
@@ -171,10 +181,15 @@ def _tier(name: str) -> int:
         return 0
     if name in _NEVER_CHECKED:
         return 1
-    return 2
+    if name in _NEW_THIS_ROUND:
+        return 2
+    return 3
 
 
-_prio = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND + _NEVER_CHECKED)}
+_prio = {
+    n: i
+    for i, n in enumerate(_CHANGED_THIS_ROUND + _NEVER_CHECKED + _NEW_THIS_ROUND)
+}
 QUERIES = dict(
     sorted(
         QUERIES.items(),
