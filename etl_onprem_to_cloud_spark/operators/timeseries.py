@@ -184,12 +184,17 @@ def ewma(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Keys are contiguous within a sorted partition; only the
         # boundary key's state must survive an Arrow batch split.
+        # NULL keys: groupBy puts all nulls in ONE group, but NaN !=
+        # NaN would reset state per row -- normalize null key values to
+        # a shared sentinel so both impls agree.
+        null_key = object()
         prev_key: object = object()  # sentinel unequal to any real key
         s = None
         for pdf in batches:
             out = []
             keys = zip(*(pdf[k] for k in key_cols))
             for k, x in zip(keys, pdf[value_col]):
+                k = tuple(null_key if pd.isna(v) else v for v in k)
                 if k != prev_key:
                     prev_key, s = k, None
                 if pd.isna(x):

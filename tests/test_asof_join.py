@@ -132,3 +132,22 @@ def test_ewma_stream_matches_grouped(spark, sf_dir):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert a == b and len(a) > 0
     assert any(x[2] is None for x in a), "null rows exercised"
+
+
+def test_ewma_null_keys_form_one_group(spark):
+    """groupBy puts all NULL keys in one group; the streamed impl must
+    agree (NaN-normalized key comparison, not NaN != NaN per row)."""
+    from etl_onprem_to_cloud_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(None, 1, 10.0), (None, 2, 20.0), (1, 1, 5.0)],
+        "k int, t int, v double",
+    )
+    for impl in ("stream", "grouped"):
+        rows = {
+            (r.k, r.t): r.ewma
+            for r in ewma(df, ["k"], ["t"], "v", 0.5, impl=impl).collect()
+        }
+        assert rows[(None, 2)] == 0.5 * 10.0 + 0.5 * 20.0, (
+            f"{impl}: null keys must share one recurrence"
+        )
