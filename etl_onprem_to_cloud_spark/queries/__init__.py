@@ -74,6 +74,7 @@ from . import vectorops  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 # --- Evidence-priority ordering -------------------------------------------
 # Policy (fixed after round-2 advice): order the registry purely by
@@ -105,6 +106,10 @@ _NEW_THIS_ROUND = (
     "q_semantic_dedup_clusters",   # new: SRP pairs -> CC closure
     "q_embedding_quantize_int8",   # new: int8 quantization + error stats
     "q_vocab_coverage",            # new: tokenizer vocab coverage curve
+    "q_dedup_chunk_rewrite",       # new: chunk dedup + doc reconstruction
+    "q_knn_label_vote",            # new: kNN majority-vote classification
+    "q_events_value_outliers_mad", # new: robust median/MAD outlier gate
+    "q_lang_rebalance",            # new: language-mix rebalancing
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -1,0 +1,320 @@
+"""Round-3 curation additions: chunk-level dedup with document
+reconstruction, kNN label voting, robust (MAD) outlier gating, and
+language-mix rebalancing.
+
+These extend the LLM-training-data surface beyond analysis into the
+*rewrite* stage a production pipeline needs (C4/RefinedWeb-style: the
+cleaners do not just flag duplicated text, they remove it and emit the
+rebuilt document), plus the eval-side kNN classifier and the robust
+stats gate.  The reference repo has no analogue (its transform layer is
+row-level cleaning only, ``/root/reference/etl/transform.py``); these
+follow the same registry + DuckDB-oracle contract as the rest of Ring C.
+
+Scale notes are on each query; the common theme: one shuffle per
+logical stage, partial aggregation everywhere, broadcast for the small
+side, and deterministic content hashes (never ``rand()``) so reruns and
+repartitioning cannot change results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions.text import tokens
+from ..llm.similarity import brute_force_top_k
+from ..operators.sampling import duck_hash_gate, hash_gate
+from ._util import cat, duck_tokens
+from . import query
+
+CHUNK = 16  # tokens per dedup chunk (a "sentence" for the newline-free fixture)
+
+_KNN_QUERY_IDS = list(range(20))
+_KNN_QUERY_IDS_SQL = ", ".join(str(i) for i in _KNN_QUERY_IDS)
+
+_COS = (
+    "list_dot_product(qv, nv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))"
+)
+
+
+@query(
+    "q_dedup_chunk_rewrite",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, i.i AS chunk_idx,
+    array_to_string(list_slice(toks, i.i * {CHUNK} + 1, i.i * {CHUNK} + {CHUNK}), ' ') AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0,
+      CAST(ceil(len(toks) / {CHUNK}.0) AS INTEGER) - 1)) AS i) i
+),
+o AS (
+  SELECT doc_id, chunk_idx, chunk,
+    (doc_id * 100000 + chunk_idx) = min(doc_id * 100000 + chunk_idx)
+      OVER (PARTITION BY chunk) AS is_first
+  FROM c
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+  coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE is_first), '')
+    AS new_text
+FROM o GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("dedup", "ring-c", "rewrite"),
+    description="C4-style duplicate-chunk REMOVAL with document "
+    "reconstruction: split every doc into 16-token chunks, keep only the "
+    "globally-first occurrence of each chunk (first = smallest "
+    "(doc_id, chunk_idx)), and reassemble the surviving chunks in order. "
+    "Unlike q_repeated_spans (analysis) this emits the rewritten corpus.",
+)
+def q_dedup_chunk_rewrite(spark, sf_dir):
+    """Scale shape: ONE wide shuffle, on the chunk text itself (the
+    min-over-window per chunk).  Chunk occurrence lists are tiny (tokens
+    / 16 per doc), the rebuild groupBy shuffles on doc_id -- both keys
+    are near-uniform, no skew.  At 100 TB swap the raw chunk string for
+    xxhash64(chunk) as the partition key and keep the text only in the
+    payload; semantics identical, shuffle width /= ~10."""
+    docs = cat(spark, sf_dir).documents
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(CHUNK)).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * CHUNK + 1, CHUNK), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    first_w = Window.partitionBy("chunk")
+    occ = chunks.withColumn(
+        "occ_key", F.col("doc_id") * 100000 + F.col("chunk_idx")
+    ).withColumn("is_first", F.col("occ_key") == F.min("occ_key").over(first_w))
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("is_first").cast("bigint")).alias("kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_first"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_knn_label_vote",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({_KNN_QUERY_IDS_SQL})
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS nv
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id, label, round({_COS}, 6) AS cosine
+  FROM q CROSS JOIN c WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT query_id, label, cosine,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+      AS rank
+  FROM s
+),
+v AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM r WHERE rank <= 10 GROUP BY query_id, label
+),
+p AS (
+  SELECT query_id, label, votes,
+    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+  FROM v
+)
+SELECT p.query_id, CAST(p.label AS INTEGER) AS predicted_label, p.votes,
+  CAST(e.label AS INTEGER) AS true_label,
+  CAST(CASE WHEN p.label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM p JOIN embeddings e ON e.vec_id = p.query_id
+WHERE vr = 1 ORDER BY query_id
+""",
+    tags=("similarity", "ring-c", "ann", "eval"),
+    description="kNN majority-vote classification for 20 held-out "
+    "queries: exact cosine top-10 neighbors, vote by neighbor label "
+    "(ties -> smaller label), compare to the true label.  The standard "
+    "embedding-quality eval over the retrieval stack.",
+)
+def q_knn_label_vote(spark, sf_dir):
+    """Scale shape: reuses brute_force_top_k (broadcast query rows x
+    streamed corpus, one narrow top-k shuffle on query_id); the label
+    join is a broadcast (k x |queries| rows vs the corpus only for the
+    20 query rows).  Voting aggregates 200 rows -- driver-trivial but
+    expressed distributed so |queries| can grow to millions."""
+    emb = cat(spark, sf_dir).embeddings
+    nn = brute_force_top_k(emb, _KNN_QUERY_IDS, k=10)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    vr_w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    picked = votes.withColumn("vr", F.row_number().over(vr_w)).filter("vr = 1")
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return (
+        picked.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            F.col("label").cast("int").alias("predicted_label"),
+            "votes",
+            F.col("true_label").cast("int"),
+            (F.col("label") == F.col("true_label"))
+            .cast("bigint")
+            .alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "q_events_value_outliers_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  any_value(d.med) AS med,
+  any_value(m.mad) AS mad,
+  CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  round(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1.0 ELSE 0.0 END)
+    / count(*), 6) AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+    tags=("quality", "robust-stats", "events"),
+    description="Robust per-event-type outlier gate: median + MAD "
+    "(exact), flag |value - med| > 3 sigma-equivalent (MAD * 1.4826). "
+    "Median-based gating survives the heavy tails that break "
+    "mean/stddev z-scores on payment-style value columns.",
+)
+def q_events_value_outliers_mad(spark, sf_dir):
+    """Scale shape: two aggregations on event_type (bounded-cardinality
+    key, partial-agg everywhere) + two BROADCAST joins of the tiny
+    per-type stats back onto the stream.  Exact medians use Spark's
+    percentile (sort-based within group); at 100 TB swap for
+    approx_percentile(1e-4) -- the gate tolerates epsilon on the
+    cutoff, and the swap is one function name."""
+    events = cat(spark, sf_dir).events
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.col("adev") > 3 * 1.4826 * F.col("mad")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(is_out.cast("bigint")).alias("n_outliers"),
+            F.round(
+                F.sum(is_out.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_lang_rebalance",
+    oracle=f"""
+WITH n AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+),
+target AS (SELECT min(cnt) AS m FROM n),
+ranked AS (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY {duck_hash_gate('CAST(doc_id AS VARCHAR)', 'rebalance')}, doc_id)
+      AS r
+  FROM documents
+),
+kept AS (
+  SELECT ranked.* FROM ranked, target WHERE r <= target.m
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS kept_docs,
+  CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
+FROM kept GROUP BY lang, source ORDER BY lang, source
+""",
+    tags=("datamix", "sampling", "ring-c"),
+    description="Language-mix rebalancing: downsample every language to "
+    "the size of the rarest one (uniform mix), choosing survivors by "
+    "content hash rank so the subset is stable under reruns and "
+    "repartitioning.  Reports the kept count per (lang, source).",
+)
+def q_lang_rebalance(spark, sf_dir):
+    """Scale shape: per-lang counts partial-aggregate to ~5 rows; the
+    min target is a 1-row broadcast; survivor selection is ONE window
+    shuffle on lang.  Languages are few and large -- at 100 TB a
+    rank-window per lang serializes each language through its
+    partitions' sort, so the scale variant flips to the hash-gate RATE
+    filter (rate = m / cnt, shuffle-free, approximate count) which
+    operators.sampling.stratified_sample already provides; this exact-m
+    form is the oracle-checkable contract."""
+    docs = cat(spark, sf_dir).documents
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("m"))
+    rank_w = Window.partitionBy("lang").orderBy(
+        hash_gate(F.col("doc_id").cast("string"), "rebalance"), "doc_id"
+    )
+    kept = (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("r", F.row_number().over(rank_w))
+        .join(F.broadcast(target), F.col("r") <= F.col("m"))
+    )
+    lang_w = Window.partitionBy("lang")
+    return (
+        kept.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+        .withColumn("lang_total", F.sum("kept_docs").over(lang_w))
+        .orderBy("lang", "source")
+    )
