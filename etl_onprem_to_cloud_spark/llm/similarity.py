@@ -39,6 +39,7 @@ def brute_force_top_k(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Exact top-k neighbors for each query id.  Returns
     (query_id, neighbor_id, cosine, rank) excluding self-matches.
@@ -46,23 +47,33 @@ def brute_force_top_k(
     Scale shape: the query side is a broadcast nested-loop of a few
     rows; the corpus side streams through codegen -- no shuffle until
     the final per-query top-k (bounded at |queries| * k rows).
-    """
+
+    ``engine`` picks the cosine implementation: ``"pandas"`` (default)
+    is the Arrow-batched numpy path -- one vectorized pass per batch
+    instead of an interpreted dim-element fold per (query, corpus)
+    pair, which dominates once |queries| grows (same lesson as the SRP
+    verify step); ``"expr"`` is the pure-codegen higher-order-function
+    twin the pandas path is differential-tested against
+    (tests/test_similarity_ml.py).  Both round to 1e-6 before ranking,
+    so their outputs are identical."""
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
+    if engine == "pandas":
+        cos = _pair_cosine_pandas()(F.col("q_vec"), F.col("n_vec")).cast("double")
+    elif engine == "expr":
+        cos = F.round(
+            cosine_similarity(F.col("q_vec"), F.col("n_vec")), 6
+        ).cast("double")
+    else:
+        raise ValueError(f"engine must be 'pandas' or 'expr', got {engine!r}")
     scored = (
         corpus.join(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("q_vec"), F.col("n_vec")), 6
-            ).cast("double").alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -155,7 +155,7 @@ SELECT p.query_id, CAST(p.label AS INTEGER) AS predicted_label, p.votes,
 FROM p JOIN embeddings e ON e.vec_id = p.query_id
 WHERE vr = 1 ORDER BY query_id
 """,
-    tags=("similarity", "ring-c", "ann", "eval"),
+    tags=("similarity", "ring-c", "ann", "eval", "pandas-udf"),
     description="kNN majority-vote classification for 20 held-out "
     "queries: exact cosine top-10 neighbors, vote by neighbor label "
     "(ties -> smaller label), compare to the true label.  The standard "

@@ -45,9 +45,11 @@ r AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 """,
-    tags=("similarity", "ring-c", "ann"),
+    tags=("similarity", "ring-c", "ann", "pandas-udf"),
     description="Exact brute-force cosine top-10 for 5 query vectors "
-    "(broadcast queries x streamed corpus; the ANN correctness baseline).",
+    "(broadcast queries x streamed corpus; the ANN correctness baseline). "
+    "Scoring engine: Arrow-batched numpy cosine (differential-tested "
+    "against the codegen HOF twin).",
 )
 def q_ann_brute_force_topk(spark, sf_dir):
     emb = cat(spark, sf_dir).embeddings

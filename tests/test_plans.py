@@ -44,10 +44,33 @@ def test_scan_prunes_columns(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", ["q01_pricing_summary", "q_text_stats",
-                                  "q_dedup_minhash_lsh", "q_ann_brute_force_topk"])
+                                  "q_dedup_minhash_lsh", "q_dedup_containment"])
 def test_hot_paths_have_no_python_udf(name, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
     assert not has_python_udf(df), f"{name} plan contains a Python UDF"
+
+
+@pytest.mark.parametrize("name", ["q_ann_brute_force_topk", "q_knn_label_vote"])
+def test_brute_force_cosine_is_arrow_batched(name, spark, sf_dir):
+    """The brute-force scorer's default engine is the vectorized numpy
+    cosine (same sanctioned escape as the SRP verify step): Arrow-
+    batched only, never row-at-a-time Python."""
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF on hot path"
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brute_force_expr_twin_stays_jvm_side(spark, sf_dir):
+    from etl_onprem_to_cloud_spark.llm.similarity import brute_force_top_k
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    df = brute_force_top_k(emb, [0, 1, 2], k=5, engine="expr")
+    assert not has_python_udf(df)
 
 
 def test_q01_single_shuffle(spark, sf_dir):

@@ -142,6 +142,24 @@ def test_srp_pairs_subset_of_exact_and_deterministic(spark, sf_dir):
     assert runs[0] <= exact, "verify step must keep precision exact"
 
 
+def test_brute_force_pandas_engine_matches_expr_twin(spark, sf_dir):
+    """Differential: the Arrow-batched numpy cosine and the codegen HOF
+    cosine must rank and score identically (round-6 hides the
+    summation-order ulp, as with the SRP verify step)."""
+    from etl_onprem_to_cloud_spark.llm.similarity import brute_force_top_k
+    from etl_onprem_to_cloud_spark.queries._util import cat
+
+    emb = cat(spark, sf_dir).embeddings
+    qids = list(range(8))
+    pandas_out = sorted(
+        tuple(r) for r in brute_force_top_k(emb, qids, k=10, engine="pandas").collect()
+    )
+    expr_out = sorted(
+        tuple(r) for r in brute_force_top_k(emb, qids, k=10, engine="expr").collect()
+    )
+    assert pandas_out == expr_out and len(pandas_out) == 80
+
+
 def test_srp_pandas_projection_matches_expr_twin(spark, sf_dir):
     """Differential: the vectorized numpy-matmul projection and the
     pure-codegen higher-order-function projection must produce the
