@@ -97,6 +97,9 @@ HEADLINE = [
     "q_knn_label_vote",
     "q_events_value_outliers_mad",
     "q_lang_rebalance",
+    "q_bm25_search",
+    "q_resample_hourly_lerp",
+    "q_skew_salted_join",
 ]
 
 

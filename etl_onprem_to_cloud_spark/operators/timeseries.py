@@ -67,6 +67,53 @@ def resample_gapfill_locf(
     )
 
 
+def resample_gapfill_interp(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    agg: str = "sum",
+) -> DataFrame:
+    """:func:`resample_gapfill_locf` plus LINEAR interpolation across
+    interior gaps (the hypertable ``interpolate()`` shape): a gap bucket
+    gets ``prev + (next - prev) * elapsed_frac``; buckets before the
+    first or after the last observation stay NULL (extrapolation is a
+    policy decision, not a default).
+
+    Shape: same single agg shuffle as LOCF; the bracketing prev/next
+    observation columns are two additional window passes over the SAME
+    (key, bucket) partitioning -- no extra shuffle."""
+    filled = resample_gapfill_locf(events, key_col, ts_col, value_col, step, agg)
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("value").isNotNull(), F.col("bucket_start"))
+    prev_ts = F.last(obs_ts, ignorenulls=True).over(fwd)
+    next_ts = F.first(obs_ts, ignorenulls=True).over(bwd)
+    prev_v = F.last("value", ignorenulls=True).over(fwd).cast("double")
+    next_v = F.first("value", ignorenulls=True).over(bwd).cast("double")
+    span = F.unix_timestamp(next_ts) - F.unix_timestamp(prev_ts)
+    frac = (
+        F.unix_timestamp(F.col("bucket_start")) - F.unix_timestamp(prev_ts)
+    ) / span
+    interp = (
+        F.when(F.col("value").isNotNull(), F.col("value").cast("double"))
+        .when(
+            prev_ts.isNotNull() & next_ts.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+    )
+    return filled.withColumn("value_interp", interp)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -11,7 +11,7 @@ formatted strings; every ranked/limited output carries a total order.
 Entries without an oracle (``oracle=None``) are the genuinely
 non-SQL-expressible or approximate ops (stateful streaming, IVF probes,
 seeded LSH) -- the driver records a weaker rows-only check for those.
-(Currently 2 of 160: KMeans IVF and the seeded BRP-LSH twin.)
+(Currently 2 of 170: KMeans IVF and the seeded BRP-LSH twin.)
 """
 
 from __future__ import annotations
@@ -110,6 +110,9 @@ _NEW_THIS_ROUND = (
     "q_knn_label_vote",            # new: kNN majority-vote classification
     "q_events_value_outliers_mad", # new: robust median/MAD outlier gate
     "q_lang_rebalance",            # new: language-mix rebalancing
+    "q_bm25_search",               # new: Okapi BM25 lexical retrieval
+    "q_resample_hourly_lerp",      # new: gapfill linear interpolation
+    "q_skew_salted_join",          # new: salted skew-safe equi-join
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

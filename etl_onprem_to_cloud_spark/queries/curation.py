@@ -264,6 +264,112 @@ def q_events_value_outliers_mad(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("spark", "window", "merge")
+_K1, _B = 1.2, 0.75
+
+
+def _eq_term(term: str):
+    # A one-arg lambda factory: a default-arg lambda (lambda x, t=term:)
+    # would present arity 2 to F.filter, which then binds the ARRAY
+    # INDEX to the second parameter.
+    return lambda x: x == term
+
+
+def _duck_tf(term: str) -> str:
+    return f"len(list_filter(toks, t -> t = '{term}'))"
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+),
+d AS (
+  SELECT doc_id, len(toks) AS dl,
+    {', '.join(f"{_duck_tf(term)} AS tf{i}" for i, term in enumerate(_BM25_TERMS))}
+  FROM t
+),
+corpus AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+    {', '.join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, dl,
+    {' + '.join(
+        f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({_K1} + 1))"
+        f" / (tf{i} + {_K1} * (1 - {_B} + {_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )} AS raw_score
+  FROM d CROSS JOIN corpus
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+  CAST(round(CAST(raw_score AS DECIMAL(18,8)), 6) AS DOUBLE) AS bm25
+FROM scored
+ORDER BY raw_score DESC, doc_id LIMIT 20
+""",
+    tags=("text", "search", "ring-c"),
+    description="Okapi BM25 keyword retrieval (k1=1.2, b=0.75) for a "
+    "fixed 3-term query: per-doc term frequencies stay in-row (no "
+    "explode), corpus stats (N, avgdl, per-term df) ride in as a 1-row "
+    "broadcast, top-20 via TakeOrdered -- the lexical twin of the "
+    "embedding ANN queries.",
+)
+def q_bm25_search(spark, sf_dir):
+    """Scale shape: ONE partial-aggregated pass for the corpus stats
+    (4 + |terms| numbers), broadcast back, then a pure map pass + a
+    global top-k (TakeOrderedAndProject, no full sort).  Zero wide
+    shuffles; scoring is all codegen.  The final score routes through
+    DECIMAL(18,8) before round(6) for the same cross-engine rounding
+    reason as q_resample_hourly_lerp."""
+    docs = cat(spark, sf_dir).documents
+    toks = tokens(F.lower(F.col("text")))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_term(term))).alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        part = idf * (F.col(f"tf{i}") * (_K1 + 1)) / (
+            F.col(f"tf{i}") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        d.join(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("doc_len"),
+            score.alias("raw_score"),
+        )
+        .orderBy(F.col("raw_score").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "doc_len",
+            F.round(F.col("raw_score").cast("decimal(18,8)"), 6)
+            .cast("double")
+            .alias("bm25"),
+        )
+    )
+
+
 @query(
     "q_lang_rebalance",
     oracle=f"""

@@ -177,6 +177,47 @@ def q_skew_salted_agg(spark, sf_dir):
 
 
 @query(
+    "q_skew_salted_join",
+    oracle="""
+WITH dim AS (
+  SELECT event_type, max(value) AS max_value FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN e.value >= 0.9 * d.max_value THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_near_max,
+  any_value(d.max_value) AS max_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+    tags=("skew", "join", "scale"),
+    description="Skew-safe equi-join (operators/skew.salted_join): the "
+    "fact side carries a handful of hot event_type keys, so it is "
+    "salted and the per-type dim is replicated across the 16 salt "
+    "values -- each hot key spreads over 16 reducers instead of one. "
+    "The oracle is the PLAIN join, proving salting changes the plan, "
+    "not the answer.",
+)
+def q_skew_salted_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    ev = cat(spark, sf_dir).events.select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.max("value").alias("max_value"))
+    joined = salted_join(ev, dim, on=["event_type"], salts=16)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value") >= 0.9 * F.col("max_value")).cast("bigint")
+            ).alias("n_near_max"),
+            F.any_value("max_value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q_gdpr_purge_audit",
     oracle="""
 WITH total AS (

@@ -92,6 +92,87 @@ def q_resample_hourly_locf(spark, sf_dir):
 
 
 @query(
+    "q_resample_hourly_lerp",
+    oracle="""
+WITH pts AS (
+  SELECT user_id AS key, date_trunc('hour', ts) AS bucket_start,
+    count(*) AS n_points,
+    sum(CAST(value AS DECIMAL(18,6))) AS value
+  FROM events WHERE user_id % 50 = 0
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi FROM pts GROUP BY 1
+),
+grid AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM spans
+),
+joined AS (
+  SELECT g.key, g.bucket_start, coalesce(p.n_points, 0) AS n_points, p.value
+  FROM grid g LEFT JOIN pts p USING (key, bucket_start)
+),
+brk AS (
+  SELECT key, bucket_start, n_points, value,
+    last_value(CASE WHEN value IS NOT NULL THEN bucket_start END IGNORE NULLS)
+      OVER fwd AS prev_ts,
+    last_value(CAST(value AS DOUBLE) IGNORE NULLS) OVER fwd AS prev_v,
+    first_value(CASE WHEN value IS NOT NULL THEN bucket_start END IGNORE NULLS)
+      OVER bwd AS next_ts,
+    first_value(CAST(value AS DOUBLE) IGNORE NULLS) OVER bwd AS next_v
+  FROM joined
+  WINDOW fwd AS (PARTITION BY key ORDER BY bucket_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         bwd AS (PARTITION BY key ORDER BY bucket_start
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key, strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  n_points,
+  CAST(round(value, 2) AS DOUBLE) AS value,
+  CAST(round(CAST(CASE
+    WHEN value IS NOT NULL THEN CAST(value AS DOUBLE)
+    WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL THEN
+      prev_v + (next_v - prev_v)
+        * (CAST(date_diff('second', prev_ts, bucket_start) AS DOUBLE)
+           / CAST(date_diff('second', prev_ts, next_ts) AS DOUBLE))
+  END AS DECIMAL(18,8)), 4) AS DOUBLE) AS value_interp
+FROM brk
+""",
+    tags=("time-series", "resample", "gapfill", "interpolate"),
+    description="Hourly resample with LINEAR interpolation across "
+    "interior gaps (the hypertable interpolate() shape): a gap bucket "
+    "gets prev + (next-prev)*elapsed_frac from the bracketing "
+    "observations; leading/trailing gaps stay NULL.",
+)
+def q_resample_hourly_lerp(spark, sf_dir):
+    from ..operators.timeseries import resample_gapfill_interp
+
+    ev = cat(spark, sf_dir).events.filter(F.col("user_id") % 50 == 0)
+    out = resample_gapfill_interp(
+        ev.withColumn("value_dec", dec("value")),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value_dec",
+        step="1 hour",
+        agg="sum",
+    )
+    return out.select(
+        "key",
+        fmt_ts("bucket_start", "bucket_ts"),
+        "n_points",
+        F.round("value", 2).cast("double").alias("value"),
+        # Through DECIMAL(18,8) before the final round: lerp at frac=1/2
+        # lands on exact 4th-digit halves, where Spark (rounds the
+        # shortest decimal repr) and DuckDB (rounds the binary value)
+        # disagree by 1e-4; the decimal cast collapses both to the same
+        # 8-digit value first.
+        F.round(F.col("value_interp").cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("value_interp"),
+    )
+
+
+@query(
     "q_interval_join_busy_hours",
     oracle="""
 WITH busy AS (

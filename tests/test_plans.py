@@ -196,6 +196,51 @@ def test_r3_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
     assert shuffle_count(df) <= max_shuffles
     assert not has_python_udf(df)
+
+
+@pytest.mark.parametrize("name,max_shuffles,scalar_bcast", [
+    # chunk rewrite: window on chunk + rebuild groupBy on doc_id
+    # (+ the final ORDER BY range partition).
+    ("q_dedup_chunk_rewrite", 3, False),
+    # MAD gate: events is scanned for med, dev-for-mad, and the final
+    # agg (5 exchanges on the bounded event_type key); per-type stats
+    # ride back as broadcasts, never a wide join.
+    ("q_events_value_outliers_mad", 5, False),
+    # rebalance: per-lang counts + the rank window (+ final order);
+    # the min-count target is a sanctioned 1-row broadcast.
+    ("q_lang_rebalance", 4, True),
+    # BM25: ONE corpus-stats agg riding back as a 1-row broadcast;
+    # top-k must be TakeOrdered, no wide sort.
+    ("q_bm25_search", 1, True),
+    # lerp: agg + spans + grid join + key windows share partitioning.
+    ("q_resample_hourly_lerp", 5, False),
+    # salted join: salt agg + dim agg + final agg.
+    ("q_skew_salted_join", 4, False),
+])
+def test_curation_queries_bounded_shuffles_no_udf(
+    name, max_shuffles, scalar_bcast, spark, sf_dir
+):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    if not scalar_bcast:
+        # For the scalar-broadcast queries a BroadcastNestedLoopJoin IS
+        # the expected shape: the build side is one aggregated row.
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_uses_take_ordered(spark, sf_dir):
+    df = QUERIES["q_bm25_search"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_knn_vote_broadcasts_labels(spark, sf_dir):
+    df = QUERIES["q_knn_label_vote"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
 
