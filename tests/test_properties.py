@@ -358,3 +358,79 @@ def test_star_cc_matches_label_propagation_on_random_graphs(spark, data):
     prop = {(r.node, r.component)
             for r in connected_components(pairs).collect()}
     assert star == prop
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(0, 100),
+              st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    min_size=1, max_size=20))
+@SETTINGS
+def test_gapfill_interp_brackets_and_matches_observations(spark, data):
+    """Linear interpolation invariants on an arbitrary hourly series:
+    observed buckets echo their own value; interior gap estimates lie
+    within [min(prev, next), max(prev, next)]; leading/trailing gaps
+    (nothing to bracket) stay NULL."""
+    import datetime as _dt
+
+    from etl_onprem_to_cloud_spark.operators.timeseries import (
+        resample_gapfill_interp,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + _dt.timedelta(hours=h % 200), float(v)) for h, v in data
+    ]
+    df = spark.createDataFrame(rows, "key: int, ts: timestamp, v: double")
+    out = resample_gapfill_interp(
+        df, key_col="key", ts_col="ts", value_col="v", step="1 hour", agg="sum"
+    ).collect()
+    by_bucket = sorted(out, key=lambda r: r.bucket_start)
+    obs = [(i, r) for i, r in enumerate(by_bucket) if r.value is not None]
+    first_obs, last_obs = obs[0][0], obs[-1][0]
+    for i, r in enumerate(by_bucket):
+        if r.value is not None:
+            assert r.value_interp == float(r.value)
+        elif i < first_obs or i > last_obs:
+            assert r.value_interp is None
+        else:
+            prev_v = next(
+                float(p.value) for _j, p in reversed(obs) if _j < i
+            )
+            next_v = next(float(p.value) for _j, p in obs if _j > i)
+            lo, hi = min(prev_v, next_v), max(prev_v, next_v)
+            assert lo - 1e-9 <= r.value_interp <= hi + 1e-9
+
+
+@given(data=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+    min_size=1, max_size=12))
+@SETTINGS
+def test_chunk_rewrite_conserves_and_removes_only_duplicates(spark, data):
+    """Chunk-dedup rewrite invariants on arbitrary corpora (chunk = 16
+    tokens, so most docs here are single-chunk): kept <= total chunks,
+    every distinct chunk survives somewhere exactly once across the
+    corpus, and a corpus with no duplicate chunks is returned intact."""
+    from etl_onprem_to_cloud_spark.queries.curation import CHUNK  # noqa: F401
+    from etl_onprem_to_cloud_spark.queries import QUERIES
+    import tempfile
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in docs],
+            "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        out = QUERIES["q_dedup_chunk_rewrite"].fn(spark, d).collect()
+    total_kept = sum(r.kept_chunks for r in out)
+    assert all(r.kept_chunks <= r.n_chunks for r in out)
+    # chunks actually present (single-chunk docs: the chunk is the text)
+    distinct_chunks = {t for _i, t in docs}
+    surviving = [r.new_text for r in out if r.new_text]
+    assert total_kept == len(distinct_chunks)
+    # every doc whose text is globally unique must be untouched
+    from collections import Counter
+
+    counts = Counter(t for _i, t in docs)
+    for i, t in docs:
+        if counts[t] == 1:
+            assert any(r.doc_id == i and r.new_text == t for r in out)
