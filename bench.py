@@ -100,6 +100,9 @@ HEADLINE = [
     "q_bm25_search",
     "q_resample_hourly_lerp",
     "q_skew_salted_join",
+    "q_cumulative_new_users",
+    "q_event_type_cooccurrence",
+    "q_zipf_slope",
 ]
 
 

@@ -48,8 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.name not in QUERIES:
         print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
         return 2
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"cli-{args.name}")
     spark.sparkContext.setLogLevel("ERROR")
     df = QUERIES[args.name].fn(spark, args.sf_dir)
@@ -70,7 +73,11 @@ def main(argv: list[str] | None = None) -> int:
             f"spill {m['spill_bytes']:,} B, "
             f"scan {m['scan_output_rows']:,} rows"
         )
-    spark.stop()
+    # Only tear down a session this invocation created: when embedded
+    # (tests, notebooks) getOrCreate returns the caller's session and
+    # stopping it would kill their jobs.
+    if not preexisting:
+        spark.stop()
     return 0
 
 

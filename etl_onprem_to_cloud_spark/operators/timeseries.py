@@ -90,16 +90,23 @@ def resample_gapfill_interp(
         .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "Next observation" is phrased as a RUNNING aggregate over the
+    # DESC ordering, not a (CURRENT ROW, UNBOUNDED FOLLOWING) frame:
+    # Spark evaluates unbounded-FOLLOWING frames by re-aggregating the
+    # remainder of the partition for every row (it cannot retract), so
+    # that frame is O(rows^2) per key -- the sf0.1->sf1 rehearsal
+    # measured exponent 1.56 (0.3 s -> 10.5 s) before this rewrite and
+    # 10x/linear after.  last-over-DESC is the same value in O(rows).
     bwd = (
         Window.partitionBy("key")
-        .orderBy("bucket_start")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_start").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_ts = F.when(F.col("value").isNotNull(), F.col("bucket_start"))
     prev_ts = F.last(obs_ts, ignorenulls=True).over(fwd)
-    next_ts = F.first(obs_ts, ignorenulls=True).over(bwd)
+    next_ts = F.last(obs_ts, ignorenulls=True).over(bwd)
     prev_v = F.last("value", ignorenulls=True).over(fwd).cast("double")
-    next_v = F.first("value", ignorenulls=True).over(bwd).cast("double")
+    next_v = F.last("value", ignorenulls=True).over(bwd).cast("double")
     span = F.unix_timestamp(next_ts) - F.unix_timestamp(prev_ts)
     frac = (
         F.unix_timestamp(F.col("bucket_start")) - F.unix_timestamp(prev_ts)

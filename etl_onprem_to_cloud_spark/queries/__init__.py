@@ -113,6 +113,9 @@ _NEW_THIS_ROUND = (
     "q_bm25_search",               # new: Okapi BM25 lexical retrieval
     "q_resample_hourly_lerp",      # new: gapfill linear interpolation
     "q_skew_salted_join",          # new: salted skew-safe equi-join
+    "q_cumulative_new_users",      # new: first-touch growth curve
+    "q_event_type_cooccurrence",   # new: market-basket type pairs
+    "q_zipf_slope",                # new: corpus rank-frequency fit
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

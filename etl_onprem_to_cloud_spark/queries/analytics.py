@@ -23,6 +23,124 @@ _TOKS = duck_tokens("text")
 
 
 @query(
+    "q_cumulative_new_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day, count(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT strftime(first_day, '%Y-%m-%d') AS day,
+  CAST(new_users AS BIGINT) AS new_users,
+  CAST(sum(new_users) OVER (ORDER BY first_day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM per_day ORDER BY first_day
+""",
+    tags=("events", "analytics", "growth"),
+    description="Daily new-user and cumulative-user curve via FIRST "
+    "TOUCH: min(day) per user then a per-day rollup + running sum -- "
+    "the scale-safe form of 'cumulative distinct users' (a naive "
+    "running count_distinct would re-scan all history per day).",
+)
+def q_cumulative_new_users(spark, sf_dir):
+    """Scale shape: one shuffle on user_id (partial min), one tiny
+    per-day agg, and the running sum windows over ~days rows (single
+    partition is fine: cardinality = calendar days, not data)."""
+    ev = cat(spark, sf_dir).events
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")
+
+
+@query(
+    "q_event_type_cooccurrence",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+total AS (
+  SELECT count(DISTINCT user_id) AS n_total FROM events
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_users
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+  CAST(round(CAST(CAST(n_users AS DOUBLE) / n_total AS DECIMAL(18,8)), 6)
+    AS DOUBLE) AS user_share
+FROM p CROSS JOIN total ORDER BY type_a, type_b
+""",
+    tags=("events", "analytics", "market-basket"),
+    description="Event-type co-occurrence (market-basket over user "
+    "sessions): for every unordered type pair, how many users did "
+    "both, and what share of all users.  Expressed as per-user "
+    "distinct-type arrays exploded into in-row pair combinations -- "
+    "NO self-join of the fact table.",
+)
+def q_event_type_cooccurrence(spark, sf_dir):
+    """Scale shape: one user_id shuffle builds the distinct-type array
+    (bounded by |event types|, here 5), pairs are generated IN-ROW by
+    nested array transforms (the self-join form the oracle uses would
+    co-partition fine but scans the distinct relation twice), then one
+    bounded-key agg.  Total-user count rides in as a 1-row broadcast."""
+    ev = cat(spark, sf_dir).events
+    types = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = types.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ts"), i + 2, F.greatest(F.size("ts") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("type_a"), y.alias("type_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    total = ev.agg(F.count_distinct("user_id").alias("n_total"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .join(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_users").cast("bigint"),
+            F.round(
+                (F.col("n_users").cast("double") / F.col("n_total"))
+                .cast("decimal(18,8)"),
+                6,
+            )
+            .cast("double")
+            .alias("user_share"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
     "q_event_type_transitions",
     oracle="""
 WITH s AS (

@@ -371,6 +371,89 @@ def q_bm25_search(spark, sf_dir):
 
 
 @query(
+    "q_zipf_slope",
+    oracle=f"""
+WITH t AS (
+  SELECT unnest({duck_tokens('text')}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS cnt FROM t GROUP BY token
+),
+ranked AS (
+  SELECT token, cnt,
+    row_number() OVER (ORDER BY cnt DESC, token) AS r
+  FROM counts
+),
+terms AS (
+  SELECT
+    CAST(CAST(ln(r) AS DECIMAL(18,12)) AS DOUBLE) AS x,
+    CAST(CAST(ln(cnt) AS DECIMAL(18,12)) AS DOUBLE) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x * y AS DECIMAL(28,14))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE) AS sxx
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  CAST(round(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+    AS DECIMAL(18,8)), 6) AS DOUBLE) AS zipf_slope,
+  CAST(round(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+    AS DECIMAL(18,8)), 6) AS DOUBLE) AS intercept
+FROM sums
+""",
+    tags=("text", "corpus-stats", "ring-c"),
+    description="Zipf's-law fit over the corpus rank-frequency curve: "
+    "OLS slope of ln(count) vs ln(rank).  Natural corpora sit near -1; "
+    "a flat slope flags templated/boilerplate text, a cliff flags "
+    "vocabulary collapse -- a one-row corpus health check for "
+    "tokenizer/vocab design.",
+)
+def q_zipf_slope(spark, sf_dir):
+    """Scale shape: one explode + token partial-agg shuffle (vocab-
+    bounded), then a rank window and ONE-row regression sums.  All log
+    terms and cross products route through DECIMAL before summation so
+    the sum is order-independent and both engines accumulate the
+    identical value (double summation order varies with partitioning;
+    ulp-level libm-vs-JVM ln differences are absorbed by the 1e-12
+    rounding)."""
+    docs = cat(spark, sf_dir).documents
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    dec12 = lambda c: c.cast("decimal(18,12)").cast("double")  # noqa: E731
+    terms = ranked.select(
+        dec12(F.log("r")).alias("x"), dec12(F.log("cnt")).alias("y")
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(28,14)")).cast("double")  # noqa: E731
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    dec_round = lambda c: F.round(c.cast("decimal(18,8)"), 6).cast("double")  # noqa: E731
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        dec_round(slope).alias("zipf_slope"),
+        dec_round((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
     "q_lang_rebalance",
     oracle=f"""
 WITH n AS (

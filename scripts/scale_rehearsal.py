@@ -81,6 +81,14 @@ REHEARSAL = [
     "q_embedding_quantize_int8",
     "q_vocab_coverage",
     "q_multimodal_ppm_decode",
+    # Round-3 curation additions.
+    "q_dedup_chunk_rewrite",
+    "q_knn_label_vote",
+    "q_events_value_outliers_mad",
+    "q_lang_rebalance",
+    "q_bm25_search",
+    "q_resample_hourly_lerp",
+    "q_skew_salted_join",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -216,6 +216,13 @@ def test_r3_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     ("q_resample_hourly_lerp", 5, False),
     # salted join: salt agg + dim agg + final agg.
     ("q_skew_salted_join", 4, False),
+    # first-touch growth: user-id agg, per-day agg, single-partition
+    # running sum over ~days rows, final order.
+    ("q_cumulative_new_users", 4, False),
+    # co-occurrence: user-id agg + pair agg + 1-row total broadcast.
+    ("q_event_type_cooccurrence", 4, True),
+    # zipf: token agg + vocab-sized rank window + 1-row sums.
+    ("q_zipf_slope", 4, False),
 ])
 def test_curation_queries_bounded_shuffles_no_udf(
     name, max_shuffles, scalar_bcast, spark, sf_dir
