@@ -135,3 +135,55 @@ def compact_files(
     n_files = max(1, math.ceil(est_disk_bytes / target_file_bytes))
     df.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def stats_manifest(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max/row-count manifest for ``cols`` over a parquet
+    directory -- the Delta/Iceberg data-skipping index, built with one
+    aggregation keyed on ``input_file_name()``.
+
+    At 100 TB the manifest is written once per ingest batch and stored
+    as a table (one row per file -- millions of rows, not billions);
+    queries consult it instead of listing+footer-reading every file.
+    Pair with :func:`zorder_write`: tight per-file bounding boxes are
+    exactly what make these ranges selective."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def pruned_read(
+    spark,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    manifest: DataFrame | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Range-predicate read that SKIPS files whose [min, max] for
+    ``col`` cannot overlap [lo, hi].  Returns (df, files_read,
+    files_total); the residual filter is re-applied, so the result is
+    exactly ``read(path).filter(col between lo and hi)`` regardless of
+    how coarse the file stats are.
+
+    The one driver-side ``collect()`` is the manifest scan itself --
+    bounded at one row per FILE (the same bounded-broadcast shape as
+    the Bloom semi-join's filter build), which is the standard
+    data-skipping architecture: Delta/Iceberg also resolve the file
+    list driver-side before task planning."""
+    m = manifest if manifest is not None else stats_manifest(spark, path, [col])
+    rows = m.select("file", f"min_{col}", f"max_{col}").collect()
+    keep = [
+        r["file"]
+        for r in rows
+        if r[f"min_{col}"] is not None
+        and not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    predicate = (F.col(col) >= lo) & (F.col(col) <= hi)
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, len(rows)
+    out = spark.read.parquet(*keep).filter(predicate)
+    return out, len(keep), len(rows)

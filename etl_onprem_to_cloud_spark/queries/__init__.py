@@ -116,6 +116,7 @@ _NEW_THIS_ROUND = (
     "q_cumulative_new_users",      # new: first-touch growth curve
     "q_event_type_cooccurrence",   # new: market-basket type pairs
     "q_zipf_slope",                # new: corpus rank-frequency fit
+    "q_zorder_pruning_ratio",      # new: layout data-skipping metric
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

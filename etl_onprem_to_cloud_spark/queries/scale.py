@@ -178,3 +178,118 @@ def q_zorder_layout_stats(spark, sf_dir):
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+_PRUNE_BOXES = [(0, 31, 0, 31), (100, 131, 100, 131), (200, 255, 0, 63)]
+_PRUNE_BOXES_SQL = ", ".join(
+    f"({i}, {x0}, {x1}, {y0}, {y1})"
+    for i, (x0, x1, y0, y1) in enumerate(_PRUNE_BOXES)
+)
+
+
+@query(
+    "q_zorder_pruning_ratio",
+    oracle=f"""
+WITH z AS (
+  SELECT l_orderkey, l_linenumber,
+    l_partkey % 256 AS x, l_suppkey % 256 AS y,
+    {LY.morton_sql('(l_partkey % 256)', '(l_suppkey % 256)', _Z_BITS)} AS zval
+  FROM lineitem
+),
+zb AS (
+  SELECT x, y,
+    ntile({_Z_BUCKETS}) OVER (ORDER BY zval, l_orderkey, l_linenumber) AS bucket
+  FROM z
+),
+zs AS (
+  SELECT bucket, min(x) AS min_x, max(x) AS max_x,
+    min(y) AS min_y, max(y) AS max_y
+  FROM zb GROUP BY bucket
+),
+lb AS (
+  SELECT x, y,
+    ntile({_Z_BUCKETS}) OVER (ORDER BY l_orderkey, l_linenumber) AS bucket
+  FROM z
+),
+ls AS (
+  SELECT bucket, min(x) AS min_x, max(x) AS max_x,
+    min(y) AS min_y, max(y) AS max_y
+  FROM lb GROUP BY bucket
+),
+boxes(box_id, x0, x1, y0, y1) AS (VALUES {_PRUNE_BOXES_SQL})
+SELECT b.box_id,
+  CAST((SELECT count(*) FROM zs
+        WHERE zs.max_x >= b.x0 AND zs.min_x <= b.x1
+          AND zs.max_y >= b.y0 AND zs.min_y <= b.y1) AS BIGINT) AS z_buckets,
+  CAST((SELECT count(*) FROM ls
+        WHERE ls.max_x >= b.x0 AND ls.min_x <= b.x1
+          AND ls.max_y >= b.y0 AND ls.min_y <= b.y1) AS BIGINT) AS linear_buckets,
+  CAST({_Z_BUCKETS} AS BIGINT) AS total_buckets
+FROM boxes b ORDER BY b.box_id
+""",
+    tags=("layout", "zorder", "scale"),
+    description=(
+        "Layout effectiveness: for 3 fixed (x, y) range queries, how "
+        "many of the 64 file-sized buckets must be touched under the "
+        "Z-ORDERED layout vs the same data bucketed in ARRIVAL order "
+        "(each bucket's bounding box is what parquet footer stats / a "
+        "stats manifest would prune on).  The z layout touches a "
+        "fraction; arrival order touches nearly everything -- the "
+        "measured WHY of operators/layout.zorder_write + pruned_read."
+    ),
+)
+def q_zorder_pruning_ratio(spark, sf_dir):
+    """Scale shape: same single-pass bucket stats as
+    q_zorder_layout_stats, twice (z-order and arrival order), each
+    collapsed to 64 bounding boxes; the 3 query boxes join against
+    64-row relations (broadcast both ways, cost ~0)."""
+    li = cat(spark, sf_dir).lineitem
+    x = (F.col("l_partkey") % 256).cast("int")
+    y = (F.col("l_suppkey") % 256).cast("int")
+    z = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        x.alias("x"),
+        y.alias("y"),
+        LY.morton_code(x, y, _Z_BITS).alias("zval"),
+    )
+
+    def bucket_stats(order_cols):
+        w = Window.orderBy(*order_cols)
+        return (
+            z.select("x", "y", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+            )
+        )
+
+    zs = bucket_stats(["zval", "l_orderkey", "l_linenumber"])
+    ls = bucket_stats(["l_orderkey", "l_linenumber"])
+    boxes = spark.createDataFrame(
+        [(i, *b) for i, b in enumerate(_PRUNE_BOXES)],
+        "box_id: int, x0: int, x1: int, y0: int, y1: int",
+    )
+
+    def touched(stats, alias):
+        hit = (
+            (F.col("max_x") >= F.col("x0"))
+            & (F.col("min_x") <= F.col("x1"))
+            & (F.col("max_y") >= F.col("y0"))
+            & (F.col("min_y") <= F.col("y1"))
+        )
+        return (
+            boxes.join(F.broadcast(stats))
+            .groupBy("box_id")
+            .agg(F.sum(hit.cast("bigint")).alias(alias))
+        )
+
+    return (
+        touched(zs, "z_buckets")
+        .join(touched(ls, "linear_buckets"), "box_id")
+        .withColumn("total_buckets", F.lit(_Z_BUCKETS).cast("bigint"))
+        .orderBy("box_id")
+    )

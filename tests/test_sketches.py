@@ -135,3 +135,46 @@ class TestZOrder:
         # global span is 63 in both dims; z-order files must be tighter
         # in BOTH (a single-column sort would leave the other at ~63)
         assert spans["ax"] < 40 and spans["ay"] < 40
+
+
+def test_stats_manifest_and_pruned_read_skip_files(spark, sf_dir, tmp_path):
+    """Data skipping: a Z-ordered layout + per-file min/max manifest
+    lets a range read skip most files while returning exactly the
+    full-scan filter result."""
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.operators.layout import (
+        pruned_read,
+        stats_manifest,
+    )
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "zev")
+    # Range-cluster on the skip column so each file's [min, max] is a
+    # tight slice (the single-column layout; zorder_write is the
+    # two-column generalization).
+    (
+        ev.repartitionByRange(8, F.col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.parquet(path)
+    )
+
+    manifest = stats_manifest(spark, path, ["user_id"])
+    assert manifest.count() >= 2  # multiple files to prune across
+
+    lo, hi = 10, 40
+    pruned, files_read, files_total = pruned_read(
+        spark, path, "user_id", lo, hi, manifest=manifest
+    )
+    expected = ev.filter((ev.user_id >= lo) & (ev.user_id <= hi))
+    got = sorted(r.event_id for r in pruned.collect())
+    want = sorted(r.event_id for r in expected.collect())
+    assert got == want and len(got) > 0
+    assert files_read < files_total, "range read should skip files"
+
+    # a range outside the data touches zero files
+    empty, n_read, _tot = pruned_read(spark, path, "user_id", 10**12, 10**12 + 1)
+    assert n_read == 0 and empty.count() == 0
