@@ -103,6 +103,13 @@ HEADLINE = [
     "q_cumulative_new_users",
     "q_event_type_cooccurrence",
     "q_zipf_slope",
+    # r3 batch 2: quality report, iterative fixed-point PageRank, BPE
+    # pair counts, grouped OLS, and the pandas GROUPED_AGG UDAF.
+    "q_data_quality_orders",
+    "q_textrank_tokens",
+    "q_bpe_pair_merges",
+    "q_regression_price_on_qty",
+    "q_weighted_median_price",
 ]
 
 

@@ -31,6 +31,20 @@ def dsum_round(col: Column | str, alias: str, round_to: int = 2) -> Column:
     return F.round(F.sum(dec(col)), round_to).cast("double").alias(alias)
 
 
+def portable_round(col: Column, round_to: int = 4) -> Column:
+    """Engine-portable round-half-up on a double, written as explicit
+    IEEE ops: floor(x * 10^n + 0.5) / 10^n.
+
+    ``F.round``/DuckDB ``round`` disagree on rare boundary doubles
+    (their internal scaling differs); spelling the arithmetic out makes
+    both engines execute the identical op sequence.  For non-negative
+    values only (half rounds toward +inf).  Duck twin:
+    :func:`queries._util.duck_pround`.
+    """
+    p = float(10**round_to)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+
+
 def davg_round(col: Column | str, alias: str, round_to: int = 4) -> Column:
     """avg = exact decimal sum / count, computed in double.
 

@@ -75,6 +75,7 @@ from . import relational2  # noqa: E402,F401
 from . import tpch2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import mining  # noqa: E402,F401
 
 # --- Evidence-priority ordering -------------------------------------------
 # Policy (fixed after round-2 advice): order the registry purely by
@@ -117,6 +118,14 @@ _NEW_THIS_ROUND = (
     "q_event_type_cooccurrence",   # new: market-basket type pairs
     "q_zipf_slope",                # new: corpus rank-frequency fit
     "q_zorder_pruning_ratio",      # new: layout data-skipping metric
+    "q_data_quality_orders",       # new: Deequ-style expectation report
+    "q_textrank_tokens",           # new: fixed-point PageRank keywords
+    "q_regression_price_on_qty",   # new: grouped OLS sufficient stats
+    "q_seasonal_hourly_profile",   # new: hour-of-day seasonal lift
+    "q_cusum_changepoints",        # new: integer CUSUM changepoint scan
+    "q_bpe_pair_merges",           # new: BPE first-merge pair counts
+    "q_equidepth_price_buckets",   # new: ntile equi-depth histogram
+    "q_weighted_median_price",     # new: pandas GROUPED_AGG UDAF
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -61,6 +61,15 @@ def duck_word_ngrams(tokens_expr: str, n: int = 2) -> str:
     )
 
 
+def duck_pround(expr: str, round_to: int = 4) -> str:
+    """DuckDB twin of functions/numeric.portable_round: explicit
+    floor-based half-up rounding so both engines run the identical
+    IEEE op sequence (native round() implementations disagree on rare
+    boundary doubles)."""
+    p = float(10**round_to)
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
 # Exact-decimal aggregate fragments (mirror functions/numeric.py).
 def duck_dsum(col_expr: str, alias: str, round_to: int = 2) -> str:
     return (

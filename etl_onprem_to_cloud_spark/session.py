@@ -106,12 +106,17 @@ def get_spark(
     PYSPARK_SUBMIT_ARGS before the gateway starts.  The 1g pyspark
     default is badly undersized for local[32] (the driver JVM hosts ALL
     execution + broadcast memory in local mode): the sf1 scale
-    rehearsal OOM'd an AQE broadcast build under 1g.  Default 16g,
-    override with SPARK_GRAFT_DRIVER_MEM.  On a real cluster this knob
-    is inert (driver memory comes from spark-submit).
+    rehearsal OOM'd an AQE broadcast build under 1g.  Default 8g --
+    measured sweet spot: at 16g the same sf0.1 MinHash-LSH plan runs
+    2.3x slower (1.65s -> 3.8s warm; G1 region/young-gen scaling
+    dominates the short-task GC profile), while 4g/8g match the
+    pre-sizing timings and still clear every bench query.  The sf1
+    rehearsal overrides to 16g via SPARK_GRAFT_DRIVER_MEM (see
+    scripts/scale_rehearsal.py).  On a real cluster this knob is inert
+    (driver memory comes from spark-submit).
     """
     if "PYSPARK_SUBMIT_ARGS" not in os.environ:
-        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         os.environ["PYSPARK_SUBMIT_ARGS"] = (
             f"--driver-memory {driver_mem} pyspark-shell"
         )

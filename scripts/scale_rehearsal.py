@@ -50,6 +50,10 @@ from etl_onprem_to_cloud_spark.plans import execution_metrics
 from etl_onprem_to_cloud_spark.queries import QUERIES
 from etl_onprem_to_cloud_spark.session import get_spark
 
+# sf1 broadcast builds OOM'd the 1g default and want more headroom
+# than the 8g bench sweet spot (see session.get_spark docstring).
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 REPLICAS = 10

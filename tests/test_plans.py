@@ -355,3 +355,45 @@ def test_broadcast_join_moves_no_fact_shuffle(spark, sf_dir):
     m = execution_metrics(df)
     assert m["spill_bytes"] == 0
     assert m["shuffle_records_written"] < m["scan_output_rows"] / 10
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # quality report: ONE predicate-agg pass + uniqueness groupBy; the
+    # referential check broadcasts the parent key set.
+    ("q_data_quality_orders", 3),
+    # grouped OLS: single partial-aggregated groupBy (+ final order).
+    ("q_regression_price_on_qty", 2),
+    # seasonal: hourly agg, per-type window over the tiny aggregate.
+    ("q_seasonal_hourly_profile", 3),
+    # CUSUM: hourly agg + per-type windows on the aggregate.
+    ("q_cusum_changepoints", 3),
+    # BPE: token-type count + pair count -- the explode runs over the
+    # vocabulary, never the token stream.
+    ("q_bpe_pair_merges", 2),
+    # equi-depth: per-priority ntile window + bucket agg.
+    ("q_equidepth_price_buckets", 2),
+])
+def test_mining_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_textrank_iterations_bounded_and_jvm_side(spark, sf_dir):
+    """8 supersteps of rank-join-agg: the final plan carries the
+    post-checkpoint rounds only (lineage is cut every 4), all JVM-side,
+    no cartesian anywhere in the iteration."""
+    df = QUERIES["q_textrank_tokens"].fn(spark, sf_dir)
+    assert not has_python_udf(df)
+    assert shuffle_count(df) <= 24
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_referential_check_broadcasts(spark, sf_dir):
+    df = QUERIES["q_data_quality_orders"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)

@@ -1,0 +1,118 @@
+"""Unit tests for operators/quality.py (expectation checks),
+operators/graph.py (fixed-point PageRank), and the portable rounding
+helper backing the round-3 mining queries."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_onprem_to_cloud_spark.functions.numeric import portable_round
+from etl_onprem_to_cloud_spark.operators import quality as Q
+from etl_onprem_to_cloud_spark.operators.graph import (
+    SCALE,
+    duck_pagerank_sql,
+    pagerank_fixed_point,
+)
+from etl_onprem_to_cloud_spark.queries._util import duck_pround
+
+
+class TestQualityChecks:
+    def test_predicate_report_counts_violations(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("b", None), (None, 3), ("z", 99)],
+            "name string, v int",
+        )
+        rep = Q.predicate_report(
+            df,
+            [
+                Q.completeness("name.complete", "name"),
+                Q.in_set("name.in_set", "name", ["a", "b", "z"]),
+                Q.in_range("v.in_range", "v", 0, 10),
+            ],
+        ).collect()
+        by_name = {r["check"]: r for r in rep}
+        assert by_name["name.complete"]["violations"] == 1
+        assert by_name["name.in_set"]["violations"] == 1  # the NULL row
+        # NULL v and v=99 both violate the range
+        assert by_name["v.in_range"]["violations"] == 2
+        assert all(r["total"] == 4 for r in rep)
+        assert not by_name["v.in_range"]["passed"]
+
+    def test_uniqueness_counts_every_duplicated_row(self, spark):
+        df = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,), (3,)], "k int")
+        row = Q.uniqueness_report(df, "k.unique", ["k"]).collect()[0]
+        # Deequ semantics: all rows of a duplicated key violate (2 + 3)
+        assert row["violations"] == 5
+        assert row["total"] == 6
+        assert not row["passed"]
+
+    def test_referential_orphans(self, spark):
+        child = spark.createDataFrame([(1,), (2,), (9,)], "fk int")
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+        row = Q.referential_report(child, "fk.ref", "fk", parent, "pk").collect()[0]
+        assert row["violations"] == 1
+        assert row["total"] == 3
+        assert not row["passed"]
+
+
+class TestFixedPointPageRank:
+    def _ranks(self, spark, edges, iterations=8):
+        e = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r["node"]: r["rank"]
+            for r in pagerank_fixed_point(e, iterations=iterations).collect()
+        }
+
+    def test_symmetric_pair_has_equal_ranks(self, spark):
+        ranks = self._ranks(spark, [("a", "b"), ("b", "a")])
+        assert ranks["a"] == ranks["b"]
+
+    def test_hub_outranks_leaves(self, spark):
+        # star: all leaves point at hub and back (undirected star)
+        edges = []
+        for leaf in ["l1", "l2", "l3", "l4"]:
+            edges += [(leaf, "hub"), ("hub", leaf)]
+        ranks = self._ranks(spark, edges)
+        assert all(ranks["hub"] > ranks[f"l{i}"] for i in range(1, 5))
+        leaf_vals = {ranks[f"l{i}"] for i in range(1, 5)}
+        assert len(leaf_vals) == 1  # symmetry
+
+    def test_total_mass_bounded_by_scale(self, spark):
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+        ranks = self._ranks(spark, edges)
+        # fixed-point floor division only loses mass, never creates it
+        assert 0 < sum(ranks.values()) <= SCALE
+
+    def test_matches_unrolled_duckdb_twin(self, spark):
+        edges = [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+            ("c", "d"), ("d", "c"), ("a", "d"), ("d", "a"),
+            ("a", "c"), ("c", "a"),
+        ]
+        spark_ranks = self._ranks(spark, edges, iterations=5)
+        values = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+        sql = duck_pagerank_sql(
+            f"SELECT src, dst FROM (VALUES {values}) AS t(src, dst)",
+            iterations=5,
+        )
+        duck_ranks = dict(duckdb.connect().execute(sql).fetchall())
+        assert spark_ranks == duck_ranks
+
+
+class TestPortableRound:
+    @pytest.mark.parametrize("x,n", [(68.92875, 4), (0.5, 0), (1.23456785, 6)])
+    def test_spark_and_duck_agree_on_boundaries(self, spark, x, n):
+        sv = spark.range(1).select(
+            portable_round(F.lit(x), n).alias("r")
+        ).collect()[0]["r"]
+        # CAST: DuckDB parses bare decimal literals as DECIMAL; the
+        # helper's contract is a DOUBLE input expression.
+        dv = duckdb.connect().execute(
+            f"SELECT {duck_pround(f'CAST({x!r} AS DOUBLE)', n)}"
+        ).fetchone()[0]
+        assert sv == dv
+        assert math.isclose(sv, round(x, n), abs_tol=10**-n)
