@@ -110,6 +110,10 @@ HEADLINE = [
     "q_bpe_pair_merges",
     "q_regression_price_on_qty",
     "q_weighted_median_price",
+    # r3 batch 3: corpus novelty, sparse-cosine retrieval, triangles.
+    "q_ngram_novelty",
+    "q_sparse_tfidf_topk",
+    "q_triangle_clustering",
 ]
 
 

@@ -126,6 +126,11 @@ _NEW_THIS_ROUND = (
     "q_bpe_pair_merges",           # new: BPE first-merge pair counts
     "q_equidepth_price_buckets",   # new: ntile equi-depth histogram
     "q_weighted_median_price",     # new: pandas GROUPED_AGG UDAF
+    "q_ngram_novelty",             # new: first-seen 4-gram novelty
+    "q_sparse_tfidf_topk",         # new: fixed-point sparse cosine
+    "q_triangle_clustering",       # new: triangles + clustering coeff
+    "q_benford_price_digits",      # new: Benford first-digit audit
+    "q_ttest_purchase_view",       # new: Welch t from one-pass sums
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

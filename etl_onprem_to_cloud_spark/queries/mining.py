@@ -32,7 +32,7 @@ from ..operators.quality import (
     referential_report,
     uniqueness_report,
 )
-from ._util import cat, duck_pround, duck_tokens
+from ._util import cat, duck_pround, duck_tokens, duck_word_ngrams
 from . import query
 
 
@@ -558,4 +558,518 @@ def q_weighted_median_price(spark, sf_dir):
         li.groupBy("l_returnflag")
         .agg(wm("l_extendedprice", "l_quantity").alias("wmedian_price"))
         .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: how much NEW text each document adds to the corpus
+# --------------------------------------------------------------------------
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct({duck_word_ngrams('toks', 4)})) AS gram
+  FROM t
+),
+first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+),
+m AS (
+  SELECT g.doc_id,
+    count(*) AS n_grams,
+    sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN first_seen f ON g.gram = f.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_novel AS BIGINT) AS n_novel,
+  {{novelty}} AS novelty
+FROM m ORDER BY doc_id
+""".format(novelty=duck_pround("CAST(n_novel AS DOUBLE) / n_grams", 6)),
+    tags=("text", "dedup", "ring-c", "curation"),
+    description=(
+        "Corpus novelty score: fraction of each document's distinct "
+        "4-gram shingles whose FIRST occurrence (min doc_id = crawl "
+        "order) is this document -- the 'how much new text does each "
+        "snapshot add' statistic behind incremental crawl curation."
+    ),
+)
+def q_ngram_novelty(spark, sf_dir):
+    """One shuffle on the gram (min-aggregate), one join back keyed the
+    same way, one doc_id rollup.  At 100 TB the gram key becomes
+    xxhash64(gram) and first-seen is maintained incrementally (same
+    contract as q_incremental_ingest_dedup)."""
+    from ..functions.text import word_ngrams_from_tokens
+
+    docs = cat(spark, sf_dir).documents
+    # Two-step materialize-tokens + explode_outer, NOT an inline
+    # explode: the inline form lets CollapseProject inline the
+    # tokenizer into every element_at of the n-gram lambda and
+    # InferFiltersFromGenerate re-inline it once more under the
+    # Generate -- measured 27.9s -> 0.5s at sf0.1 (same trap documented
+    # at llm/dedup._exploded_shingles).
+    tk = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("__tk"))
+    gr = tk.select(
+        "doc_id",
+        F.array_distinct(word_ngrams_from_tokens(F.col("__tk"), 4)).alias("__g"),
+    )
+    g = gr.select("doc_id", F.explode_outer("__g").alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    # min-over-window, not agg+join-back: ONE gram construction pass,
+    # one shuffle on gram, and no corpus-sized broadcast (the join-back
+    # form built the explode subtree twice and broadcast 210k first-seen
+    # rows -- neither survives 100 TB).
+    first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
+    m = (
+        g.withColumn("first_doc", first_doc)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        portable_round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias(
+            "novelty"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Sparse TF-IDF cosine retrieval via inverted-index join, fixed-point
+# --------------------------------------------------------------------------
+
+_TFIDF_W = (
+    "CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q_sparse_tfidf_topk",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+),
+tfc AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2
+),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM tk),
+w AS (
+  SELECT doc_id, tfc.term AS term, {_TFIDF_W} AS w
+  FROM tfc JOIN dfc ON tfc.term = dfc.term, n
+),
+norms AS (SELECT doc_id, sum(w * w) AS nn FROM w GROUP BY doc_id),
+qp AS (SELECT * FROM w WHERE doc_id % 199 = 0),
+dots AS (
+  SELECT qp.doc_id AS q_doc, c.doc_id AS c_doc, sum(qp.w * c.w) AS dot
+  FROM qp JOIN w c ON qp.term = c.term AND qp.doc_id != c.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_doc, c_doc,
+    {{cos}} AS cosine
+  FROM dots
+  JOIN norms nq ON nq.doc_id = q_doc
+  JOIN norms nc ON nc.doc_id = c_doc
+)
+SELECT q_doc, c_doc, cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT q_doc, c_doc, cosine,
+    row_number() OVER (PARTITION BY q_doc
+                       ORDER BY cosine DESC, c_doc) AS rnk
+  FROM scored
+) WHERE rnk <= 5 ORDER BY q_doc, rnk
+""".format(
+        cos=duck_pround(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE))"
+            " * sqrt(CAST(nc.nn AS DOUBLE)))",
+            6,
+        )
+    ),
+    tags=("text", "similarity", "ring-c", "tfidf"),
+    description=(
+        "Sparse lexical similarity search: TF-IDF weights quantized to "
+        "fixed-point BIGINT so the inverted-index dot products are "
+        "exact integer sums (order-independent across engines and "
+        "partitionings); cosine from the integer dots/norms, top-5 "
+        "neighbors per sampled query doc."
+    ),
+)
+def q_sparse_tfidf_topk(spark, sf_dir):
+    """The classic sparse-similarity join: postings shuffled once on
+    term, the query side is a tiny filtered subset of the same
+    postings, candidate volume is bounded by shared-term postings (a
+    df-cutoff bounds it further on power-law vocabularies).  The
+    fixed-point trick is the same determinism contract as the
+    PageRank operator: floats only at the final cosine."""
+    from pyspark.sql import Window
+
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    tfc = (
+        tk.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tk.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Persist the weighted postings: four downstream branches (norms,
+    # query side, corpus side of the dot join) would otherwise each
+    # recompute the tokenize+count+join subtree from the raw scan (24
+    # scans, zero ReusedExchange).  One materialization, read four
+    # times -- the same sanctioned pattern as the SRP bucket relation.
+    w = (
+        tfc.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(_TFIDF_W).alias("w"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
+    qp = w.filter(F.col("doc_id") % 199 == 0).select(
+        F.col("doc_id").alias("q_doc"), "term", F.col("w").alias("qw")
+    )
+    dots = (
+        qp.join(w, "term")
+        .filter(F.col("q_doc") != F.col("doc_id"))
+        .groupBy("q_doc", F.col("doc_id").alias("c_doc"))
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("q_doc"), F.col("nn").alias("qnn")),
+            "q_doc",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("c_doc"), F.col("nn").alias("cnn")),
+            "c_doc",
+        )
+        .select(
+            "q_doc",
+            "c_doc",
+            portable_round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qnn").cast("double"))
+                    * F.sqrt(F.col("cnn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("q_doc").orderBy(F.desc("cosine"), "c_doc")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 5)
+        .select("q_doc", "c_doc", "cosine", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("q_doc", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient
+# --------------------------------------------------------------------------
+
+_UND_CTE = f"""
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM (
+    SELECT toks[i.i] AS a, toks[i.i + 1] AS b
+    FROM (SELECT {duck_tokens('text')} AS toks FROM documents) t,
+    LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i
+  ) WHERE a != b
+"""
+
+
+@query(
+    "q_triangle_clustering",
+    oracle=f"""
+WITH und AS ({_UND_CTE}),
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM und e1
+  JOIN und e2 ON e2.x = e1.y
+  JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+pernode AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT x AS node FROM und UNION ALL SELECT y FROM und
+  ) GROUP BY node
+)
+SELECT d.node AS node, CAST(d.degree AS BIGINT) AS degree,
+  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+  {{cc}} AS clustering
+FROM deg d LEFT JOIN pernode p ON d.node = p.node
+WHERE d.degree >= 2
+ORDER BY triangles DESC, d.node LIMIT 20
+""".format(
+        cc=duck_pround(
+            "2.0 * coalesce(p.triangles, 0)"
+            " / (CAST(d.degree AS DOUBLE) * (d.degree - 1))",
+            6,
+        )
+    ),
+    tags=("graph", "ring-c", "stats"),
+    description=(
+        "Triangle counting with local clustering coefficient over the "
+        "token co-occurrence graph: canonical a<b edges joined twice "
+        "(each triangle materializes exactly once as a<b<c), "
+        "per-node participation, cc = 2T/(deg*(deg-1))."
+    ),
+)
+def q_triangle_clustering(spark, sf_dir):
+    """The two self-joins shuffle on single node keys; at real graph
+    scale the standard refinement is degree-ordering the orientation
+    (x = lower-degree endpoint) so high-degree hubs never fan out --
+    same output, bounded skew.  Kept lexicographic here to stay
+    bit-identical with the SQL twin; the degree-oriented variant is a
+    one-line change to the canonicalization."""
+    docs = cat(spark, sf_dir).documents
+    toks = docs.select(tokens(F.lower(F.col("text"))).alias("toks"))
+    raw = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("a"),
+                    F.element_at(F.col("toks"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    und = raw.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).distinct()
+    e1 = und.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = und.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    e3 = und.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .unionAll(und.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    j = deg.join(pernode, "node", "left").filter(F.col("degree") >= 2)
+    t = F.coalesce(F.col("triangles"), F.lit(0))
+    return (
+        j.select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            t.cast("bigint").alias("triangles"),
+            portable_round(
+                F.lit(2.0) * t
+                / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), "node")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit test on order prices
+# --------------------------------------------------------------------------
+
+def _first_digit_sql(div_op: str) -> str:
+    """First decimal digit of integer cents via a fixed CASE chain of
+    integer divisions (no log10/string formatting -- both engines run
+    the identical integer ops).  ``div_op``: '//' (DuckDB) or 'div'
+    (Spark SQL)."""
+    branches = [
+        f"WHEN cents >= {10**k} THEN cents {div_op} {10**k}"
+        for k in range(10, 0, -1)
+    ]
+    return "CASE " + " ".join(branches) + " ELSE cents END"
+
+
+# log10(1 + 1/d): one shared literal per digit, embedded in BOTH query
+# texts so each engine parses the identical decimal string.
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124",
+    3: "0.12493873660829992", 4: "0.09691001300805642",
+    5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+def _benford_p_case() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+    )
+    return f"CASE digit {whens} END"
+
+
+@query(
+    "q_benford_price_digits",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+),
+d AS (
+  SELECT {_first_digit_sql('//')} AS digit FROM c
+),
+o AS (
+  SELECT digit, count(*) AS observed FROM d GROUP BY digit
+),
+t AS (
+  SELECT digit, observed, sum(observed) OVER () AS n FROM o
+)
+SELECT CAST(digit AS INT) AS digit, CAST(observed AS BIGINT) AS observed,
+  {{exp}} AS expected,
+  {{contrib}} AS chi2_term
+FROM (
+  SELECT digit, observed, n,
+    CAST(n AS DOUBLE) * ({_benford_p_case()}) AS e
+  FROM t
+)
+ORDER BY digit
+""".format(
+        exp=duck_pround("e", 4),
+        contrib=duck_pround("(observed - e) * (observed - e) / e", 6),
+    ),
+    tags=("quality", "stats", "benford"),
+    description=(
+        "Benford's-law first-digit audit of order prices: digit "
+        "extracted by a fixed integer-division CASE chain (no "
+        "log/string formatting), observed vs expected counts and the "
+        "per-digit chi-square contribution."
+    ),
+)
+def q_benford_price_digits(spark, sf_dir):
+    """One conditional projection + a 9-group aggregate + a window over
+    9 rows: effectively a single-shuffle audit any fact table can
+    afford at any scale."""
+    orders = cat(spark, sf_dir).orders
+    c = orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents")
+    )
+    d = c.select(F.expr(_first_digit_sql("div")).alias("digit"))
+    o = d.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    t = o.withColumn("n", F.sum("observed").over(Window.partitionBy()))
+    e = F.col("n").cast("double") * F.expr(_benford_p_case())
+    return (
+        t.withColumn("e", e)
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("observed").cast("bigint").alias("observed"),
+            portable_round(F.col("e"), 4).alias("expected"),
+            portable_round(
+                (F.col("observed") - F.col("e"))
+                * (F.col("observed") - F.col("e"))
+                / F.col("e"),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test from one-pass conditional decimal sums
+# --------------------------------------------------------------------------
+
+@query(
+    "q_ttest_purchase_view",
+    oracle="""
+WITH s AS (
+  SELECT
+    count(CASE WHEN event_type = 'purchase' THEN value END) AS n1,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+        THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s1,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+        THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        END) AS DOUBLE) AS q1,
+    count(CASE WHEN event_type = 'view' THEN value END) AS n2,
+    CAST(sum(CASE WHEN event_type = 'view'
+        THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s2,
+    CAST(sum(CASE WHEN event_type = 'view'
+        THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        END) AS DOUBLE) AS q2
+  FROM events
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  {m1} AS mean_purchase,
+  {m2} AS mean_view,
+  {t} AS t_stat
+FROM s
+""".format(
+        m1=duck_pround("s1 / n1", 4),
+        m2=duck_pround("s2 / n2", 4),
+        t=duck_pround(
+            "(s1 / n1 - s2 / n2) / sqrt("
+            "((q1 - s1 * s1 / n1) / (n1 - 1)) / n1"
+            " + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)",
+            6,
+        ),
+    ),
+    tags=("stats", "hypothesis-test", "analytics"),
+    description=(
+        "Welch's two-sample t-test (purchase vs view event values) "
+        "from a single conditional-aggregation pass: exact decimal "
+        "sufficient statistics, then a fixed-structure double "
+        "expression both engines evaluate identically."
+    ),
+)
+def q_ttest_purchase_view(spark, sf_dir):
+    """One scan, one 1-row aggregate -- the canonical distributable
+    hypothesis test (sufficient statistics merge associatively, so the
+    same query runs as a streaming snapshot test too)."""
+    ev = cat(spark, sf_dir).events
+    v = dec("value")
+    pur = F.col("event_type") == "purchase"
+    vie = F.col("event_type") == "view"
+    s = ev.agg(
+        F.count(F.when(pur, F.col("value"))).alias("n1"),
+        F.sum(F.when(pur, v)).cast("double").alias("s1"),
+        F.sum(F.when(pur, v * v)).cast("double").alias("q1"),
+        F.count(F.when(vie, F.col("value"))).alias("n2"),
+        F.sum(F.when(vie, v)).cast("double").alias("s2"),
+        F.sum(F.when(vie, v * v)).cast("double").alias("q2"),
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    m1, m2 = s1 / n1, s2 / n2
+    var1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    var2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+    return s.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        portable_round(m1, 4).alias("mean_purchase"),
+        portable_round(m2, 4).alias("mean_view"),
+        portable_round((m1 - m2) / F.sqrt(var1 / n1 + var2 / n2), 6).alias(
+            "t_stat"
+        ),
     )

@@ -397,3 +397,48 @@ def test_textrank_iterations_bounded_and_jvm_side(spark, sf_dir):
 def test_quality_referential_check_broadcasts(spark, sf_dir):
     df = QUERIES["q_data_quality_orders"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # novelty: gram min-agg + join back + doc rollup (+ final order).
+    ("q_ngram_novelty", 4),
+    # Benford: digit agg + the 9-row window.
+    ("q_benford_price_digits", 2),
+    # triangles: canonical-edge distinct + two self-joins + two
+    # explode-side aggs (lexicographic orientation; degree-oriented
+    # variant documented for skewed graphs).
+    ("q_triangle_clustering", 15),
+])
+def test_mining_batch3_bounded_shuffles(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_ttest_is_single_pass_shuffle_free(spark, sf_dir):
+    """Sufficient statistics for both samples come from ONE conditional
+    aggregation: no shuffle at all before the 1-row result."""
+    df = QUERIES["q_ttest_purchase_view"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert not has_python_udf(df)
+
+
+def test_sparse_tfidf_reuses_persisted_postings(spark, sf_dir):
+    """The weighted postings feed four branches; without the persist
+    each branch recomputes tokenize+count+join from the raw scan.  (No
+    shuffle-count assertion: exchanges printed inside InMemoryRelation
+    descriptions are not re-executed, so counts are order-dependent --
+    same caveat as the SRP bucket relation test.)"""
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES["q_sparse_tfidf_topk"].fn(spark, sf_dir)
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    df.count()  # materialize the persisted postings
+    plan_warm = explain_str(QUERIES["q_sparse_tfidf_topk"].fn(spark, sf_dir), "simple")
+    assert "InMemoryTableScan" in plan_warm
