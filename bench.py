@@ -114,6 +114,7 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_sparse_tfidf_topk",
     "q_triangle_clustering",
+    "q_kcenter_coreset",
 ]
 
 

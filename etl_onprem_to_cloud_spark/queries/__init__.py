@@ -11,7 +11,7 @@ formatted strings; every ranked/limited output carries a total order.
 Entries without an oracle (``oracle=None``) are the genuinely
 non-SQL-expressible or approximate ops (stateful streaming, IVF probes,
 seeded LSH) -- the driver records a weaker rows-only check for those.
-(Currently 2 of 170: KMeans IVF and the seeded BRP-LSH twin.)
+(Currently 2 of 187: KMeans IVF and the seeded BRP-LSH twin.)
 """
 
 from __future__ import annotations
@@ -131,6 +131,7 @@ _NEW_THIS_ROUND = (
     "q_triangle_clustering",       # new: triangles + clustering coeff
     "q_benford_price_digits",      # new: Benford first-digit audit
     "q_ttest_purchase_view",       # new: Welch t from one-pass sums
+    "q_kcenter_coreset",           # new: greedy farthest-point coreset
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -1073,3 +1073,34 @@ def q_ttest_purchase_view(spark, sf_dir):
             "t_stat"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# k-center greedy coreset (diversity sampling over embeddings)
+# --------------------------------------------------------------------------
+
+from ..operators.coreset import duck_k_center_sql, k_center_greedy  # noqa: E402
+
+
+@query(
+    "q_kcenter_coreset",
+    oracle=duck_k_center_sql(k=8),
+    tags=("similarity", "ring-c", "coreset", "iterative"),
+    description=(
+        "k-center greedy (farthest-point) coreset of 8 exemplars over "
+        "the embedding table: min-id seed, then repeatedly the vector "
+        "farthest (squared L2) from the selected set.  Same fixed-"
+        "structure dot products as the ANN stack, so the unrolled SQL "
+        "twin reproduces the greedy selection exactly."
+    ),
+)
+def q_kcenter_coreset(spark, sf_dir):
+    """Each step: one scan computing least(d_prev, dist2-to-new-center)
+    + TakeOrdered(1); only the single selected row reaches the driver
+    (the Bloom-build bounded-collect pattern).  See operators/coreset.py
+    for the k>>8 sampled variant note."""
+    emb = cat(spark, sf_dir).embeddings
+    out = k_center_greedy(emb, k=8)
+    return out.select(
+        "step", "id", portable_round(F.col("dist"), 6).alias("dist")
+    ).orderBy("step")

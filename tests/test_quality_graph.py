@@ -116,3 +116,44 @@ class TestPortableRound:
         ).fetchone()[0]
         assert sv == dv
         assert math.isclose(sv, round(x, n), abs_tol=10**-n)
+
+
+class TestKCenterGreedy:
+    def test_selects_extremes_on_a_line(self, spark):
+        # points on a line: 0, 1, 10; seed = min id (the point at 0),
+        # farthest is 10, then 1 (dist to {0,10} is 1.0)
+        df = spark.createDataFrame(
+            [(0, [0.0]), (1, [1.0]), (2, [10.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        from etl_onprem_to_cloud_spark.operators.coreset import k_center_greedy
+
+        rows = k_center_greedy(df, k=3).orderBy("step").collect()
+        assert [(r["step"], r["id"]) for r in rows] == [(0, 0), (1, 2), (2, 1)]
+        assert rows[1]["dist"] == 100.0  # (10-0)^2
+        assert rows[2]["dist"] == 1.0    # min((1-0)^2, (1-10)^2)
+
+    def test_matches_duckdb_unrolled_twin(self, spark, sf_dir):
+        import duckdb
+
+        from etl_onprem_to_cloud_spark.operators.coreset import (
+            duck_k_center_sql,
+            k_center_greedy,
+        )
+        from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+        def fr(x):  # the oracle's floor-based half-up rounding
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+        got = [
+            (r["step"], r["id"], fr(r["dist"]))
+            for r in k_center_greedy(emb, k=5).orderBy("step").collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        want = list(con.execute(duck_k_center_sql(5)).fetchall())
+        assert got == want
