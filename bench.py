@@ -115,6 +115,9 @@ HEADLINE = [
     "q_sparse_tfidf_topk",
     "q_triangle_clustering",
     "q_kcenter_coreset",
+    # r3 batch 4: ER composition, join diagnostic, session paths.
+    "q_entity_resolution_parts",
+    "q_top_session_paths",
 ]
 
 

@@ -132,6 +132,9 @@ _NEW_THIS_ROUND = (
     "q_benford_price_digits",      # new: Benford first-digit audit
     "q_ttest_purchase_view",       # new: Welch t from one-pass sums
     "q_kcenter_coreset",           # new: greedy farthest-point coreset
+    "q_entity_resolution_parts",   # new: fuzzy-match + CC + rollup
+    "q_join_key_overlap",          # new: pre-join key-overlap profile
+    "q_top_session_paths",         # new: first-3-event session paths
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -1104,3 +1104,296 @@ def q_kcenter_coreset(spark, sf_dir):
     return out.select(
         "step", "id", portable_round(F.col("dist"), 6).alias("dist")
     ).orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: fuzzy blocking + pairwise scoring + transitive closure
+# --------------------------------------------------------------------------
+
+@query(
+    "q_entity_resolution_parts",
+    oracle="""
+WITH RECURSIVE norm AS (
+  SELECT p_partkey, array_to_string(list_filter(
+    string_split_regex(lower(p_name), ' +'), t -> t != ''), ' ') AS s
+  FROM part
+),
+grams AS (
+  SELECT p_partkey, substr(s, 1, 1) AS blk,
+    len(list_distinct(CASE WHEN length(s) >= 3 THEN
+      list_transform(generate_series(1, length(s) - 2), i -> substr(s, i, 3))
+      ELSE [s] END)) AS n_g,
+    unnest(list_distinct(CASE WHEN length(s) >= 3 THEN
+      list_transform(generate_series(1, length(s) - 2), i -> substr(s, i, 3))
+      ELSE [s] END)) AS gram
+  FROM norm WHERE length(s) > 0
+),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.n_g AS n_a, b.n_g AS n_b,
+    count(*) AS n_common
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.blk = b.blk AND a.p_partkey < b.p_partkey
+  GROUP BY 1, 2, 3, 4
+),
+edges0 AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM edges0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (
+  SELECT node AS p_partkey, min(root) AS entity_id
+  FROM walk GROUP BY node
+)
+SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+  min(n.s) AS canonical_name
+FROM comp JOIN norm n USING (p_partkey)
+GROUP BY entity_id
+HAVING count(*) >= 2
+ORDER BY n_records DESC, entity_id
+""",
+    tags=("entity-resolution", "ring-c", "graph", "fuzzy"),
+    description=(
+        "End-to-end entity resolution over part names: char-3-gram "
+        "Jaccard >= 0.5 with first-character blocking (the "
+        "q_fuzzy_part_name_pairs matcher), transitive closure via "
+        "min-label connected components, then an entity rollup "
+        "(size + lexicographically-min canonical name)."
+    ),
+)
+def q_entity_resolution_parts(spark, sf_dir):
+    """Exact-first ER -- THE load-bearing optimization: collapse exact
+    duplicates to one representative per distinct normalized string
+    BEFORE any fuzzy comparison (here 20k parts -> 64 strings at
+    sf0.1), run the gram join and the CC closure on representatives
+    only, then expand counts back.  The record-level form (run the
+    q_fuzzy_part_name_pairs matcher on raw rows) is semantically
+    identical -- Jaccard depends only on the normalized string -- but
+    materializes ~25M candidate pairs at sf0.1 (63s vs ~2s); on dirty
+    real-world data exact-dup groups are exactly what explode.  The
+    representative node id is each group's min partkey, so the CC
+    min-label IS the min partkey of the whole entity and the rollup
+    hash-matches the naive record-level oracle."""
+    from ..functions import text as T
+    from ..llm.dedup import connected_components
+
+    norm = (
+        cat(spark, sf_dir)
+        .part.select(
+            F.col("p_partkey"),
+            F.concat_ws(" ", T.tokens(F.lower(F.col("p_name")))).alias("s"),
+        )
+        .filter(F.length("s") > 0)
+    )
+    reps = norm.groupBy("s").agg(
+        F.min("p_partkey").alias("rep_id"), F.count(F.lit(1)).alias("cnt")
+    )
+    grams3 = reps.select(
+        "rep_id", F.substring("s", 1, 1).alias("blk"), T.char_ngrams(F.col("s"), 3).alias("g")
+    )
+    # explode_outer: see llm/dedup._exploded_shingles (generate-filter trap).
+    ex = grams3.select(
+        "rep_id", "blk", F.size("g").alias("n_g"), F.explode_outer("g").alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    a, b = ex.alias("a"), ex.alias("b")
+    jacc = F.round(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
+        )
+        .groupBy(
+            F.col("a.rep_id").alias("id_a"),
+            F.col("b.rep_id").alias("id_b"),
+            F.col("a.n_g").alias("n_a"),
+            F.col("b.n_g").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(jacc >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    labeled = reps.join(
+        comp.select(F.col("node").alias("rep_id"), F.col("component")),
+        "rep_id",
+        "left",
+    ).select(
+        "s",
+        "cnt",
+        F.coalesce(F.col("component"), F.col("rep_id")).alias("entity_id"),
+    )
+    return (
+        labeled.groupBy("entity_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_records"),
+            F.min("s").alias("canonical_name"),
+        )
+        .filter(F.col("n_records") >= 2)
+        .orderBy(F.desc("n_records"), "entity_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-key overlap profile (pre-join diagnostic)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_join_key_overlap",
+    oracle="""
+WITH l AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+p AS (SELECT DISTINCT p_partkey AS k FROM part),
+j AS (
+  SELECT
+    count(*) FILTER (WHERE l.k IS NOT NULL) AS n_left,
+    count(*) FILTER (WHERE p.k IS NOT NULL) AS n_right,
+    count(*) FILTER (WHERE l.k IS NOT NULL AND p.k IS NOT NULL) AS n_both
+  FROM l FULL OUTER JOIN p ON l.k = p.k
+)
+SELECT CAST(n_left AS BIGINT) AS left_keys,
+  CAST(n_right AS BIGINT) AS right_keys,
+  CAST(n_both AS BIGINT) AS shared_keys,
+  CAST(n_left - n_both AS BIGINT) AS left_only,
+  CAST(n_right - n_both AS BIGINT) AS right_only,
+  {jac} AS key_jaccard
+FROM j
+""".format(
+        jac="floor((CAST(n_both AS DOUBLE) / (n_left + n_right - n_both))"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    ),
+    tags=("quality", "join", "diagnostic"),
+    description=(
+        "Pre-join key-overlap profile (lineitem.l_partkey vs "
+        "part.p_partkey): distinct keys per side, intersection, "
+        "orphans each way, key-set Jaccard -- the diagnostic that "
+        "predicts join fan-out and orphan rates before the expensive "
+        "join runs."
+    ),
+)
+def q_join_key_overlap(spark, sf_dir):
+    """Two distincts + one full-outer join on the key -- all partial-
+    aggregated, no data columns carried.  At 100 TB this is the cheap
+    sanity pass before a fact-fact join (and the exact twin of what a
+    Bloom/HLL-based estimate approximates)."""
+    c = cat(spark, sf_dir)
+    lk = c.lineitem.select(F.col("l_partkey").alias("k")).distinct()
+    pk = c.part.select(F.col("p_partkey").alias("k")).distinct()
+    j = lk.withColumn("__l", F.lit(1)).join(
+        pk.withColumn("__r", F.lit(1)), "k", "full_outer"
+    )
+    agg = j.agg(
+        F.count("__l").alias("n_left"),
+        F.count("__r").alias("n_right"),
+        F.count(F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), 1)).alias(
+            "n_both"
+        ),
+    )
+    nl, nr, nb = F.col("n_left"), F.col("n_right"), F.col("n_both")
+    return agg.select(
+        nl.cast("bigint").alias("left_keys"),
+        nr.cast("bigint").alias("right_keys"),
+        nb.cast("bigint").alias("shared_keys"),
+        (nl - nb).cast("bigint").alias("left_only"),
+        (nr - nb).cast("bigint").alias("right_only"),
+        portable_round(nb.cast("double") / (nl + nr - nb), 6).alias("key_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top session paths (first-k event-type sequences)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_top_session_paths",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           > INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+),
+r AS (
+  SELECT user_id, session_no, event_type,
+    row_number() OVER (PARTITION BY user_id, session_no
+                       ORDER BY ts, event_id) AS rn
+  FROM s
+),
+paths AS (
+  SELECT user_id, session_no,
+    string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, session_no
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 10
+""",
+    tags=("events", "sessionization", "paths", "analytics"),
+    description=(
+        "Top first-3-event paths per 30-minute session: gaps-and-"
+        "islands sessionization, per-session ordered path string, "
+        "global top-10 path frequencies -- the entry-path analysis "
+        "behind onboarding funnels."
+    ),
+)
+def q_top_session_paths(spark, sf_dir):
+    """All windows share the (user_id) partitioning (one shuffle);
+    the path rollup shuffles on (user, session) and the final count on
+    the tiny path key.  Ties are broken by event_id everywhere so the
+    sequence -- and therefore the path string -- is total-ordered."""
+    ev = cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_start = (
+        lag_ts.isNull()
+        | (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(lag_ts.cast("timestamp"))
+            > 1800
+        )
+    ).cast("int")
+    s = ev.withColumn("is_start", is_start).withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    r = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= 3)
+    paths = r.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

@@ -442,3 +442,27 @@ def test_sparse_tfidf_reuses_persisted_postings(spark, sf_dir):
     df.count()  # materialize the persisted postings
     plan_warm = explain_str(QUERIES["q_sparse_tfidf_topk"].fn(spark, sf_dir), "simple")
     assert "InMemoryTableScan" in plan_warm
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # ER (exact-first): dedup-to-representatives groupBy, the
+    # string-level gram join + edge agg, the label join-back and the
+    # entity rollup; CC rounds run off a checkpointed edge list so the
+    # final plan is post-checkpoint only.
+    ("q_entity_resolution_parts", 6),
+    # key overlap: two distincts feeding one full-outer join -- the
+    # join reuses the distincts' hash partitioning, so only the two
+    # distinct exchanges appear.
+    ("q_join_key_overlap", 3),
+    # session paths: all windows share the user partitioning; the path
+    # rollup and final count add keyed aggs.
+    ("q_top_session_paths", 4),
+])
+def test_mining_batch4_bounded_shuffles(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
