@@ -1397,3 +1397,136 @@ def q_top_session_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Global equi-depth histogram via percentile cutpoints (scale-safe form)
+# --------------------------------------------------------------------------
+
+_OCTILES = [i / 8.0 for i in range(1, 8)]
+
+
+@query(
+    "q_equidepth_global_prices",
+    oracle=f"""
+WITH c AS (
+  SELECT quantile_cont(o_totalprice, {_OCTILES}) AS cuts FROM orders
+),
+b AS (
+  SELECT 1 + len(list_filter(c.cuts, x -> o.o_totalprice > x)) AS bucket,
+    o.o_totalprice AS p
+  FROM orders o, c
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+  min(p) AS lo, max(p) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    tags=("stats", "histogram", "analytics", "scale"),
+    description=(
+        "GLOBAL equi-depth histogram without a global sort: octile "
+        "cutpoints from one percentile aggregate (Spark percentile is "
+        "bit-identical to DuckDB quantile_cont, proven by "
+        "q_winsorized_price_stats), bucket = 1 + #cutpoints below the "
+        "value, then a keyed count -- the 100 TB-safe twin of the "
+        "windowed ntile form (q_equidepth_price_buckets)."
+    ),
+)
+def q_equidepth_global_prices(spark, sf_dir):
+    """One percentile aggregate (partial-merged, no sort of the data),
+    the 7 cutpoints ride back as a 1-row broadcast, then a
+    9-partition groupBy.  ntile needs a total sort + single partition
+    per key; this shape needs neither."""
+    orders = cat(spark, sf_dir).orders
+    cuts = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in _OCTILES])).alias(
+            "cuts"
+        )
+    )
+    b = orders.crossJoin(F.broadcast(cuts)).select(
+        (
+            F.lit(1)
+            + F.size(F.filter("cuts", lambda x: F.col("o_totalprice") > x))
+        ).cast("int").alias("bucket"),
+        F.col("o_totalprice").alias("p"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (T5/mT5 alpha sampling)
+# --------------------------------------------------------------------------
+
+_ALPHA = 0.3
+
+
+@query(
+    "q_temperature_mixture",
+    oracle=f"""
+WITH s AS (
+  SELECT source, count(*) AS n, pow(count(*), {_ALPHA}) AS v
+  FROM documents GROUP BY source
+),
+d AS (
+  SELECT list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(v AS DOUBLE) ORDER BY source)),
+    (a, b) -> a + b) AS denom
+  FROM s
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+  {{w}} AS weight,
+  {{eff}} AS effective_docs
+FROM s, d ORDER BY source
+""".format(
+        w=duck_pround("CAST(v AS DOUBLE) / denom", 6),
+        eff=duck_pround(
+            "(CAST(v AS DOUBLE) / denom)"
+            " * (SELECT CAST(sum(n) AS DOUBLE) FROM s)",
+            2,
+        ),
+    ),
+    tags=("datamix", "ring-c", "sampling"),
+    description=(
+        "Temperature-scaled mixture weights (T5-style alpha=0.3): "
+        "per-source sampling weight proportional to n^alpha, "
+        "flattening the source distribution toward uniform.  The "
+        "cross-source normalizer is a FOLD over the source-sorted "
+        "list, so the double summation order is pinned in both "
+        "engines."
+    ),
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Per-source counts (one shuffle on the low-cardinality source
+    key); the normalizer folds the handful of per-source weights in
+    sorted order -- unordered SUM over doubles would be partial-
+    aggregation-order-dependent and break cross-engine equality."""
+    docs = cat(spark, sf_dir).documents
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "v", F.pow(F.col("n"), F.lit(_ALPHA))
+    )
+    d = s.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("source"), F.col("v")))
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["v"].cast("double"),
+        ).alias("denom"),
+        F.sum("n").cast("double").alias("total"),
+    )
+    j = s.crossJoin(F.broadcast(d))
+    w = F.col("v").cast("double") / F.col("denom")
+    return j.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        portable_round(w, 6).alias("weight"),
+        portable_round(w * F.col("total"), 2).alias("effective_docs"),
+    ).orderBy("source")

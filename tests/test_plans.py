@@ -466,3 +466,28 @@ def test_mining_batch4_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     assert not has_python_udf(df)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # global equi-depth: ONE percentile agg (1-row broadcast back) +
+    # the 8-bucket groupBy -- no sort of the data anywhere.
+    ("q_equidepth_global_prices", 3),
+    # temperature mixture: per-source count + the sorted-fold 1-row
+    # normalizer broadcast back.
+    ("q_temperature_mixture", 4),
+])
+def test_mining_batch5_bounded_shuffles(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_global_equidepth_has_no_sort_before_agg(spark, sf_dir):
+    """The whole point vs the ntile form: no window operator (and so no
+    single-partition sort of the data) anywhere in the plan."""
+    df = QUERIES["q_equidepth_global_prices"].fn(spark, sf_dir)
+    assert "Window" not in explain_str(df, "simple")
