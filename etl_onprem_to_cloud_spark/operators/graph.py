@@ -45,19 +45,25 @@ def pagerank_fixed_point(
     this by construction).  Returns ``(node, rank)`` with rank in
     SCALE-scaled fixed point.
     """
-    e = edges.select("src", "dst")
+    # Checkpoint the static relations ONCE (same as connected_components
+    # does for its edge list): every superstep -- and every eager
+    # checkpoint of the rank chain -- would otherwise re-derive the
+    # edge construction subtree (explode + distinct over the raw input)
+    # from scratch.
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # bounded driver scalar: one integer
     r0 = SCALE // n_nodes
     base = (r0 * (100 - damping_pct)) // 100
 
     ranks = nodes.withColumn("rank", F.lit(r0).cast("bigint"))
-    contrib_edges = e.join(deg, "src")
+    contrib_edges = e.join(deg, "src").localCheckpoint(eager=True)
     for i in range(iterations):
         inbound = (
             ranks.join(contrib_edges, ranks.node == contrib_edges.src)

@@ -269,3 +269,56 @@ def test_prefix_bound_float_regression(spark):
     jn = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect())
     jp = sorted(tuple(r) for r in ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect())
     assert jn == jp
+
+
+class TestStreamingQualityMonitor:
+    def test_per_batch_reports_match_batch_suite(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from etl_onprem_to_cloud_spark.operators.quality import (
+            completeness,
+            in_set,
+        )
+        from etl_onprem_to_cloud_spark.sources.io import read_parquet
+        from etl_onprem_to_cloud_spark.streaming.quality import (
+            monitor_stream_quality,
+        )
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        src = str(tmp_path / "src")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        checks = [
+            completeness("value.complete", "value"),
+            in_set("type.known", "event_type",
+                   ["click", "view", "purchase", "signup", "error"]),
+        ]
+        report = str(tmp_path / "report")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = monitor_stream_quality(
+            stream, checks, report, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.option("basePath", report).parquet(report)
+        rows = got.collect()
+        # one row per (batch, check); batch count = number of files
+        assert {r["check"] for r in rows} == {"value.complete", "type.known"}
+        n_batches = got.select("batch_id").distinct().count()
+        assert n_batches >= 2  # maxFilesPerTrigger=1 over 3 files
+        # summed per-check totals across batches == full-table totals
+        sums = (
+            got.groupBy("check")
+            .agg(
+                F.sum("violations").alias("v"),
+                F.sum("total").alias("t"),
+            )
+            .collect()
+        )
+        full = ev.count()
+        for r in sums:
+            assert r["t"] == full
+            assert r["v"] == 0  # fixture data is clean for these checks

@@ -157,3 +157,33 @@ class TestKCenterGreedy:
         )
         want = list(con.execute(duck_k_center_sql(5)).fetchall())
         assert got == want
+
+
+class TestPortableRoundBulkParity:
+    def test_500_random_doubles_round_identically(self, spark):
+        """Bulk cross-engine check: the explicit floor-based rounding
+        must agree on arbitrary doubles (native round() provably does
+        not -- the seasonal query caught 68.92875 at 4dp)."""
+        import random
+
+        rng = random.Random(42)
+        xs = [rng.uniform(0, 1000) for _ in range(480)] + [
+            68.92875, 0.5, 1.00005, 2.5, 123.456785, 0.000015,
+        ]
+        sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+        got = [
+            r["r"]
+            for r in sdf.select(
+                portable_round(F.col("x"), 4).alias("r")
+            ).orderBy("x").collect()
+        ]
+        con = duckdb.connect()
+        want = [
+            r[0]
+            for r in con.execute(
+                "SELECT " + duck_pround("x", 4) + " AS r FROM (SELECT "
+                "unnest(?::DOUBLE[]) AS x) ORDER BY x",
+                [xs],
+            ).fetchall()
+        ]
+        assert got == want
