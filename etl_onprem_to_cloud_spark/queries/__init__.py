@@ -11,7 +11,7 @@ formatted strings; every ranked/limited output carries a total order.
 Entries without an oracle (``oracle=None``) are the genuinely
 non-SQL-expressible or approximate ops (stateful streaming, IVF probes,
 seeded LSH) -- the driver records a weaker rows-only check for those.
-(Currently 2 of 193: KMeans IVF and the seeded BRP-LSH twin.)
+(Currently 2 of 195: KMeans IVF and the seeded BRP-LSH twin.)
 """
 
 from __future__ import annotations
@@ -137,6 +137,8 @@ _NEW_THIS_ROUND = (
     "q_top_session_paths",         # new: first-3-event session paths
     "q_equidepth_global_prices",   # new: cutpoint equi-depth, no sort
     "q_temperature_mixture",       # new: T5 alpha mixture weights
+    "q_abc_pareto_parts",          # new: ABC cumulative-share classes
+    "q_topk_nations_with_others",  # new: top-k + OTHERS rollup
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -1530,3 +1530,169 @@ def q_temperature_mixture(spark, sf_dir):
         portable_round(w, 6).alias("weight"),
         portable_round(w * F.col("total"), 2).alias("effective_docs"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto analysis (cumulative-share classification)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_abc_pareto_parts",
+    oracle="""
+WITH r AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+w AS (
+  SELECT l_partkey, rev,
+    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(rev) OVER () AS total
+  FROM r
+),
+c AS (
+  SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+    rev
+  FROM w
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+  {share} AS revenue_share
+FROM c GROUP BY abc_class ORDER BY abc_class
+""".format(
+        share="floor((CAST(sum(rev) AS DOUBLE)"
+        " / (SELECT CAST(sum(rev) AS DOUBLE) FROM r)) * 1000000.0 + 0.5)"
+        " / 1000000.0"
+    ),
+    tags=("analytics", "pareto", "report"),
+    description=(
+        "ABC (Pareto) classification of parts by revenue: cumulative "
+        "revenue share over the exact-decimal ranked rollup, class A = "
+        "first 80%, B = next 15%, C = tail -- the 80/20 inventory "
+        "report.  Cumulative sums stay DECIMAL (exact at any "
+        "accumulation order); doubles appear only at the share ratio."
+    ),
+)
+def q_abc_pareto_parts(spark, sf_dir):
+    """One keyed rollup, then windows over the part-level aggregate
+    (~#parts rows, not #lineitems).  The cumulative window is a global
+    order -- at 100 TB you run it on the aggregated (small) relation,
+    which is exactly what this plan does; the fact-sized input never
+    sorts."""
+    li = cat(spark, sf_dir).lineitem
+    r = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("rev"))
+    w_cum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    w = r.withColumn("cum", F.sum("rev").over(w_cum)).withColumn(
+        "total", F.sum("rev").over(w_all)
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    c = w.withColumn(
+        "abc_class",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C"),
+    )
+    tot = c.agg(F.sum("rev").cast("double").alias("t"))
+    return (
+        c.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            F.sum("rev").cast("double").alias("__rev_d"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue",
+            portable_round(F.col("__rev_d") / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k with an OTHERS rollup (reporting shape)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_topk_nations_with_others",
+    oracle="""
+WITH r AS (
+  SELECT n.n_name AS nation,
+    sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev,
+    count(*) AS n_orders
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+),
+k AS (
+  SELECT nation, rev, n_orders,
+    row_number() OVER (ORDER BY rev DESC, nation) AS rnk
+  FROM r
+)
+SELECT label, revenue, n_orders FROM (
+  SELECT nation AS label,
+    CAST(round(rev, 2) AS DOUBLE) AS revenue,
+    CAST(n_orders AS BIGINT) AS n_orders,
+    rnk AS ord
+  FROM k WHERE rnk <= 5
+  UNION ALL
+  SELECT 'OTHERS',
+    CAST(round(sum(rev), 2) AS DOUBLE),
+    CAST(sum(n_orders) AS BIGINT),
+    1000000
+  FROM k WHERE rnk > 5
+) ORDER BY ord
+""",
+    tags=("analytics", "report", "topk"),
+    description=(
+        "Top-5 nations by order revenue plus one OTHERS rollup row -- "
+        "the standard dashboard shape that keeps totals reconcilable "
+        "while bounding the series count.  Exact-decimal revenue, "
+        "broadcast dimension joins."
+    ),
+)
+def q_topk_nations_with_others(spark, sf_dir):
+    """Dims broadcast onto the fact scan, one keyed rollup, then the
+    rank/split runs over the 25-nation aggregate."""
+    c = cat(spark, sf_dir)
+    r = (
+        c.orders.join(F.broadcast(c.customer), c.orders.o_custkey == c.customer.c_custkey)
+        .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("o_totalprice")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    k = r.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("rev"), "nation"))
+    )
+    top = k.filter(F.col("rnk") <= 5).select(
+        F.col("nation").alias("label"),
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("rnk").alias("ord"),
+    )
+    rest = (
+        k.filter(F.col("rnk") > 5)
+        .agg(
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .select(
+            F.lit("OTHERS").alias("label"),
+            "revenue",
+            "n_orders",
+            F.lit(1000000).alias("ord"),
+        )
+    )
+    return top.unionByName(rest).orderBy("ord").select("label", "revenue", "n_orders")

@@ -491,3 +491,25 @@ def test_global_equidepth_has_no_sort_before_agg(spark, sf_dir):
     single-partition sort of the data) anywhere in the plan."""
     df = QUERIES["q_equidepth_global_prices"].fn(spark, sf_dir)
     assert "Window" not in explain_str(df, "simple")
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # Pareto: part rollup, then the cumulative window runs over the
+    # part-level AGGREGATE (never sorts the fact table) + class agg.
+    ("q_abc_pareto_parts", 5),
+    # top-k + OTHERS: broadcast dim joins, one rollup, 25-row rank.
+    ("q_topk_nations_with_others", 5),
+])
+def test_reporting_queries_bounded_shuffles(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_others_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["q_topk_nations_with_others"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
