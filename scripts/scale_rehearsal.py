@@ -100,6 +100,12 @@ REHEARSAL = [
     "q_ngram_novelty",
     "q_sparse_tfidf_topk",
     "q_triangle_clustering",
+    # Round-3 batch 4/5 additions.
+    "q_kcenter_coreset",
+    "q_entity_resolution_parts",
+    "q_top_session_paths",
+    "q_equidepth_global_prices",
+    "q_abc_pareto_parts",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
