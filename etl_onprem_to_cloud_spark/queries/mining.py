@@ -32,7 +32,10 @@ from ..operators.quality import (
     referential_report,
     uniqueness_report,
 )
-from ._util import cat, duck_pround, duck_tokens, duck_word_ngrams
+from ._util import cat, duck_pround, duck_shingles, duck_tokens, duck_word_ngrams
+# Shared minhash/LSH SQL fragments (textops is imported before mining
+# in queries/__init__, so this module-level import is safe).
+from .textops import _band_keys_sql, _minhash_sig_sql
 from . import query
 
 
@@ -1696,3 +1699,110 @@ def q_topk_nations_with_others(spark, sf_dir):
         )
     )
     return top.unionByName(rest).orderBy("ord").select("label", "revenue", "n_orders")
+
+
+# --------------------------------------------------------------------------
+# LSH blocking-quality evaluation (pair completeness + reduction ratio)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_lsh_blocking_quality",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, {tk} AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id, {shingles} AS sh FROM toks
+),
+sig AS (
+  SELECT doc_id, sh, {sig} AS sig FROM sh WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, unnest({bandkeys}) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0
+),
+truth AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+      count(*) AS n_common
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+),
+m AS (
+  SELECT
+    (SELECT count(*) FROM cand) AS n_cand,
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_hit,
+    (SELECT count(*) FROM sig) AS n_docs
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_cand AS BIGINT) AS n_candidates,
+  CAST(n_truth AS BIGINT) AS n_true_pairs,
+  CAST(n_hit AS BIGINT) AS n_found,
+  {pc} AS pair_completeness,
+  {rr} AS reduction_ratio
+FROM m
+""".format(
+        tk=duck_tokens("text"),
+        shingles=duck_shingles("tk"),
+        sig=_minhash_sig_sql(),
+        bandkeys=_band_keys_sql(),
+        pc=duck_pround("CAST(n_hit AS DOUBLE) / n_truth", 6),
+        rr=duck_pround(
+            "1.0 - CAST(n_cand AS DOUBLE)"
+            " / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1) / 2.0)",
+            6,
+        ),
+    ),
+    tags=("dedup", "ring-c", "lsh", "evaluation"),
+    description=(
+        "Blocking-quality evaluation of the MinHash(9)/LSH(3-band) "
+        "candidate generator against exact ground truth: pair "
+        "completeness (recall of true Jaccard>=0.5 pairs) and "
+        "reduction ratio (candidate volume vs all N*(N-1)/2 pairs) -- "
+        "the two numbers that justify an LSH configuration before a "
+        "100 TB dedup run."
+    ),
+)
+def q_lsh_blocking_quality(spark, sf_dir):
+    """Candidates come from the production LSH path; ground truth from
+    the prefix-filtered exact join (result-identical to the naive
+    all-pairs form, which only the oracle runs).  At 100 TB the truth
+    side is computed on a hash-gated sample -- the metric generalizes,
+    the full-corpus exact join does not."""
+    from ..llm.dedup import minhash_lsh_candidate_pairs, ngram_jaccard_pairs_prefix
+
+    docs = cat(spark, sf_dir).documents
+    cand = minhash_lsh_candidate_pairs(docs, jaccard_threshold=None)
+    truth = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("id_a", "id_b")
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(
+            cand.join(truth, ["id_a", "id_b"]).agg(
+                F.count(F.lit(1)).alias("n_hit")
+            )
+        )
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    )
+    nd = F.col("n_docs").cast("double")
+    return counts.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_cand").cast("bigint").alias("n_candidates"),
+        F.col("n_truth").cast("bigint").alias("n_true_pairs"),
+        F.col("n_hit").cast("bigint").alias("n_found"),
+        portable_round(
+            F.col("n_hit").cast("double") / F.col("n_truth"), 6
+        ).alias("pair_completeness"),
+        portable_round(
+            F.lit(1.0) - F.col("n_cand").cast("double") / (nd * (nd - 1) / 2.0),
+            6,
+        ).alias("reduction_ratio"),
+    )

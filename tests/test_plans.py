@@ -513,3 +513,14 @@ def test_reporting_queries_bounded_shuffles(name, max_shuffles, spark, sf_dir):
 def test_topk_others_broadcasts_dims(spark, sf_dir):
     df = QUERIES["q_topk_nations_with_others"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_lsh_blocking_quality_no_cartesian_on_spark_side(spark, sf_dir):
+    """The Spark side must never run the naive all-pairs join -- truth
+    comes from the prefix-filtered exact join; only the ORACLE text
+    contains the quadratic form."""
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES["q_lsh_blocking_quality"].fn(spark, sf_dir)
+    assert not has_python_udf(df)
+    assert "CartesianProduct" not in explain_str(df, "simple")
