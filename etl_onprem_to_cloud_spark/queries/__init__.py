@@ -11,7 +11,7 @@ formatted strings; every ranked/limited output carries a total order.
 Entries without an oracle (``oracle=None``) are the genuinely
 non-SQL-expressible or approximate ops (stateful streaming, IVF probes,
 seeded LSH) -- the driver records a weaker rows-only check for those.
-(Currently 2 of 196: KMeans IVF and the seeded BRP-LSH twin.)
+(Currently 2 of 198: KMeans IVF and the seeded BRP-LSH twin.)
 """
 
 from __future__ import annotations
@@ -140,6 +140,8 @@ _NEW_THIS_ROUND = (
     "q_abc_pareto_parts",          # new: ABC cumulative-share classes
     "q_topk_nations_with_others",  # new: top-k + OTHERS rollup
     "q_lsh_blocking_quality",      # new: LSH recall/reduction eval
+    "q_twap_daily_values",         # new: time-weighted average
+    "q_ohlc_hourly_values",        # new: deterministic OHLC bars
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

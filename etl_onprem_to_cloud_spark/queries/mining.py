@@ -1806,3 +1806,162 @@ def q_lsh_blocking_quality(spark, sf_dir):
             6,
         ).alias("reduction_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP) per event type and day
+# --------------------------------------------------------------------------
+
+@query(
+    "q_twap_daily_values",
+    oracle="""
+WITH o AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+    lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+w AS (
+  -- floor() each endpoint BEFORE subtracting: epoch() keeps
+  -- fractional seconds, while Spark's unix_timestamp truncates per
+  -- timestamp -- subtracting first would round the fraction away
+  -- differently on ~half the intervals.
+  SELECT event_type, day,
+    CAST(value AS DECIMAL(18,6))
+      * CAST(floor(epoch(nxt)) - floor(epoch(ts)) AS BIGINT) AS vdt,
+    CAST(floor(epoch(nxt)) - floor(epoch(ts)) AS BIGINT) AS dt
+  FROM o WHERE nxt IS NOT NULL
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST(sum(dt) AS BIGINT) AS covered_sec,
+  {twap} AS twap
+FROM w GROUP BY event_type, day
+ORDER BY event_type, day
+""".format(
+        twap=duck_pround("CAST(sum(vdt) AS DOUBLE) / sum(dt)", 6)
+    ),
+    tags=("events", "timeseries", "twap"),
+    description=(
+        "Time-weighted average value (TWAP) per event type and day: "
+        "each observation weighted by its holding interval (seconds "
+        "until the next observation in the group).  value*dt products "
+        "are DECIMAL x integer -- exact at any accumulation order."
+    ),
+)
+def q_twap_daily_values(spark, sf_dir):
+    """One window (lead) and one aggregate, both keyed on
+    (event_type, day) -- a single shuffle shared by both stages.  The
+    arithmetic-mean twin would weight a burst of ticks equally; TWAP
+    is what pricing/metering pipelines actually need."""
+    ev = cat(spark, sf_dir).events
+    w = Window.partitionBy(
+        "event_type", F.col("ts").cast("date")
+    ).orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = (
+        F.unix_timestamp(F.col("nxt").cast("timestamp"))
+        - F.unix_timestamp(F.col("ts").cast("timestamp"))
+    ).cast("bigint")
+    wdf = o.select(
+        "event_type",
+        "day",
+        (dec("value") * dt).alias("vdt"),
+        dt.alias("dt"),
+    )
+    return (
+        wdf.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("covered_sec"),
+            portable_round(
+                F.sum("vdt").cast("double") / F.sum("dt"), 6
+            ).alias("twap"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_intervals",
+            "covered_sec",
+            "twap",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# OHLC bars (open-high-low-close) per event type and hour
+# --------------------------------------------------------------------------
+
+@query(
+    "q_ohlc_hourly_values",
+    oracle="""
+WITH o AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, value,
+    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type,
+  strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+  CAST(count(*) AS BIGINT) AS n,
+  min(CASE WHEN rn_a = 1 THEN value END) AS open,
+  max(value) AS high,
+  min(value) AS low,
+  min(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM o GROUP BY event_type, hour_ts
+ORDER BY event_type, hour_ts
+""",
+    tags=("events", "timeseries", "ohlc"),
+    description=(
+        "OHLC candle bars per (event type, hour): open/close picked by "
+        "a total-ordered row_number (ties broken by event_id, so the "
+        "bar is deterministic even with simultaneous events), high/low "
+        "as plain min/max -- no value ever crosses a float sum."
+    ),
+)
+def q_ohlc_hourly_values(spark, sf_dir):
+    """Both row_number windows and the final aggregate share the
+    (event_type, hour) keying -- one shuffle.  All outputs are data
+    values (never sums), so cross-engine equality is automatic."""
+    ev = cat(spark, sf_dir).events
+    hour = F.date_trunc("hour", "ts")
+    wa = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", hour).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    o = ev.select(
+        "event_type",
+        hour.alias("hour_ts"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        o.groupBy("event_type", "hour_ts")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("event_type", "hour_ts")
+    )

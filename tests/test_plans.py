@@ -524,3 +524,18 @@ def test_lsh_blocking_quality_no_cartesian_on_spark_side(spark, sf_dir):
     df = QUERIES["q_lsh_blocking_quality"].fn(spark, sf_dir)
     assert not has_python_udf(df)
     assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # TWAP: lead window + aggregate share the (type, day) keying.
+    ("q_twap_daily_values", 3),
+    # OHLC: two row_number windows + the aggregate on (type, hour).
+    ("q_ohlc_hourly_values", 3),
+])
+def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    assert "CartesianProduct" not in explain_str(df, "simple")
