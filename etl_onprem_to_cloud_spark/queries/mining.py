@@ -1965,3 +1965,166 @@ def q_ohlc_hourly_values(spark, sf_dir):
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup method comparison (precision/recall of each family vs exact truth)
+# --------------------------------------------------------------------------
+
+from .textops import _simhash_sql  # noqa: E402  (fragment, see blocking eval)
+
+
+@query(
+    "q_dedup_method_comparison",
+    oracle="""
+WITH {simhash_ctes},
+tks AS (
+  SELECT doc_id, {tk} AS tk FROM documents
+),
+shg AS (
+  SELECT doc_id, {shingles} AS sh FROM tks
+),
+exg AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle
+  FROM shg WHERE len(sh) > 0
+),
+gpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+    count(*) AS n_common
+  FROM exg a JOIN exg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+truth AS (
+  SELECT id_a, id_b FROM gpairs
+  WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.5
+),
+sigt AS (
+  SELECT doc_id, sh, {sig} AS sig FROM shg WHERE len(sh) > 0
+),
+bandst AS (
+  SELECT doc_id, unnest({bandkeys}) AS band_key FROM sigt
+),
+candm AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandst a JOIN bandst b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pmin AS (
+  SELECT id_a, id_b FROM candm
+  JOIN shg sa ON sa.doc_id = id_a
+  JOIN shg sb ON sb.doc_id = id_b
+  WHERE round(len(list_intersect(sa.sh, sb.sh)) /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+),
+psim AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+),
+pcon AS (
+  SELECT id_a, id_b FROM gpairs
+  WHERE round(n_common / n_a, 6) >= 0.8 OR round(n_common / n_b, 6) >= 0.8
+),
+nt AS (SELECT count(*) AS n_truth FROM truth)
+SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
+  CAST(n_true AS BIGINT) AS n_true_overlap,
+  CAST((SELECT n_truth FROM nt) AS BIGINT) AS n_truth,
+  {prec} AS precision,
+  {rec} AS recall
+FROM (
+  SELECT 'containment_0.8' AS method,
+    (SELECT count(*) FROM pcon) AS n_pairs,
+    (SELECT count(*) FROM pcon JOIN truth USING (id_a, id_b)) AS n_true
+  UNION ALL
+  SELECT 'minhash_lsh_0.5',
+    (SELECT count(*) FROM pmin),
+    (SELECT count(*) FROM pmin JOIN truth USING (id_a, id_b))
+  UNION ALL
+  SELECT 'simhash_16bit',
+    (SELECT count(*) FROM psim),
+    (SELECT count(*) FROM psim JOIN truth USING (id_a, id_b))
+)
+ORDER BY method
+""".format(
+        simhash_ctes=_simhash_sql(16),
+        tk=duck_tokens("text"),
+        shingles=duck_shingles("tk"),
+        sig=_minhash_sig_sql(),
+        bandkeys=_band_keys_sql(),
+        prec=duck_pround("CAST(n_true AS DOUBLE) / n_pairs", 6),
+        rec=duck_pround(
+            "CAST(n_true AS DOUBLE) / (SELECT n_truth FROM nt)", 6
+        ),
+    ),
+    tags=("dedup", "ring-c", "evaluation"),
+    description=(
+        "Side-by-side evaluation of the three text-dedup families "
+        "against exact Jaccard>=0.5 ground truth: verified MinHash-LSH "
+        "(should be ~exact), 16-bit SimHash buckets (near-identical "
+        "bias), and undirected containment>=0.8 (asymmetric dups "
+        "Jaccard misses -- its 'false positives' are the quote/subset "
+        "pairs).  One row per method: pair count, overlap, precision, "
+        "recall."
+    ),
+)
+def q_dedup_method_comparison(spark, sf_dir):
+    """Every pair set comes from its production (blocked/prefix-
+    filtered) implementation; the naive quadratic forms exist only in
+    the oracle text.  Counts are 1-row aggregates cross-joined as
+    broadcast scalars."""
+    from ..llm.dedup import (
+        containment_pairs_prefix,
+        minhash_lsh_candidate_pairs,
+        ngram_jaccard_pairs_prefix,
+        simhash_table,
+    )
+
+    docs = cat(spark, sf_dir).documents
+    truth = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("id_a", "id_b")
+    p_min = minhash_lsh_candidate_pairs(docs, jaccard_threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    h = simhash_table(docs)
+    ha = h.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("s1"))
+    hb = h.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("s2"))
+    p_sim = ha.join(
+        hb, (F.col("s1") == F.col("s2")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    con = containment_pairs_prefix(docs, threshold=0.8)
+    p_con = con.select(
+        F.least("contained_id", "container_id").alias("id_a"),
+        F.greatest("contained_id", "container_id").alias("id_b"),
+    ).distinct()
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    def metrics(name, p):
+        return (
+            p.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(
+                p.join(truth, ["id_a", "id_b"]).agg(
+                    F.count(F.lit(1)).alias("n_true")
+                )
+            )
+            .select(F.lit(name).alias("method"), "n_pairs", "n_true")
+        )
+
+    rows = (
+        metrics("containment_0.8", p_con)
+        .unionByName(metrics("minhash_lsh_0.5", p_min))
+        .unionByName(metrics("simhash_16bit", p_sim))
+    )
+    return (
+        rows.crossJoin(F.broadcast(n_truth))
+        .select(
+            "method",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_true").cast("bigint").alias("n_true_overlap"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            portable_round(
+                F.col("n_true").cast("double") / F.col("n_pairs"), 6
+            ).alias("precision"),
+            portable_round(
+                F.col("n_true").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+        .orderBy("method")
+    )
