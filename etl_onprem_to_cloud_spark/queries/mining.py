@@ -2128,3 +2128,64 @@ def q_dedup_method_comparison(spark, sf_dir):
         )
         .orderBy("method")
     )
+
+
+# --------------------------------------------------------------------------
+# Shipping-latency SLA percentiles per order month
+# --------------------------------------------------------------------------
+
+@query(
+    "q_ship_latency_percentiles",
+    oracle="""
+WITH l AS (
+  SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS order_month,
+    CAST(datediff('day', o.o_orderdate, li.l_shipdate) AS BIGINT) AS lat_days
+  FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+)
+SELECT order_month,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  quantile_cont(lat_days, 0.5) AS p50_days,
+  quantile_cont(lat_days, 0.9) AS p90_days,
+  quantile_cont(lat_days, 0.99) AS p99_days,
+  max(lat_days) AS max_days
+FROM l GROUP BY order_month ORDER BY order_month
+""",
+    tags=("analytics", "sla", "percentiles"),
+    description=(
+        "Order-to-ship latency SLA report: p50/p90/p99/max days from "
+        "order date to line-item ship date per order month.  Spark "
+        "percentile() is bit-identical to DuckDB quantile_cont "
+        "(established by q_winsorized_price_stats), and latencies are "
+        "exact integer day counts."
+    ),
+)
+def q_ship_latency_percentiles(spark, sf_dir):
+    """Fact-fact join shuffled on the order key (AQE-coalesced), then
+    one partial-merged percentile aggregate per month -- the exact
+    form; at extreme cardinality swap percentile for approx_percentile
+    with the same call shape."""
+    c = cat(spark, sf_dir)
+    lat = (
+        c.orders.join(
+            c.lineitem, c.lineitem.l_orderkey == c.orders.o_orderkey
+        )
+        .select(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("order_month"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+                "lat_days"
+            ),
+        )
+    )
+    return (
+        lat.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.percentile("lat_days", F.lit(0.5)).alias("p50_days"),
+            F.percentile("lat_days", F.lit(0.9)).alias("p90_days"),
+            F.percentile("lat_days", F.lit(0.99)).alias("p99_days"),
+            F.max("lat_days").alias("max_days"),
+        )
+        .orderBy("order_month")
+    )
