@@ -118,6 +118,11 @@ HEADLINE = [
     # r3 batch 4: ER composition, join diagnostic, session paths.
     "q_entity_resolution_parts",
     "q_top_session_paths",
+    # r3 batch 6: time-series bars, SLA percentiles, method comparison.
+    "q_twap_daily_values",
+    "q_ohlc_hourly_values",
+    "q_ship_latency_percentiles",
+    "q_dedup_method_comparison",
 ]
 
 

@@ -2079,21 +2079,30 @@ def q_dedup_method_comparison(spark, sf_dir):
     )
 
     docs = cat(spark, sf_dir).documents
-    truth = ngram_jaccard_pairs_prefix(docs, threshold=0.5).select("id_a", "id_b")
-    p_min = minhash_lsh_candidate_pairs(docs, jaccard_threshold=0.5).select(
-        "id_a", "id_b"
+    # Each pair set is consumed twice (count + truth-join) and the
+    # truth set four times -- persist the four bounded relations so no
+    # shingle/signature pipeline runs more than once (2.3x at sf0.1).
+    truth = (
+        ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    p_min = (
+        minhash_lsh_candidate_pairs(docs, jaccard_threshold=0.5)
+        .select("id_a", "id_b")
+        .persist()
     )
     h = simhash_table(docs)
     ha = h.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("s1"))
     hb = h.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("s2"))
     p_sim = ha.join(
         hb, (F.col("s1") == F.col("s2")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     con = containment_pairs_prefix(docs, threshold=0.8)
     p_con = con.select(
         F.least("contained_id", "container_id").alias("id_a"),
         F.greatest("contained_id", "container_id").alias("id_b"),
-    ).distinct()
+    ).distinct().persist()
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
     def metrics(name, p):

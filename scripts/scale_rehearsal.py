@@ -106,6 +106,10 @@ REHEARSAL = [
     "q_top_session_paths",
     "q_equidepth_global_prices",
     "q_abc_pareto_parts",
+    "q_twap_daily_values",
+    "q_ohlc_hourly_values",
+    "q_ship_latency_percentiles",
+    "q_dedup_method_comparison",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
