@@ -11,7 +11,7 @@ formatted strings; every ranked/limited output carries a total order.
 Entries without an oracle (``oracle=None``) are the genuinely
 non-SQL-expressible or approximate ops (stateful streaming, IVF probes,
 seeded LSH) -- the driver records a weaker rows-only check for those.
-(Currently 2 of 200: KMeans IVF and the seeded BRP-LSH twin.)
+(Currently 2 of 202: KMeans IVF and the seeded BRP-LSH twin.)
 """
 
 from __future__ import annotations
@@ -144,6 +144,8 @@ _NEW_THIS_ROUND = (
     "q_ohlc_hourly_values",        # new: deterministic OHLC bars
     "q_dedup_method_comparison",   # new: P/R of dedup families
     "q_ship_latency_percentiles",  # new: SLA p50/p90/p99 by month
+    "q_activity_heatmap",          # new: dow x hod traffic grid
+    "q_revenue_gini_parts",        # new: Gini concentration index
 )
 
 # Never driver-checked in r01 or r02 (61 entries).  Ordered with the

@@ -2198,3 +2198,129 @@ def q_ship_latency_percentiles(spark, sf_dir):
         )
         .orderBy("order_month")
     )
+
+
+# --------------------------------------------------------------------------
+# Activity heatmap: day-of-week x hour-of-day event grid
+# --------------------------------------------------------------------------
+
+@query(
+    "q_activity_heatmap",
+    oracle="""
+WITH g AS (
+  SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+    count(*) AS n,
+    count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT sum(n) AS total FROM g)
+SELECT dow, hod, CAST(n AS BIGINT) AS n_events,
+  CAST(n_users AS BIGINT) AS n_users,
+  {share} AS traffic_share
+FROM g, t ORDER BY dow, hod
+""".format(
+        share="floor((CAST(n AS DOUBLE) / total) * 1000000.0 + 0.5) / 1000000.0"
+    ),
+    tags=("events", "analytics", "heatmap"),
+    description=(
+        "Day-of-week x hour-of-day activity heatmap (ISO dow 1=Mon): "
+        "event count, distinct users, and share of total traffic per "
+        "cell -- the load-profile grid behind capacity planning."
+    ),
+)
+def q_activity_heatmap(spark, sf_dir):
+    """One groupBy to a 7x24 grid; the total rides back as a 1-row
+    broadcast.  count_distinct per cell is exact here; at extreme
+    cardinality the HLL twin (q_hll_sketch_rollup) is the swap-in."""
+    ev = cat(spark, sf_dir).events
+    g = ev.groupBy(
+        F.dayofweek("ts").alias("__dow_sun1"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    # Spark dayofweek: 1=Sunday; ISO dow: 1=Monday ... 7=Sunday.
+    iso = F.when(F.col("__dow_sun1") == 1, 7).otherwise(F.col("__dow_sun1") - 1)
+    t = g.agg(F.sum("n").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            iso.cast("int").alias("dow"),
+            "hod",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            portable_round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "traffic_share"
+            ),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of revenue concentration across parts
+# --------------------------------------------------------------------------
+
+@query(
+    "q_revenue_gini_parts",
+    oracle="""
+WITH r AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+k AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, l_partkey) AS i,
+    count(*) OVER () AS n
+  FROM r
+),
+s AS (
+  SELECT max(n) AS n,
+    sum(CAST(i AS DECIMAL(18,0)) * rev) AS irev,
+    sum(rev) AS tot
+  FROM k
+)
+SELECT CAST(n AS BIGINT) AS n_parts,
+  CAST(round(tot, 2) AS DOUBLE) AS total_revenue,
+  {gini} AS gini
+FROM s
+""".format(
+        gini="floor(((2.0 * CAST(irev AS DOUBLE))"
+        " / (n * CAST(tot AS DOUBLE)) - (n + 1.0) / n) * 1000000.0 + 0.5)"
+        " / 1000000.0"
+    ),
+    tags=("analytics", "stats", "concentration"),
+    description=(
+        "Gini coefficient of revenue concentration across parts "
+        "(0 = perfectly equal, 1 = one part takes all): computed from "
+        "the rank-weighted sum formula G = 2*sum(i*x_i)/(n*sum(x)) - "
+        "(n+1)/n over revenues sorted ascending with a tie-broken "
+        "total order.  rank x revenue products stay DECIMAL x integer "
+        "-- exact at any accumulation order."
+    ),
+)
+def q_revenue_gini_parts(spark, sf_dir):
+    """The global rank window runs over the PART-level aggregate
+    (~#parts rows), never the fact table -- same altitude rule as the
+    Pareto query.  One keyed rollup + one small window + a 1-row
+    reduce."""
+    li = cat(spark, sf_dir).lineitem
+    r = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("rev"))
+    k = r.withColumn(
+        "i", F.row_number().over(Window.orderBy("rev", "l_partkey"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    s = k.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("rev")).alias("irev"),
+        F.sum("rev").alias("tot"),
+    )
+    n = F.col("n")
+    gini = (F.lit(2.0) * F.col("irev").cast("double")) / (
+        n * F.col("tot").cast("double")
+    ) - (n + F.lit(1.0)) / n
+    return s.select(
+        n.cast("bigint").alias("n_parts"),
+        F.round("tot", 2).cast("double").alias("total_revenue"),
+        portable_round(gini, 6).alias("gini"),
+    )
