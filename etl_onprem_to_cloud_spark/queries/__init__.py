@@ -89,119 +89,30 @@ from . import mining  # noqa: E402,F401
 # suite (tests/test_oracle_parity.py hash-compares all oracled queries
 # against DuckDB).
 
-# Contract changed in round 3: q12's oracle (HUGEINT fix + pinned
-# ORDER BY, VERDICT r2 item 1) -- its red row must be re-verified
-# first.
+# Contracts changed in round 4: q_profile_orders_columns's oracle
+# (HUGEINT n_nulls cast, VERDICT r3 item 1 -- the only red r03 row)
+# and q_top_session_paths's oracle (second-truncation now mirrors
+# Spark's unix_timestamp, ADVICE r3 medium item).  Both must be
+# re-verified first.
 _CHANGED_THIS_ROUND = (
-    "q12_shipping_lateness",
-)
-
-# New queries added in round 3.  They sort AFTER the never-checked
-# backlog below: both tiers are unverified by the driver, but the
-# backlog entries have waited two rounds (VERDICT r2 item 2 defines
-# this round's evidence bar as driver rows for them), while each
-# round-3 addition was locally oracle-verified at BOTH sf0.001 and
-# sf0.01 when it was built.  They rotate to the front next round.
-_NEW_THIS_ROUND = (
-    "q_multimodal_ppm_decode",     # new: real in-container PPM decode
-    "q_semantic_dedup_clusters",   # new: SRP pairs -> CC closure
-    "q_embedding_quantize_int8",   # new: int8 quantization + error stats
-    "q_vocab_coverage",            # new: tokenizer vocab coverage curve
-    "q_dedup_chunk_rewrite",       # new: chunk dedup + doc reconstruction
-    "q_knn_label_vote",            # new: kNN majority-vote classification
-    "q_events_value_outliers_mad", # new: robust median/MAD outlier gate
-    "q_lang_rebalance",            # new: language-mix rebalancing
-    "q_bm25_search",               # new: Okapi BM25 lexical retrieval
-    "q_resample_hourly_lerp",      # new: gapfill linear interpolation
-    "q_skew_salted_join",          # new: salted skew-safe equi-join
-    "q_cumulative_new_users",      # new: first-touch growth curve
-    "q_event_type_cooccurrence",   # new: market-basket type pairs
-    "q_zipf_slope",                # new: corpus rank-frequency fit
-    "q_zorder_pruning_ratio",      # new: layout data-skipping metric
-    "q_data_quality_orders",       # new: Deequ-style expectation report
-    "q_textrank_tokens",           # new: fixed-point PageRank keywords
-    "q_regression_price_on_qty",   # new: grouped OLS sufficient stats
-    "q_seasonal_hourly_profile",   # new: hour-of-day seasonal lift
-    "q_cusum_changepoints",        # new: integer CUSUM changepoint scan
-    "q_bpe_pair_merges",           # new: BPE first-merge pair counts
-    "q_equidepth_price_buckets",   # new: ntile equi-depth histogram
-    "q_weighted_median_price",     # new: pandas GROUPED_AGG UDAF
-    "q_ngram_novelty",             # new: first-seen 4-gram novelty
-    "q_sparse_tfidf_topk",         # new: fixed-point sparse cosine
-    "q_triangle_clustering",       # new: triangles + clustering coeff
-    "q_benford_price_digits",      # new: Benford first-digit audit
-    "q_ttest_purchase_view",       # new: Welch t from one-pass sums
-    "q_kcenter_coreset",           # new: greedy farthest-point coreset
-    "q_entity_resolution_parts",   # new: fuzzy-match + CC + rollup
-    "q_join_key_overlap",          # new: pre-join key-overlap profile
-    "q_top_session_paths",         # new: first-3-event session paths
-    "q_equidepth_global_prices",   # new: cutpoint equi-depth, no sort
-    "q_temperature_mixture",       # new: T5 alpha mixture weights
-    "q_abc_pareto_parts",          # new: ABC cumulative-share classes
-    "q_topk_nations_with_others",  # new: top-k + OTHERS rollup
-    "q_lsh_blocking_quality",      # new: LSH recall/reduction eval
-    "q_twap_daily_values",         # new: time-weighted average
-    "q_ohlc_hourly_values",        # new: deterministic OHLC bars
-    "q_dedup_method_comparison",   # new: P/R of dedup families
-    "q_ship_latency_percentiles",  # new: SLA p50/p90/p99 by month
-    "q_activity_heatmap",          # new: dow x hod traffic grid
-    "q_revenue_gini_parts",        # new: Gini concentration index
-)
-
-# Never driver-checked in r01 or r02 (61 entries).  Ordered with the
-# families VERDICT r2 item 2 called out first (events/JSON surface,
-# PII, decontamination, dedup variants, multimodal, time-series, skew,
-# q07-q09), then the remaining unchecked entries in import order.
-_NEVER_CHECKED = (
-    "q_events_funnel",
-    "q_events_retention_cohorts",
-    "q_events_json_extract",
-    "q_events_json_struct",
-    "q_pii_scan_contacts",
-    "q_pii_redaction_summary",
-    "q_decontaminate_ngram_overlap",
-    "q_dedup_simhash",
-    "q_srp_near_dup_pairs",
-    "q_multimodal_decode_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_audio_chunks",
-    "q_multimodal_metadata",
-    "q_resample_hourly_locf",
-    "q_skew_salted_agg",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_type_profit",
-    "q_asof_join_click_attribution",
-    "q_text_repetition",
-    "q_text_quality_gate",
-    "q_split_train_val_test",
-    "q_pack_contexts",
-    "q_token_budget_per_source",
-    "q_udtf_token_chunks",
-    "q_ann_ivf_label_cells",
-    "q_hll_sketch_rollup",
-    "q_dedup_keep_best_quality",
-    "q_incremental_rollup_merge",
-    "q_fuzzy_levenshtein_pairs",
-    "q_rfm_segments",
-    "q_events_conversion_latency",
-    "q_boilerplate_chunks",
-    "q_event_type_transitions",
-    "q_events_hourly_anomalies",
-    "q_sample_weighted_by_length",
-    "q_inverted_index_tokens",
-    "q_top_bigrams",
-    "q_events_user_stats",
-    "q_sample_stratified_docs",
-    "q_interval_join_busy_hours",
-    "q_rolling_1h_sum_per_user",
-    "q_sessions_gaps_islands",
     "q_profile_orders_columns",
-    "q_text_language_id",
-    "q_text_fingerprint",
-    "q_dedup_exact_groups",
-    "q_dedup_exact_keep",
-    "q_dedup_ngram_jaccard",
+    "q_top_session_paths",
+)
+
+# New queries added in round 4.  They sort AFTER the never-checked
+# backlog below, per the fixed policy: both tiers lack driver rows,
+# but the backlog has waited longer; each round-4 addition is locally
+# oracle-verified at BOTH sf0.001 and sf0.01 when built and rotates to
+# the front next round.
+_NEW_THIS_ROUND = (
+)
+
+# Never driver-checked in r01-r03 (54 entries after the two contract
+# changes moved to the tier above).  Ordered with the 12-entry
+# two-round-old backlog FIRST (VERDICT r3 item 3 defines this round's
+# evidence bar as driver rows for them), then the round-3 additions in
+# their round-3 order.
+_NEVER_CHECKED = (
     "q_docs_by_source",
     "q_fuzzy_part_name_pairs",
     "q_tfidf_top_terms",
@@ -214,6 +125,48 @@ _NEVER_CHECKED = (
     "q_null_semantics",
     "q_union_by_name_missing",
     "q_calendar_arithmetic",
+    "q_multimodal_ppm_decode",
+    "q_semantic_dedup_clusters",
+    "q_embedding_quantize_int8",
+    "q_vocab_coverage",
+    "q_dedup_chunk_rewrite",
+    "q_knn_label_vote",
+    "q_events_value_outliers_mad",
+    "q_lang_rebalance",
+    "q_bm25_search",
+    "q_resample_hourly_lerp",
+    "q_skew_salted_join",
+    "q_cumulative_new_users",
+    "q_event_type_cooccurrence",
+    "q_zipf_slope",
+    "q_zorder_pruning_ratio",
+    "q_data_quality_orders",
+    "q_textrank_tokens",
+    "q_regression_price_on_qty",
+    "q_seasonal_hourly_profile",
+    "q_cusum_changepoints",
+    "q_bpe_pair_merges",
+    "q_equidepth_price_buckets",
+    "q_weighted_median_price",
+    "q_ngram_novelty",
+    "q_sparse_tfidf_topk",
+    "q_triangle_clustering",
+    "q_benford_price_digits",
+    "q_ttest_purchase_view",
+    "q_kcenter_coreset",
+    "q_entity_resolution_parts",
+    "q_join_key_overlap",
+    "q_equidepth_global_prices",
+    "q_temperature_mixture",
+    "q_abc_pareto_parts",
+    "q_topk_nations_with_others",
+    "q_lsh_blocking_quality",
+    "q_twap_daily_values",
+    "q_ohlc_hourly_values",
+    "q_dedup_method_comparison",
+    "q_ship_latency_percentiles",
+    "q_activity_heatmap",
+    "q_revenue_gini_parts",
 )
 
 

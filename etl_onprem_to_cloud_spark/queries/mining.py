@@ -1322,9 +1322,15 @@ def q_join_key_overlap(spark, sf_dir):
     "q_top_session_paths",
     oracle="""
 WITH o AS (
+  -- Mirror Spark's unix_timestamp() SECOND TRUNCATION exactly (the
+  -- q_twap_daily_values convention): floor both epochs before
+  -- differencing, so a gap whose floored-second diff is exactly 1800
+  -- but whose true duration exceeds 30 min sessionizes identically.
   SELECT user_id, ts, event_id, event_type,
-    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           > INTERVAL 30 MINUTE
+    CASE WHEN floor(epoch(ts))
+           - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)))
+           > 1800
          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS is_start
   FROM events
