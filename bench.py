@@ -30,6 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from etl_onprem_to_cloud_spark.pinned import release_pinned
 from etl_onprem_to_cloud_spark.queries import QUERIES
 from etl_onprem_to_cloud_spark.session import get_spark
 
@@ -144,6 +145,7 @@ def main() -> None:
                 QUERIES[name].fn(spark, warm_dir).count()
             except Exception as e:  # pragma: no cover - warmup is best-effort
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
+        release_pinned()
 
     # Host-speed calibration (see module docstring): one fixed CPU-bound
     # Python loop and one fixed Spark job, both independent of SF.
@@ -168,6 +170,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             best = min(best, time.perf_counter() - t0)
+        # Release after BOTH runs (not between): the persisted
+        # intermediates are part of the plan being timed, and run 2
+        # reusing run 1's cache matches the r01-r03 methodology.
+        release_pinned()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -37,8 +37,13 @@ def portable_round(col: Column, round_to: int = 4) -> Column:
 
     ``F.round``/DuckDB ``round`` disagree on rare boundary doubles
     (their internal scaling differs); spelling the arithmetic out makes
-    both engines execute the identical op sequence.  For non-negative
-    values only (half rounds toward +inf).  Duck twin:
+    both engines execute the identical op sequence.  Negative inputs
+    are deterministic but round HALF TOWARD +INF (floor(-1.5 + 0.5) =
+    -1), not half-away-from-zero -- fine for the cross-engine equality
+    contract (both engines run the same expression; used on negative-
+    capable values by q_ttest_purchase_view's t-stat and
+    q_regression_price_on_qty's slope/intercept), just not a
+    round-half-up-in-magnitude.  Duck twin:
     :func:`queries._util.duck_pround`.
     """
     p = float(10**round_to)

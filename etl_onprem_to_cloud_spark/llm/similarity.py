@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..pinned import pin
+
 from ..functions.vectors import cosine_similarity, dot_product
 
 
@@ -419,7 +421,7 @@ def srp_near_dup_pairs(
     # Persist the narrow (id, table, bucket) relation: the candidate
     # self-join's two branches are not exchange-reused by the planner,
     # so without this each side re-runs the full projection pass.
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = pin(keyed, StorageLevel.MEMORY_AND_DISK)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..pinned import pin
+
 from ..functions.text import shingles_from_tokens, tokens
 
 
@@ -102,7 +104,7 @@ def ml_minhash_near_dup_pairs(
     vecs = (
         tf.transform(sh)
         .select(F.col(id_col), "features")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(lambda d: pin(d, StorageLevel.MEMORY_AND_DISK))
     )
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
@@ -148,12 +150,26 @@ def ml_brp_near_neighbors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    radius: float | None = None,
 ) -> DataFrame:
     """BucketedRandomProjectionLSH (Euclidean) approximate k-NN for a
-    set of query vectors -> (query_id, neighbor_id, eucl_dist, rank)."""
+    set of query vectors -> (query_id, neighbor_id, eucl_dist, rank).
+
+    ``radius``: when set, the semantics become RADIUS-BOUNDED top-k --
+    only neighbors at exact distance < radius are emitted (the
+    threshold approxSimilarityJoin applies to its exact distCol), which
+    makes the output seed-INdependent: the seeded buckets are only a
+    candidate gate, and with OR-amplified recall at the radius
+    (p_miss = (1 - p1)^tables; bucket_length = 4, 16 tables, d = 1.25
+    -> ~1e-10 per true pair) the emitted set equals the exact range
+    query's.  The distance MLlib computes is sqrt of the sequential
+    (a[i]-b[i])^2 loop -- the same IEEE op order the DuckDB oracle
+    folds, so values are bit-comparable after portable rounding."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
+
+    from ..functions.numeric import portable_round
 
     vecs = embeddings.select(
         F.col(id_col),
@@ -170,13 +186,14 @@ def ml_brp_near_neighbors(
     )
     model = brp.fit(vecs)
     queries = vecs.filter(F.col(id_col).isin(query_ids))
-    joined = model.approxSimilarityJoin(queries, vecs, float("inf"), "eucl_dist")
+    threshold = float("inf") if radius is None else float(radius)
+    joined = model.approxSimilarityJoin(queries, vecs, threshold, "eucl_dist")
     pairs = joined.filter(
         F.col(f"datasetA.{id_col}") != F.col(f"datasetB.{id_col}")
     ).select(
         F.col(f"datasetA.{id_col}").alias("query_id"),
         F.col(f"datasetB.{id_col}").alias("neighbor_id"),
-        F.round("eucl_dist", 6).alias("eucl_dist"),
+        portable_round(F.col("eucl_dist"), 6).alias("eucl_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("eucl_dist"), F.col("neighbor_id"))
     return (

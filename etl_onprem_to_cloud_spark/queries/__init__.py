@@ -11,7 +11,9 @@ formatted strings; every ranked/limited output carries a total order.
 Entries without an oracle (``oracle=None``) are the genuinely
 non-SQL-expressible or approximate ops (stateful streaming, IVF probes,
 seeded LSH) -- the driver records a weaker rows-only check for those.
-(Currently 2 of 202: KMeans IVF and the seeded BRP-LSH twin.)
+(Currently 1 of 203: the seeded-KMeans IVF twin, which is recall-tested
+against its fully-oracled label-cell sibling; the BRP-LSH query was
+converted to a value oracle in r04 via radius-bounded exact re-rank.)
 """
 
 from __future__ import annotations
@@ -105,6 +107,7 @@ _CHANGED_THIS_ROUND = (
 # oracle-verified at BOTH sf0.001 and sf0.01 when built and rotates to
 # the front next round.
 _NEW_THIS_ROUND = (
+    "q_kcenter_coreset_sampled",  # new: hash-gate sampled k-center
 )
 
 # Never driver-checked in r01-r03 (54 entries after the two contract

@@ -22,6 +22,7 @@ from pyspark.sql import Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.numeric import dec, portable_round
+from ..pinned import pin
 from ..functions.text import tokens
 from ..operators.graph import duck_pagerank_sql, pagerank_fixed_point
 from ..operators.quality import (
@@ -741,7 +742,7 @@ def q_sparse_tfidf_topk(spark, sf_dir):
             "term",
             F.expr(_TFIDF_W).alias("w"),
         )
-        .persist()
+        .transform(pin)
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
     qp = w.filter(F.col("doc_id") % 199 == 0).select(
@@ -1104,6 +1105,33 @@ def q_kcenter_coreset(spark, sf_dir):
     for the k>>8 sampled variant note."""
     emb = cat(spark, sf_dir).embeddings
     out = k_center_greedy(emb, k=8)
+    return out.select(
+        "step", "id", portable_round(F.col("dist"), 6).alias("dist")
+    ).orderBy("step")
+
+
+@query(
+    "q_kcenter_coreset_sampled",
+    oracle=duck_k_center_sql(k=8, sample_rate=0.25),
+    tags=("similarity", "ring-c", "coreset", "iterative", "sampling"),
+    description=(
+        "Sampled k-center greedy (the scale path for k in the "
+        "thousands): each step's argmax considers only a deterministic "
+        "per-step md5 hash-gate subsample (rate 0.25) of the remaining "
+        "candidates, with full-set fallback when a subsample is empty; "
+        "distances stay exact over all points.  Same per-step plan as "
+        "the exact variant -- scan + TakeOrdered(1) -- with the "
+        "candidate side cut by the rate.  rate=1.0 reproduces the "
+        "exact variant bit-for-bit (differential test)."
+    ),
+)
+def q_kcenter_coreset_sampled(spark, sf_dir):
+    """Per-step subsample membership is CONTENT-hashed (md5 of id with
+    a per-step salt), so selection is repartition-stable and the
+    unrolled SQL twin mirrors it with the identical gate expression in
+    its ORDER BY."""
+    emb = cat(spark, sf_dir).embeddings
+    out = k_center_greedy(emb, k=8, sample_rate=0.25)
     return out.select(
         "step", "id", portable_round(F.col("dist"), 6).alias("dist")
     ).orderBy("step")
@@ -1480,14 +1508,12 @@ _ALPHA = 0.3
     "q_temperature_mixture",
     oracle=f"""
 WITH s AS (
-  SELECT source, count(*) AS n, pow(count(*), {_ALPHA}) AS v
+  SELECT source, count(*) AS n,
+    CAST(floor(pow(count(*), {_ALPHA}) * 1000000000.0 + 0.5) AS BIGINT) AS vq
   FROM documents GROUP BY source
 ),
 d AS (
-  SELECT list_reduce(
-    list_prepend(CAST(0.0 AS DOUBLE),
-                 list(CAST(v AS DOUBLE) ORDER BY source)),
-    (a, b) -> a + b) AS denom
+  SELECT CAST(sum(vq) AS BIGINT) AS denom, CAST(sum(n) AS DOUBLE) AS total
   FROM s
 )
 SELECT source, CAST(n AS BIGINT) AS n_docs,
@@ -1495,44 +1521,41 @@ SELECT source, CAST(n AS BIGINT) AS n_docs,
   {{eff}} AS effective_docs
 FROM s, d ORDER BY source
 """.format(
-        w=duck_pround("CAST(v AS DOUBLE) / denom", 6),
+        w=duck_pround("CAST(vq AS DOUBLE) / CAST(denom AS DOUBLE)", 6),
         eff=duck_pround(
-            "(CAST(v AS DOUBLE) / denom)"
-            " * (SELECT CAST(sum(n) AS DOUBLE) FROM s)",
-            2,
+            "(CAST(vq AS DOUBLE) / CAST(denom AS DOUBLE)) * total", 2
         ),
     ),
     tags=("datamix", "ring-c", "sampling"),
     description=(
         "Temperature-scaled mixture weights (T5-style alpha=0.3): "
         "per-source sampling weight proportional to n^alpha, "
-        "flattening the source distribution toward uniform.  The "
-        "cross-source normalizer is a FOLD over the source-sorted "
-        "list, so the double summation order is pinned in both "
-        "engines."
+        "flattening the source distribution toward uniform.  n^alpha "
+        "is quantized to fixed-point (1e-9 grid) BEFORE normalizing -- "
+        "pow is not correctly-rounded across libm implementations, so "
+        "quantizing once makes every downstream sum/ratio start from "
+        "identical integers in both engines (the sparse-TFIDF trick); "
+        "the integer normalizer is also summation-order-independent, "
+        "replacing the pinned-order fold this query previously needed."
     ),
 )
 def q_temperature_mixture(spark, sf_dir):
     """Per-source counts (one shuffle on the low-cardinality source
-    key); the normalizer folds the handful of per-source weights in
-    sorted order -- unordered SUM over doubles would be partial-
-    aggregation-order-dependent and break cross-engine equality."""
+    key); weights derive from fixed-point-quantized n^alpha so the
+    cross-engine contract is exact-integer until the final division
+    (see oracle description; ADVICE r3 pow-ulp item)."""
     docs = cat(spark, sf_dir).documents
     s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).withColumn(
-        "v", F.pow(F.col("n"), F.lit(_ALPHA))
+        "vq",
+        F.floor(F.pow(F.col("n"), F.lit(_ALPHA)) * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint"),
     )
     d = s.agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("source"), F.col("v")))
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x["v"].cast("double"),
-        ).alias("denom"),
+        F.sum("vq").cast("bigint").alias("denom"),
         F.sum("n").cast("double").alias("total"),
     )
     j = s.crossJoin(F.broadcast(d))
-    w = F.col("v").cast("double") / F.col("denom")
+    w = F.col("vq").cast("double") / F.col("denom").cast("double")
     return j.select(
         "source",
         F.col("n").cast("bigint").alias("n_docs"),
@@ -2091,24 +2114,24 @@ def q_dedup_method_comparison(spark, sf_dir):
     truth = (
         ngram_jaccard_pairs_prefix(docs, threshold=0.5)
         .select("id_a", "id_b")
-        .persist()
+        .transform(pin)
     )
     p_min = (
         minhash_lsh_candidate_pairs(docs, jaccard_threshold=0.5)
         .select("id_a", "id_b")
-        .persist()
+        .transform(pin)
     )
     h = simhash_table(docs)
     ha = h.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("s1"))
     hb = h.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("s2"))
     p_sim = ha.join(
         hb, (F.col("s1") == F.col("s2")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b").persist()
+    ).select("id_a", "id_b").transform(pin)
     con = containment_pairs_prefix(docs, threshold=0.8)
     p_con = con.select(
         F.least("contained_id", "container_id").alias("id_a"),
         F.greatest("contained_id", "container_id").alias("id_b"),
-    ).distinct().persist()
+    ).distinct().transform(pin)
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
     def metrics(name, p):

@@ -336,18 +336,64 @@ WHERE round(n_common / (n_a + n_b - n_common), 6) >= 0.8
             verify_jaccard_sim=0.8,
         )
 
+    _BRP_RADIUS = 1.25  # > the fixture's 10th-NN distances (~1.21-1.23)
+
     @query(
         "q_ml_brp_ann_topk",
-        oracle=None,  # seeded random-projection buckets; recall judged in tests
+        oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e
+  WHERE vec_id IN ({_QUERY_IDS_SQL})
+),
+d AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+    sqrt(list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(qv)),
+                       i -> (qv[i] - v[i]) * (qv[i] - v[i]))),
+      (a, b) -> a + b)) AS dist
+  FROM q JOIN e ON e.vec_id != q.query_id
+),
+f AS (
+  SELECT query_id, neighbor_id,
+    floor(dist * 1000000.0 + 0.5) / 1000000.0 AS eucl_dist
+  FROM d WHERE dist < {_BRP_RADIUS}
+),
+r AS (
+  SELECT query_id, neighbor_id, eucl_dist,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY eucl_dist, neighbor_id) AS rank
+  FROM f
+)
+SELECT query_id, neighbor_id, eucl_dist, rank FROM r WHERE rank <= 10
+""",
         tags=("similarity", "ring-c", "ann", "approx", "mllib"),
-        description="Stock BucketedRandomProjectionLSH (Euclidean) approx "
-        "k-NN for 5 query vectors.",
+        description="Stock BucketedRandomProjectionLSH radius-bounded "
+        "(Euclidean dist < 1.25) top-10 for 5 query vectors, converted "
+        "to a VALUE-ORACLED query the way q_ml_minhash_lsh_pairs was: "
+        "the seeded buckets are only the candidate gate, the radius is "
+        "applied to the exact distance, and OR-amplified recall at the "
+        "radius (16 tables, bucketLength 4 -> ~1e-10 miss per true "
+        "pair) makes the emitted set equal the exact range query the "
+        "DuckDB oracle runs.  MLlib's distance is the sequential "
+        "(a[i]-b[i])^2 loop; the oracle folds the identical IEEE op "
+        "sequence.",
     )
     def q_ml_brp_ann_topk(spark, sf_dir):
         from ..llm.similarity_ml import ml_brp_near_neighbors
 
         emb = cat(spark, sf_dir).embeddings
-        out = ml_brp_near_neighbors(emb, _QUERY_IDS, k=10)
+        out = ml_brp_near_neighbors(
+            emb,
+            _QUERY_IDS,
+            k=10,
+            radius=_BRP_RADIUS,
+            bucket_length=4.0,
+            num_hash_tables=16,
+        )
         return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

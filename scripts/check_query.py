@@ -59,6 +59,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     sdf = spec.fn(spark, sf_dir)
     s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    from etl_onprem_to_cloud_spark.pinned import release_pinned
+
+    release_pinned()
 
     if spec.oracle is None:
         print(f"{name}: rows-only query, {len(s_rows)} rows, cols={s_cols}")

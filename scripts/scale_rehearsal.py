@@ -47,6 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from etl_onprem_to_cloud_spark.plans import execution_metrics
+from etl_onprem_to_cloud_spark.pinned import release_pinned
 from etl_onprem_to_cloud_spark.queries import QUERIES
 from etl_onprem_to_cloud_spark.session import get_spark
 
@@ -196,6 +197,7 @@ def main() -> None:
             QUERIES[name].fn(spark, warm).count()
         except Exception as e:  # pragma: no cover
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
+    release_pinned()
 
     results: dict[str, dict[str, float]] = {}
     print("| query | sf0.1 (s) | sf1 (s) | ratio | exponent | sf1 spill |")
@@ -210,6 +212,7 @@ def main() -> None:
         t_small = min(
             _timed(lambda: fn(spark, SRC).count()) for _ in range(runs)
         )
+        release_pinned()
         # At sf1, execute through execution_metrics: one job yields both
         # the timing and the spill/shuffle evidence.  Construction stays
         # INSIDE the timer -- the iterative CC queries do their rounds
@@ -219,6 +222,7 @@ def main() -> None:
              for _ in range(runs)),
             key=lambda r: r[0],
         )
+        release_pinned()
         ratio = t_big / t_small
         exp = math.log10(ratio)
         results[name] = {

@@ -158,6 +158,78 @@ class TestKCenterGreedy:
         want = list(con.execute(duck_k_center_sql(5)).fetchall())
         assert got == want
 
+    def test_empty_input_raises(self, spark):
+        from etl_onprem_to_cloud_spark.operators.coreset import k_center_greedy
+
+        df = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+        with pytest.raises(ValueError, match="empty input"):
+            k_center_greedy(df, k=3)
+
+    def test_k_exceeding_rows_stops_early_without_duplicates(self, spark):
+        # 3 rows, two of them identical vectors; k=6 must yield 3
+        # DISTINCT ids (the duplicate vector is a distinct point at
+        # distance 0) and stop, never re-picking the seed.
+        df = spark.createDataFrame(
+            [(0, [0.0]), (1, [5.0]), (2, [5.0])],
+            "vec_id bigint, embedding array<float>",
+        )
+        from etl_onprem_to_cloud_spark.operators.coreset import k_center_greedy
+
+        rows = k_center_greedy(df, k=6).orderBy("step").collect()
+        ids = [r["id"] for r in rows]
+        assert sorted(ids) == [0, 1, 2]
+        assert len(set(ids)) == len(ids)
+
+    def test_sampled_rate_one_matches_exact(self, spark, sf_dir):
+        from etl_onprem_to_cloud_spark.operators.coreset import k_center_greedy
+        from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+        emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+        exact = [
+            (r["step"], r["id"])
+            for r in k_center_greedy(emb, k=5).orderBy("step").collect()
+        ]
+        sampled = [
+            (r["step"], r["id"])
+            for r in k_center_greedy(emb, k=5, sample_rate=1.0)
+            .orderBy("step")
+            .collect()
+        ]
+        assert exact == sampled
+
+    def test_sampled_matches_duckdb_twin(self, spark, sf_dir):
+        import duckdb
+
+        from etl_onprem_to_cloud_spark.operators.coreset import (
+            duck_k_center_sql,
+            k_center_greedy,
+        )
+        from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+        def fr(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+        got = [
+            (r["step"], r["id"], fr(r["dist"]))
+            for r in k_center_greedy(emb, k=5, sample_rate=0.25)
+            .orderBy("step")
+            .collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        want = list(con.execute(duck_k_center_sql(5, sample_rate=0.25)).fetchall())
+        assert got == want
+        # the subsample must actually bite: selection differs from exact
+        exact = [
+            (r["step"], r["id"])
+            for r in k_center_greedy(emb, k=5).orderBy("step").collect()
+        ]
+        assert [(s, i) for s, i, _ in got] != exact
+
 
 class TestPortableRoundBulkParity:
     def test_500_random_doubles_round_identically(self, spark):
