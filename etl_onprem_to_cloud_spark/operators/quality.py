@@ -73,6 +73,40 @@ def predicate_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def predicate_report_grouped(
+    df: DataFrame, checks: list[Check], group_cols: list[str]
+) -> DataFrame:
+    """Per-group twin of :func:`predicate_report` -- the BATCH mirror
+    of the streaming quality monitor (``streaming/quality.py``), which
+    evaluates the same suite once per micro-batch: grouping a static
+    table by its batch key produces exactly the report table the
+    ``foreachBatch`` monitor appends to, one (group, check) row at a
+    time, but in ONE keyed aggregation pass (map-side partials, one
+    shuffle on the group key, unpivot)."""
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(c.violation.cast("bigint")).alias(f"__v{i}")
+        for i, c in enumerate(checks)
+    ]
+    wide = df.groupBy(*group_cols).agg(*aggs)
+    stack_args: list[Column] = []
+    for i, c in enumerate(checks):
+        stack_args += [F.lit(c.name), F.col(f"__v{i}")]
+    return (
+        wide.select(
+            *group_cols,
+            F.col("__total"),
+            F.stack(F.lit(len(checks)), *stack_args).alias("check", "violations"),
+        )
+        .select(
+            *group_cols,
+            "check",
+            F.col("violations").cast("bigint").alias("violations"),
+            F.col("__total").cast("bigint").alias("total"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+
+
 def uniqueness_report(df: DataFrame, name: str, key_cols: list[str]) -> DataFrame:
     """Rows whose key occurs more than once count as violations (every
     row of a duplicated key, matching Deequ's uniqueness semantics)."""

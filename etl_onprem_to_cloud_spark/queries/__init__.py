@@ -108,6 +108,7 @@ _CHANGED_THIS_ROUND = (
 # the front next round.
 _NEW_THIS_ROUND = (
     "q_kcenter_coreset_sampled",  # new: hash-gate sampled k-center
+    "q_quality_monitor_batch",    # new: streaming monitor's batch twin
 )
 
 # Never driver-checked in r01-r03 (54 entries after the two contract

@@ -297,3 +297,92 @@ def q_training_data_pipeline(spark, sf_dir):
         )
         .orderBy("split", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch twin of the streaming per-batch quality monitor
+# --------------------------------------------------------------------------
+
+@query(
+    "q_quality_monitor_batch",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 21600) AS BIGINT) AS batch_id,
+    user_id, event_type, value
+  FROM events
+),
+p AS (
+  SELECT batch_id, count(*) AS total,
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+        ('click', 'view', 'purchase', 'signup') THEN 1 ELSE 0 END) AS BIGINT)
+      AS v1,
+    CAST(sum(CASE WHEN value IS NULL OR value < 0 OR value > 200
+        THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM b GROUP BY batch_id
+)
+SELECT batch_id, check_name, violations, CAST(total AS BIGINT) AS total,
+  violations = 0 AS passed
+FROM (
+  SELECT batch_id, 'events.user_id.complete' AS check_name,
+    v0 AS violations, total FROM p
+  UNION ALL
+  SELECT batch_id, 'events.event_type.in_set', v1, total FROM p
+  UNION ALL
+  SELECT batch_id, 'events.value.in_range_0_200', v2, total FROM p
+)
+ORDER BY batch_id, check_name
+""",
+    tags=("quality", "streaming-twin", "monitor", "report"),
+    description=(
+        "Batch twin of the streaming per-batch quality monitor "
+        "(streaming/quality.quality_monitor_batch_fn): the SAME "
+        "expectation suite -- completeness, set membership (the "
+        "'error' type is deliberately outside the allowed set), value "
+        "range (200 < max value, so it fails too) -- evaluated per "
+        "6-hour micro-batch window of events, producing exactly the "
+        "(batch_id, check, violations, total, passed) report table the "
+        "foreachBatch monitor appends, but in one keyed aggregation "
+        "pass.  This makes the monitor's report logic value-oracled; "
+        "the streaming tests cover delivery/idempotence."
+    ),
+)
+def q_quality_monitor_batch(spark, sf_dir):
+    """One shuffle on the 6-hour batch key; all three predicate checks
+    fold into the same keyed aggregate (map-side partials), then
+    unpivot -- identical to what the foreachBatch path computes per
+    micro-batch, proven by the monitor twin comparison in
+    tests/test_graph_and_sinks.py (streamed per-batch report rows ==
+    the grouped batch suite keyed by source file)."""
+    from ..operators.quality import (
+        completeness,
+        in_range,
+        in_set,
+        predicate_report_grouped,
+    )
+
+    ev = cat(spark, sf_dir).events
+    b = ev.select(
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(21600)
+        )
+        .cast("bigint")
+        .alias("batch_id"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    checks = [
+        completeness("events.user_id.complete", "user_id"),
+        in_set(
+            "events.event_type.in_set",
+            "event_type",
+            ["click", "view", "purchase", "signup"],
+        ),
+        in_range("events.value.in_range_0_200", "value", 0, 200),
+    ]
+    return (
+        predicate_report_grouped(b, checks, ["batch_id"])
+        .withColumnRenamed("check", "check_name")
+        .orderBy("batch_id", "check_name")
+    )

@@ -322,3 +322,63 @@ class TestStreamingQualityMonitor:
         for r in sums:
             assert r["t"] == full
             assert r["v"] == 0  # fixture data is clean for these checks
+
+    def test_streamed_reports_equal_grouped_batch_twin(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The foreachBatch monitor's per-batch rows must equal the
+        grouped batch suite (predicate_report_grouped) evaluated per
+        source file -- checks chosen so violations are NONZERO, making
+        this a value comparison, not just a delivery check.  Batch ids
+        and file names don't correspond deterministically, so the
+        comparison is by multiset of (check, violations, total,
+        passed)."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from etl_onprem_to_cloud_spark.operators.quality import (
+            in_range,
+            in_set,
+            predicate_report_grouped,
+        )
+        from etl_onprem_to_cloud_spark.sources.io import read_parquet
+        from etl_onprem_to_cloud_spark.streaming.quality import (
+            monitor_stream_quality,
+        )
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        src = str(tmp_path / "src")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        checks = [
+            in_set("type.allowed", "event_type",
+                   ["click", "view", "purchase", "signup"]),  # 'error' fails
+            in_range("value.in_range", "value", 0, 200),      # max > 200
+        ]
+        report = str(tmp_path / "report")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = monitor_stream_quality(
+            stream, checks, report, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+        streamed = Counter(
+            (r["check"], r["violations"], r["total"], r["passed"])
+            for r in spark.read.option("basePath", report)
+            .parquet(report)
+            .collect()
+        )
+        static = spark.read.parquet(src).withColumn(
+            "__file", F.input_file_name()
+        )
+        grouped = Counter(
+            (r["check"], r["violations"], r["total"], r["passed"])
+            for r in predicate_report_grouped(static, checks, ["__file"])
+            .collect()
+        )
+        assert streamed == grouped
+        assert any(v > 0 for (_, v, _, _) in streamed)  # violations bite
