@@ -8,12 +8,12 @@ use exact DECIMAL accumulation + rounding so the two engines are
 bit-comparable (see functions/numeric.py); timestamps are emitted as
 formatted strings; every ranked/limited output carries a total order.
 
-Entries without an oracle (``oracle=None``) are the genuinely
-non-SQL-expressible or approximate ops (stateful streaming, IVF probes,
-seeded LSH) -- the driver records a weaker rows-only check for those.
-(Currently 1 of 203: the seeded-KMeans IVF twin, which is recall-tested
-against its fully-oracled label-cell sibling; the BRP-LSH query was
-converted to a value oracle in r04 via radius-bounded exact re-rank.)
+Entries without an oracle (``oracle=None``) would be the genuinely
+non-SQL-expressible ops; as of r04 there are NONE -- the two last
+rows-only entries were converted to value oracles (BRP-LSH via
+radius-bounded exact re-rank; IVF via a deterministic Lloyd quantizer
+with a generated unrolled-CTE twin).  The seeded MLlib variants remain
+available as functions, recall-tested in tests/test_similarity_ml.py.
 """
 
 from __future__ import annotations
@@ -92,13 +92,16 @@ from . import mining  # noqa: E402,F401
 # against DuckDB).
 
 # Contracts changed in round 4: q_profile_orders_columns's oracle
-# (HUGEINT n_nulls cast, VERDICT r3 item 1 -- the only red r03 row)
-# and q_top_session_paths's oracle (second-truncation now mirrors
-# Spark's unix_timestamp, ADVICE r3 medium item).  Both must be
-# re-verified first.
+# (HUGEINT n_nulls cast, VERDICT r3 item 1 -- the only red r03 row),
+# q_top_session_paths's oracle (second-truncation now mirrors Spark's
+# unix_timestamp, ADVICE r3 medium item), and the two formerly
+# rows-only ANN entries, now value-oracled (VERDICT r3 item 6).  All
+# must be (re-)verified first.
 _CHANGED_THIS_ROUND = (
     "q_profile_orders_columns",
     "q_top_session_paths",
+    "q_ann_ivf_topk",     # rows-only -> deterministic-Lloyd value oracle
+    "q_ml_brp_ann_topk",  # rows-only -> radius-bounded value oracle
 )
 
 # New queries added in round 4.  They sort AFTER the never-checked
@@ -111,20 +114,18 @@ _NEW_THIS_ROUND = (
     "q_quality_monitor_batch",    # new: streaming monitor's batch twin
 )
 
-# Never driver-checked in r01-r03 (54 entries after the two contract
-# changes moved to the tier above).  Ordered with the 12-entry
-# two-round-old backlog FIRST (VERDICT r3 item 3 defines this round's
-# evidence bar as driver rows for them), then the round-3 additions in
-# their round-3 order.
+# Never driver-checked in r01-r03 (52 entries after the four contract
+# changes moved to the tier above).  Ordered with the two-round-old
+# backlog FIRST (VERDICT r3 item 3 defines this round's evidence bar
+# as driver rows for them), then the round-3 additions in their
+# round-3 order.
 _NEVER_CHECKED = (
     "q_docs_by_source",
     "q_fuzzy_part_name_pairs",
     "q_tfidf_top_terms",
     "q_dedup_ngram_jaccard_blocked",
-    "q_ann_ivf_topk",
     "q_embedding_near_dup",
     "q_ml_minhash_lsh_pairs",
-    "q_ml_brp_ann_topk",
     "q_string_functions2",
     "q_null_semantics",
     "q_union_by_name_missing",

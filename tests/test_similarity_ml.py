@@ -65,6 +65,30 @@ def test_brp_output_shape(spark, sf_dir):
         assert len(ranks) <= 10
 
 
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """The seeded MLlib KMeans quantizer path (no longer the registered
+    query, which uses the oracle-checkable deterministic Lloyd
+    quantizer) must still recover most of the exact top-10."""
+    from etl_onprem_to_cloud_spark.llm.similarity import ivf_top_k
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    exact = QUERIES["q_ann_brute_force_topk"].fn(spark, sf_dir).collect()
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    approx = ivf_top_k(
+        emb, [0, 1, 2, 3, 4], k=10, nprobe=3, quantizer="kmeans"
+    ).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.6, f"KMeans-IVF recall@10 too low: {recall:.2f}"
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF probing 3 of the coarse cells must recover most of the exact
     top-10 on the clustered fixture (label = generating cluster)."""
