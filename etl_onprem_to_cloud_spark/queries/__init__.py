@@ -78,6 +78,7 @@ from . import tpch2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import mining  # noqa: E402,F401
+from . import learn  # noqa: E402,F401
 
 # --- Evidence-priority ordering -------------------------------------------
 # Policy (fixed after round-2 advice): order the registry purely by
@@ -112,6 +113,9 @@ _CHANGED_THIS_ROUND = (
 _NEW_THIS_ROUND = (
     "q_kcenter_coreset_sampled",  # new: hash-gate sampled k-center
     "q_quality_monitor_batch",    # new: streaming monitor's batch twin
+    "q_nb_lang_classifier",       # new: in-engine NB train+infer+eval
+    "q_kcore_copurchase",         # new: iterative k-core peeling
+    "q_acf_hourly_counts",        # new: fixed-point autocorrelation
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

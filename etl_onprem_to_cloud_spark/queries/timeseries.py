@@ -386,3 +386,135 @@ def q_ewma_user_values(spark, sf_dir):
         F.round("value", 6).alias("value"),
         (F.floor(F.col("ewma") * 1000000) / 1000000).alias("ewma"),
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation (ACF) of the hourly event-count series
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 24)
+_ACF_LAGS_SQL = ", ".join(str(lag) for lag in _ACF_LAGS)
+
+
+@query(
+    "q_acf_hourly_counts",
+    oracle=f"""
+WITH x AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+    count(*) AS n
+  FROM events GROUP BY h
+),
+mm AS (
+  SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean FROM x
+),
+m AS (
+  SELECT mm.mean,
+    sum(CAST(floor((x.n - mm.mean) * (x.n - mm.mean)
+      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS denom
+  FROM x CROSS JOIN mm GROUP BY mm.mean
+),
+lags AS (SELECT unnest([{_ACF_LAGS_SQL}]) AS lag),
+num AS (
+  SELECT l.lag, count(*) AS n_pairs,
+    sum(CAST(floor((a.n - m.mean) * (b.n - m.mean) * 1000000.0 + 0.5)
+      / 1000000.0 AS DECIMAL(18,6))) AS numer
+  FROM lags l
+  CROSS JOIN m
+  JOIN x a ON true
+  JOIN x b ON b.h = a.h + l.lag
+  GROUP BY l.lag
+)
+SELECT num.lag AS lag, CAST(num.n_pairs AS BIGINT) AS n_pairs,
+  floor(CAST(num.numer AS DOUBLE) / CAST(m.denom AS DOUBLE)
+    * 1000000.0 + 0.5) / 1000000.0 AS acf
+FROM num CROSS JOIN m
+ORDER BY lag
+""",
+    tags=("timeseries", "stats", "acf"),
+    description=(
+        "Autocorrelation of the hourly event-count series at lags 1, "
+        "2, 3 and 24 hours (the seasonality detector behind anomaly "
+        "baselines): classic ACF with the full-series variance as the "
+        "denominator; hour-lagged pairs are matched by TIME (missing "
+        "hours drop their pairs).  Every (x_t - mean) product is "
+        "quantized to the 1e-6 grid and accumulated as exact DECIMAL, "
+        "so the sums are order-independent and bit-equal cross-engine."
+    ),
+)
+def q_acf_hourly_counts(spark, sf_dir):
+    """One shuffle builds the hourly series (tiny); the mean/variance
+    reduce to one row which broadcasts into the lag self-join -- the
+    series side of that join is hours-count sized, so even years of
+    hours stay kilobytes.  At 100 TB only the first aggregation
+    touches the raw events."""
+    ev = cat(spark, sf_dir).events
+    x = (
+        ev.select(
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(3600)
+            ).cast("bigint").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    mean_col = F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    dev = x.withColumn("mean", mean_col)
+    m = dev.agg(
+        F.first("mean").alias("mean"),
+        F.sum(
+            (
+                F.floor(
+                    (F.col("n") - F.col("mean"))
+                    * (F.col("n") - F.col("mean"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).cast("decimal(18,6)")
+        ).alias("denom"),
+    )
+    lags = spark.range(0).sparkSession.createDataFrame(
+        [(lag,) for lag in _ACF_LAGS], "lag bigint"
+    )
+    a = x.select(F.col("h").alias("ha"), F.col("n").alias("na"))
+    b = x.select(F.col("h").alias("hb"), F.col("n").alias("nb"))
+    num = (
+        lags.crossJoin(F.broadcast(m))
+        .join(a, F.lit(True))
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (
+                    F.floor(
+                        (F.col("na") - F.col("mean"))
+                        * (F.col("nb") - F.col("mean"))
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).cast("decimal(18,6)")
+            ).alias("numer"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(m.select("denom")))
+        .select(
+            "lag",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (
+                F.floor(
+                    F.col("numer").cast("double")
+                    / F.col("denom").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

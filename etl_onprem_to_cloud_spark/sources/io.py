@@ -105,6 +105,37 @@ def write_orc(
     w.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+    max_partition_bytes: str | None = None,
+) -> DataFrame:
+    """Raw-file ingest via Spark's built-in ``binaryFile`` source --
+    the entry point of the multimodal pipeline (llm/multimodal.py
+    decodes the ``content`` bytes with Arrow-batched mapInPandas).
+
+    Returns the source's standard schema: ``path`` (string),
+    ``modificationTime`` (timestamp), ``length`` (bigint), ``content``
+    (binary).  ``path_glob`` filters by filename pattern at LISTING
+    time (pushed down -- non-matching files are never opened).
+
+    Scale notes: each file becomes one row and is read WHOLE into a
+    single task, so this source is for payload files (images, audio,
+    PDFs), not for splittable text/parquet; a directory of millions of
+    small files should be compacted into parquet-with-binary-column
+    first (see multimodal.py, which operates on exactly that layout).
+    ``max_partition_bytes`` caps how many files pack into one task via
+    the standard files.maxPartitionBytes conf knob per-read.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_partition_bytes is not None:
+        reader = reader.option("maxPartitionBytes", max_partition_bytes)
+    return reader.load(path)
+
+
 def read_text(
     spark: SparkSession, path: str, whole_text: bool = False
 ) -> DataFrame:

@@ -180,3 +180,39 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) >= {"id", "v", "added"}
     assert merged.count() == 20
     assert merged.filter(F.col("added").isNull()).count() == 10
+
+
+def test_binary_file_ingest_to_multimodal_decode(spark, tmp_path):
+    """End-to-end multimodal ingest: raw PPM files on disk -> the
+    built-in binaryFile source (glob pushed down at listing) -> the
+    Arrow-batched REAL PPM decode.  Proves the file-ingest front door
+    of the multimodal pipeline, not just the parquet-binary-column
+    layout the queries use."""
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        decode_image_features,
+    )
+    from etl_onprem_to_cloud_spark.sources.io import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    # two tiny valid P6 PPMs (2x1 and 1x1) plus a decoy that the glob
+    # must exclude at listing time
+    (d / "a.ppm").write_bytes(b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0]))
+    (d / "b.ppm").write_bytes(b"P6\n1 1\n255\n" + bytes([1, 2, 3]))
+    (d / "notes.txt").write_bytes(b"not an image")
+
+    raw = read_binary_files(spark, str(d), path_glob="*.ppm")
+    assert set(raw.columns) == {"path", "modificationTime", "length", "content"}
+    assert raw.count() == 2
+
+    media = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        F.col("content").alias("payload"),
+    )
+    rows = {
+        (r["width"], r["height"])
+        for r in decode_image_features(media, feat_dim=4, fake=False).collect()
+    }
+    assert rows == {(2, 1), (1, 1)}
