@@ -124,6 +124,17 @@ HEADLINE = [
     "q_ohlc_hourly_values",
     "q_ship_latency_percentiles",
     "q_dedup_method_comparison",
+    # r4 additions: the deterministic-Lloyd IVF (now value-oracled),
+    # radius-bounded BRP ANN, sampled k-center, in-engine NB
+    # classifier, iterative k-core peeling, fixed-point ACF, and the
+    # streaming quality monitor's batch twin.
+    "q_ann_ivf_topk",
+    "q_ml_brp_ann_topk",
+    "q_kcenter_coreset_sampled",
+    "q_nb_lang_classifier",
+    "q_kcore_copurchase",
+    "q_acf_hourly_counts",
+    "q_quality_monitor_batch",
 ]
 
 

@@ -111,6 +111,16 @@ REHEARSAL = [
     "q_ohlc_hourly_values",
     "q_ship_latency_percentiles",
     "q_dedup_method_comparison",
+    # Round-4 additions: the iterative/learning heavies (Lloyd IVF,
+    # k-core peeling, NB classifier, sampled k-center) plus the BRP
+    # radius join, grouped quality report, and ACF.
+    "q_ann_ivf_topk",
+    "q_ml_brp_ann_topk",
+    "q_kcenter_coreset_sampled",
+    "q_nb_lang_classifier",
+    "q_kcore_copurchase",
+    "q_acf_hourly_counts",
+    "q_quality_monitor_batch",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

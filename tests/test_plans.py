@@ -539,3 +539,35 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     assert shuffle_count(df) <= max_shuffles
     assert not has_python_udf(df)
     assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # NB classifier: token-stat aggs (lang,w / lang / doc,w), the
+    # vocabulary-keyed likelihood join, per-(doc,class) reduce and the
+    # argmax window; the class/prior/vocab sides are 1-to-5-row
+    # broadcasts (their BroadcastNestedLoopJoin is the sanctioned
+    # broadcast-crossJoin of totals, not a fact-fact nested loop).
+    ("q_nb_lang_classifier", 22),
+    # k-core: edge build (order-key self-join + distinct) then 6
+    # peeling rounds of degree-agg + two semi-joins; lineage is cut
+    # every other round so the runtime plan stays shallow even though
+    # the static explain stacks the unrolled rounds.
+    ("q_kcore_copurchase", 52),
+    # ACF: hourly agg, 1-row mean/variance broadcast, hour-lag join,
+    # per-lag reduce.
+    ("q_acf_hourly_counts", 13),
+    # quality monitor batch twin: ONE keyed aggregation + final sort.
+    ("q_quality_monitor_batch", 2),
+    # Lloyd IVF: 3 unrolled update rounds (cell,dim agg + cell agg)
+    # plus probe/top-k; assignments are map-only broadcasts.
+    ("q_ann_ivf_topk", 40),
+    # BRP radius top-k: bucket join + distinct + rank.
+    ("q_ml_brp_ann_topk", 4),
+])
+def test_r04_new_queries_plan_shape(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    assert "CartesianProduct" not in explain_str(df, "simple")
