@@ -18,6 +18,8 @@ available as functions, recall-tested in tests/test_similarity_ml.py.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from collections.abc import Callable
 
@@ -34,6 +36,9 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Name of the most recently CALLED registered query (pin-release gate).
+_LAST_CALLED: str | None = None
+
 
 def query(
     name: str,
@@ -42,7 +47,28 @@ def query(
     description: str = "",
 ):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn, oracle, tags, description)
+        # Drain the pin() registry whenever a DIFFERENT registered
+        # query is called: the correctness driver runs ~50 queries
+        # through one session with no release hook of its own, and the
+        # previous query's result is always materialized before the
+        # next call, so releasing here keeps cached intermediates from
+        # accumulating anywhere.  Repeat calls of the SAME query (the
+        # bench's best-of-N) keep their cache, preserving the r01-r03
+        # timing methodology; bench/tests still release explicitly
+        # after each query's runs.  Unpersist is never a correctness
+        # risk (recompute always works), so a caller interleaving two
+        # lazy queries merely loses a cache, not data.
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            global _LAST_CALLED
+            if _LAST_CALLED != name:
+                from ..pinned import release_pinned
+
+                release_pinned()
+                _LAST_CALLED = name
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(wrapped, oracle, tags, description)
         return fn
 
     return deco

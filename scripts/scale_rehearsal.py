@@ -194,6 +194,14 @@ def _timed_metrics(action):
 
 
 def main() -> None:
+    global REHEARSAL
+    # SPARK_GRAFT_REHEARSAL_ONLY=a,b,c restricts the run (incremental
+    # rehearsal of newly added queries without re-timing the full set).
+    only = os.environ.get("SPARK_GRAFT_REHEARSAL_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        REHEARSAL = [n for n in REHEARSAL if n in wanted]
+
     if not os.path.isdir(DST) or not os.path.isdir(f"{DST}/lineitem.parquet"):
         print(f"# building derived sf1 at {DST}", file=sys.stderr)
         build()
