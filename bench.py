@@ -135,6 +135,8 @@ HEADLINE = [
     "q_kcore_copurchase",
     "q_acf_hourly_counts",
     "q_quality_monitor_batch",
+    "q_scd2_point_in_time_join",
+    "q_hierarchy_revenue_rollup",
 ]
 
 

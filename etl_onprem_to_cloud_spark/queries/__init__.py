@@ -142,6 +142,8 @@ _NEW_THIS_ROUND = (
     "q_nb_lang_classifier",       # new: in-engine NB train+infer+eval
     "q_kcore_copurchase",         # new: iterative k-core peeling
     "q_acf_hourly_counts",        # new: fixed-point autocorrelation
+    "q_scd2_point_in_time_join",  # new: effective-dated dimension lookup
+    "q_hierarchy_revenue_rollup", # new: recursive-CTE-equivalent rollup
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -156,3 +156,176 @@ def q_cdc_apply_user_state(spark, sf_dir):
     return applied.select(
         "user_id", "event_id", fmt_ts("ts", "latest_ts"), "event_type", "value"
     )
+
+
+@query(
+    "q_scd2_point_in_time_join",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(1) OVER w IS NULL AS first_row,
+         lag(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+),
+compressed AS (
+  SELECT * FROM ordered
+  WHERE first_row OR prev_status IS DISTINCT FROM o_orderstatus
+),
+hist AS (
+  SELECT o_custkey, o_orderstatus AS status,
+    o_orderdate AS valid_from,
+    lead(o_orderdate) OVER w2 AS valid_to
+  FROM compressed
+  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+),
+probe AS (
+  SELECT o.o_custkey, l.l_shipdate AS at_ts, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ptj AS (
+  SELECT h.status, p.l_extendedprice
+  FROM probe p JOIN hist h
+    ON h.o_custkey = p.o_custkey
+   AND p.at_ts >= h.valid_from
+   AND (h.valid_to IS NULL OR p.at_ts < h.valid_to)
+)
+SELECT status AS status_at_ship,
+  CAST(count(*) AS BIGINT) AS n_lineitems,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+    AS revenue
+FROM ptj GROUP BY status ORDER BY status
+""",
+    tags=("scd2", "lifecycle", "temporal-join", "range-join"),
+    description=(
+        "Point-in-time (effective-dated) join against the SCD2 "
+        "dimension: each lineitem is matched to the status interval of "
+        "its customer that was CURRENT at l_shipdate "
+        "(valid_from <= ship < valid_to, open-ended current rows), "
+        "then revenue rolls up by status-at-ship-time -- the classic "
+        "as-of-dimension lookup every warehouse needs and the reason "
+        "SCD2 history exists.  Zero-length intervals (two changes on "
+        "one date) are skipped identically in both engines."
+    ),
+)
+def q_scd2_point_in_time_join(spark, sf_dir):
+    """The temporal lookup is an EQUI-join on the customer key (one
+    shuffle co-partitions probe and history) with the interval
+    predicate applied inside the join -- never a cross product; at
+    100 TB the history side is change-compressed (SCD2's whole point)
+    and orders of magnitude smaller than the probe."""
+    c = cat(spark, sf_dir)
+    orders, lineitem = c.orders, c.lineitem
+    hist = scd2_build(
+        orders,
+        keys=["o_custkey"],
+        version_col="o_orderdate",
+        attrs=["o_orderstatus"],
+        tiebreakers=["o_orderkey"],
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        "valid_to",
+    )
+    probe = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    ).select("o_custkey", F.col("l_shipdate").alias("at_ts"), "l_extendedprice")
+    ptj = probe.join(
+        hist,
+        (probe["o_custkey"] == hist["o_custkey"])
+        & (F.col("at_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("at_ts") < F.col("valid_to"))),
+    )
+    from ..functions.numeric import dec
+
+    return (
+        ptj.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.round(F.sum(dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(F.col("status").alias("status_at_ship"), "n_lineitems", "revenue")
+        .orderBy("status_at_ship")
+    )
+
+
+_HIER_ROUNDS = 6  # part keys < 10^7 at any fixture SF -> depth <= 6
+
+
+@query(
+    "q_hierarchy_revenue_rollup",
+    oracle="""
+WITH RECURSIVE parts_n AS (
+  SELECT DISTINCT l_partkey AS p FROM lineitem
+),
+anc AS (
+  SELECT p AS node, p AS ancestor FROM parts_n
+  UNION
+  SELECT node, ancestor // 10 FROM anc WHERE ancestor >= 10
+),
+rev AS (
+  SELECT l_partkey AS p,
+    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT a.ancestor AS node,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(round(sum(rev.r), 2) AS DOUBLE) AS subtree_revenue
+FROM anc a JOIN rev ON rev.p = a.node
+GROUP BY a.ancestor
+HAVING count(*) >= 2
+ORDER BY node
+""",
+    tags=("hierarchy", "recursive", "rollup", "iterative"),
+    description=(
+        "Hierarchical (BOM/org-style) subtree rollup: parts form a "
+        "derived tree (parent = key div 10, keys < 10 are roots) and "
+        "every node aggregates the revenue of its whole subtree.  "
+        "Spark, which lacks recursive CTEs, runs the ancestor closure "
+        "as an UNROLLED iterative expansion (6 rounds covers depth at "
+        "any fixture SF; extra rounds are no-ops at a fixpoint); the "
+        "DuckDB oracle is a genuine WITH RECURSIVE -- two formally "
+        "different formulations proving the same fixpoint.  Exact "
+        "DECIMAL revenue makes the subtree sums order-independent."
+    ),
+)
+def q_hierarchy_revenue_rollup(spark, sf_dir):
+    """Closure rounds are join-free ARITHMETIC on the ancestor column
+    (parent = div 10), so each round is a map + union + distinct --
+    one shuffle per round on the (node, ancestor) pair, size bounded
+    by parts x depth.  The revenue join and final rollup shuffle on
+    the part/ancestor keys.  For an arbitrary edge table the same loop
+    shape swaps the arithmetic for an equi-join per round (the k-core
+    / CC pattern)."""
+    li = cat(spark, sf_dir).lineitem
+    from ..functions.numeric import dec
+
+    parts = li.select(F.col("l_partkey").alias("p")).distinct()
+    anc = parts.select(F.col("p").alias("node"), F.col("p").alias("ancestor"))
+    closure = anc
+    for i in range(_HIER_ROUNDS):
+        nxt = (
+            closure.filter(F.col("ancestor") >= 10)
+            .select("node", F.expr("ancestor div 10").alias("ancestor"))
+        )
+        closure = closure.unionByName(nxt).distinct()
+        if i % 2 == 1 and i + 1 < _HIER_ROUNDS:
+            closure = closure.localCheckpoint(eager=True)
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(dec("l_extendedprice")).alias("r")
+    )
+    return (
+        closure.join(rev, closure["node"] == rev["p"])
+        .groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("r"), 2).cast("double").alias("subtree_revenue"),
+        )
+        .filter(F.col("n_parts") >= 2)
+        .select(F.col("ancestor").alias("node"), "n_parts", "subtree_revenue")
+        .orderBy("node")
+    )

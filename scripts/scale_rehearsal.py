@@ -121,6 +121,8 @@ REHEARSAL = [
     "q_kcore_copurchase",
     "q_acf_hourly_counts",
     "q_quality_monitor_batch",
+    "q_scd2_point_in_time_join",
+    "q_hierarchy_revenue_rollup",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

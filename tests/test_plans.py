@@ -563,6 +563,12 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     ("q_ann_ivf_topk", 40),
     # BRP radius top-k: bucket join + distinct + rank.
     ("q_ml_brp_ann_topk", 4),
+    # SCD2 point-in-time: history window + probe equi-join on the
+    # customer key (interval predicate inside the join) + rollup.
+    ("q_scd2_point_in_time_join", 6),
+    # hierarchy rollup: per-round arithmetic expansion + distinct,
+    # revenue join, ancestor rollup (checkpoints cut the static stack).
+    ("q_hierarchy_revenue_rollup", 8),
 ])
 def test_r04_new_queries_plan_shape(name, max_shuffles, spark, sf_dir):
     from etl_onprem_to_cloud_spark.plans.checks import explain_str
