@@ -137,6 +137,7 @@ HEADLINE = [
     "q_quality_monitor_batch",
     "q_scd2_point_in_time_join",
     "q_hierarchy_revenue_rollup",
+    "q_multitouch_attribution",
 ]
 
 

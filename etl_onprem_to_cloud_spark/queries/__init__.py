@@ -144,6 +144,7 @@ _NEW_THIS_ROUND = (
     "q_acf_hourly_counts",        # new: fixed-point autocorrelation
     "q_scd2_point_in_time_join",  # new: effective-dated dimension lookup
     "q_hierarchy_revenue_rollup", # new: recursive-CTE-equivalent rollup
+    "q_multitouch_attribution",   # new: linear multi-touch credit split
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -429,3 +429,90 @@ def q_events_conversion_latency(spark, sf_dir):
         disc(0.9).cast("bigint").alias("p90_sec"),
         F.max("latency_sec").cast("bigint").alias("max_sec"),
     )
+
+
+@query(
+    "q_multitouch_attribution",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id, event_type, ts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT p.event_id AS purchase_id, p.value, t.event_type,
+    count(*) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND floor(epoch(t.ts)) <= floor(epoch(p.ts))
+   AND floor(epoch(t.ts)) > floor(epoch(p.ts)) - 3600
+),
+credits AS (
+  SELECT event_type,
+    CAST(floor(value / n_touches * 1000000.0 + 0.5) / 1000000.0
+      AS DECIMAL(18,6)) AS credit
+  FROM pairs
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_credited_touches,
+  CAST(round(sum(credit), 2) AS DOUBLE) AS attributed_revenue
+FROM credits GROUP BY event_type ORDER BY event_type
+""",
+    tags=("events", "attribution", "marketing", "range-join"),
+    description=(
+        "Linear multi-touch attribution: each purchase's revenue is "
+        "split equally across the user's click/view touches in the "
+        "preceding hour (second-truncated bounds, the session-gap "
+        "convention), then attributed revenue rolls up per touch "
+        "type -- the many-touch generalization of the last-touch "
+        "as-of join (q_asof_join_click_attribution).  Per-credit "
+        "amounts are quantized to the 1e-6 grid and accumulated as "
+        "exact DECIMAL, so the split sums are order-independent "
+        "cross-engine."
+    ),
+)
+def q_multitouch_attribution(spark, sf_dir):
+    """Equi-join on user_id (one co-partitioning shuffle) with the
+    hour-window predicate inside the join -- the PIT-join shape, never
+    a cross product; the per-purchase touch count is a window over the
+    already-joined pairs partitioned by purchase id."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        es.alias("p_es"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        es.alias("t_es"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_es") <= F.col("p_es"))
+        & (F.col("t_es") > F.col("p_es") - 3600),
+    ).withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")),
+    )
+    credit = (
+        F.floor(F.col("value") / F.col("n_touches") * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6)
+    ).cast("decimal(18,6)")
+    return (
+        pairs.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credited_touches"),
+            F.round(F.sum("credit"), 2).cast("double").alias("attributed_revenue"),
+        )
+        .orderBy("event_type")
+    )

@@ -569,6 +569,9 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     # hierarchy rollup: per-round arithmetic expansion + distinct,
     # revenue join, ancestor rollup (checkpoints cut the static stack).
     ("q_hierarchy_revenue_rollup", 8),
+    # multi-touch attribution: user-key range join + per-purchase
+    # window + rollup.
+    ("q_multitouch_attribution", 5),
 ])
 def test_r04_new_queries_plan_shape(name, max_shuffles, spark, sf_dir):
     from etl_onprem_to_cloud_spark.plans.checks import explain_str
