@@ -138,6 +138,7 @@ HEADLINE = [
     "q_scd2_point_in_time_join",
     "q_hierarchy_revenue_rollup",
     "q_multitouch_attribution",
+    "q_chunk_sliding_windows",
 ]
 
 

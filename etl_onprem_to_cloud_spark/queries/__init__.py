@@ -145,6 +145,7 @@ _NEW_THIS_ROUND = (
     "q_scd2_point_in_time_join",  # new: effective-dated dimension lookup
     "q_hierarchy_revenue_rollup", # new: recursive-CTE-equivalent rollup
     "q_multitouch_attribution",   # new: linear multi-touch credit split
+    "q_chunk_sliding_windows",    # new: overlapping RAG chunker
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -507,3 +507,87 @@ def q_lang_rebalance(spark, sf_dir):
         .withColumn("lang_total", F.sum("kept_docs").over(lang_w))
         .orderBy("lang", "source")
     )
+
+
+_CW_SIZE, _CW_STRIDE = 32, 16
+
+
+@query(
+    "q_chunk_sliding_windows",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    unnest(generate_series(1, greatest(len(toks), 1), {_CW_STRIDE})) AS s
+  FROM tk WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id,
+    CAST((s - 1) / {_CW_STRIDE} AS BIGINT) AS chunk_no,
+    list_slice(toks, s, least(s + {_CW_SIZE} - 1, n)) AS ch
+  FROM starts
+  WHERE s = 1 OR s + {_CW_SIZE} - 1 <= n + {_CW_STRIDE} - 1
+)
+SELECT doc_id, chunk_no,
+  CAST(len(ch) AS BIGINT) AS n_tok,
+  md5(array_to_string(ch, ' ')) AS chunk_md5
+FROM chunks
+WHERE len(ch) > 0
+ORDER BY doc_id, chunk_no
+""",
+    tags=("curation", "chunking", "rag", "ring-c"),
+    description=(
+        f"Overlapping sliding-window chunking (size {_CW_SIZE}, stride "
+        f"{_CW_STRIDE}) -- the RAG/context-window shaper that "
+        "complements the non-overlapping UDTF chunker "
+        "(q_udtf_token_chunks): each document emits one chunk per "
+        "stride offset, tail-padded by truncation, identified by "
+        "(doc_id, chunk_no) with an md5 content fingerprint so the "
+        "oracle compares chunk CONTENT, not just counts.  Pure "
+        "built-in sequence/slice expressions -- no UDF, no shuffle "
+        "except the output order."
+    ),
+)
+def q_chunk_sliding_windows(spark, sf_dir):
+    """Map-only: sequence(1, n, stride) explodes one row per chunk and
+    slice() carves it -- all codegen; at 100 TB this is the shape that
+    feeds the packing operator (q_pack_contexts) without ever
+    shuffling raw text more than once."""
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select("doc_id", tokens(F.lower("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    starts = tk.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CW_STRIDE))
+        ).alias("s"),
+    ).filter(
+        (F.col("s") == 1)
+        | (F.col("s") + _CW_SIZE - 1 <= F.col("n") + _CW_STRIDE - 1)
+    )
+    ch = F.slice(
+        F.col("toks"),
+        F.col("s"),
+        F.least(F.lit(_CW_SIZE), F.col("n") - F.col("s") + 1),
+    )
+    return (
+        starts.select(
+            "doc_id",
+            ((F.col("s") - 1) / _CW_STRIDE).cast("bigint").alias("chunk_no"),
+            ch.alias("ch"),
+        )
+        .filter(F.size("ch") > 0)
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.size("ch").cast("bigint").alias("n_tok"),
+            F.md5(F.array_join("ch", " ").cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )

@@ -124,6 +124,7 @@ REHEARSAL = [
     "q_scd2_point_in_time_join",
     "q_hierarchy_revenue_rollup",
     "q_multitouch_attribution",
+    "q_chunk_sliding_windows",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -572,6 +572,8 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     # multi-touch attribution: user-key range join + per-purchase
     # window + rollup.
     ("q_multitouch_attribution", 5),
+    # sliding-window chunker: map-only + the output sort.
+    ("q_chunk_sliding_windows", 1),
 ])
 def test_r04_new_queries_plan_shape(name, max_shuffles, spark, sf_dir):
     from etl_onprem_to_cloud_spark.plans.checks import explain_str
