@@ -139,6 +139,9 @@ HEADLINE = [
     "q_hierarchy_revenue_rollup",
     "q_multitouch_attribution",
     "q_chunk_sliding_windows",
+    "q_mannwhitney_purchase_view",
+    "q_js_divergence_sources",
+    "q_dedup_events_time_window",
 ]
 
 

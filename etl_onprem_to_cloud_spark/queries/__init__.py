@@ -146,6 +146,9 @@ _NEW_THIS_ROUND = (
     "q_hierarchy_revenue_rollup", # new: recursive-CTE-equivalent rollup
     "q_multitouch_attribution",   # new: linear multi-touch credit split
     "q_chunk_sliding_windows",    # new: overlapping RAG chunker
+    "q_mannwhitney_purchase_view",# new: rank-sum test, integer ranks
+    "q_js_divergence_sources",    # new: source-pair JS divergence
+    "q_dedup_events_time_window", # new: telemetry window dedup
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -516,3 +516,69 @@ def q_multitouch_attribution(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_dedup_events_time_window",
+    oracle="""
+WITH b AS (
+  SELECT event_type, user_id,
+    CAST(floor(floor(epoch(ts)) / 300) AS BIGINT) AS win,
+    event_id, ts
+  FROM events
+),
+r AS (
+  SELECT event_type,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, win
+      ORDER BY ts, event_id) AS rn
+  FROM b
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM r GROUP BY event_type ORDER BY event_type
+""",
+    tags=("events", "dedup", "telemetry", "window"),
+    description=(
+        "Time-windowed telemetry dedup: within each 5-minute tumbling "
+        "window, only the FIRST (ts, event_id)-ordered event per "
+        "(user, type) survives -- the batch twin of streaming "
+        "dropDuplicates-within-watermark, reported as kept/dropped "
+        "counts per event type.  Window bounds use the second-"
+        "truncation convention shared with the sessionizers."
+    ),
+)
+def q_dedup_events_time_window(spark, sf_dir):
+    """One shuffle on (user, type, window) for the ranking; the rollup
+    reduces on the tiny type key.  The streaming twin
+    (streaming/windows.stream_dedup) holds the same key in state with
+    a watermark instead of a window column."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    b = ev.select(
+        "event_type",
+        "user_id",
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(300)
+        ).cast("bigint").alias("win"),
+        "event_id",
+        "ts",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "event_type", "win").orderBy(
+            "ts", "event_id"
+        )
+    )
+    r = b.withColumn("rn", rn)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )

@@ -2463,3 +2463,244 @@ def q_revenue_gini_parts(spark, sf_dir):
         F.round("tot", 2).cast("double").alias("total_revenue"),
         portable_round(gini, 6).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test -- the nonparametric sibling of the t-test
+# --------------------------------------------------------------------------
+
+@query(
+    "q_mannwhitney_purchase_view",
+    oracle="""
+WITH v AS (
+  SELECT value,
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c1,
+    count(CASE WHEN event_type = 'view' THEN 1 END) AS c2
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY value
+),
+r AS (
+  SELECT c1, c2, c1 + c2 AS c,
+    CAST(coalesce(sum(c1 + c2) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS less
+  FROM v
+),
+s AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+    CAST(sum(c1 * (2 * less + c + 1)) AS BIGINT) AS r1x2,
+    CAST(sum(c * c * c - c) AS BIGINT) AS tie_t
+  FROM r
+)
+SELECT n1, n2,
+  CAST((r1x2 - n1 * (n1 + 1)) AS DOUBLE) / 2.0 AS u1,
+  {z} AS z_stat
+FROM s
+""".format(
+        z=duck_pround(
+            "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))"
+            " / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)"
+            " * ((n1 + n2 + 1) - CAST(tie_t AS DOUBLE)"
+            " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))",
+            6,
+        )
+    ),
+    tags=("stats", "hypothesis-test", "nonparametric", "analytics"),
+    description=(
+        "Mann-Whitney U (Wilcoxon rank-sum) test of purchase vs view "
+        "event values with the normal approximation and tie "
+        "correction: average ranks are computed per DISTINCT value as "
+        "the all-integer 2*rank_avg = 2*count_less + count_eq + 1, so "
+        "every input to the final z expression is a BIGINT and the "
+        "doubles are engine-identical by construction -- the "
+        "nonparametric companion to q_ttest_purchase_view."
+    ),
+)
+def q_mannwhitney_purchase_view(spark, sf_dir):
+    """One shuffle compresses events to per-distinct-value counts; the
+    rank cumsum is a single-partition window over DISTINCT values
+    (values carry 2 decimals, so the distinct domain is bounded --
+    thousands, not row-count -- which is what makes the global window
+    safe at any scale), then a 1-row reduce."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events.filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("less"),
+    )
+    s = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("less") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    two_u1 = (F.col("r1x2") - n1 * (n1 + 1)).cast("double")
+    var = (n1.cast("double") * n2 / F.lit(12.0)) * (
+        (n1 + n2 + 1)
+        - F.col("tie_t").cast("double")
+        / ((n1 + n2).cast("double") * (n1 + n2 - 1))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        (two_u1 / F.lit(2.0)).alias("u1"),
+        portable_round(
+            (two_u1 - (n1 * n2).cast("double")) / (F.lit(2.0) * F.sqrt(var)),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between per-source token distributions
+# --------------------------------------------------------------------------
+
+@query(
+    "q_js_divergence_sources",
+    oracle=f"""
+WITH tk AS (
+  SELECT source, unnest({duck_tokens('text')}) AS w FROM documents
+),
+cnt AS (
+  SELECT source, w, count(*) AS c FROM tk GROUP BY source, w
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+    coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb,
+    a.n AS na, b.n AS nb, v.w
+  FROM tot a
+  JOIN tot b ON a.source < b.source
+  JOIN (SELECT DISTINCT w FROM cnt) v ON true
+  LEFT JOIN cnt ca ON ca.source = a.source AND ca.w = v.w
+  LEFT JOIN cnt cb ON cb.source = b.source AND cb.w = v.w
+  WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0
+),
+terms AS (
+  SELECT src_a, src_b,
+    CAST(floor(CASE WHEN ca > 0 THEN
+      (CAST(ca AS DOUBLE) / na)
+      * ln(2.0 * (CAST(ca AS DOUBLE) / na)
+           / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+      ELSE 0.0 END * 1000000000.0 + 0.5) AS BIGINT) AS tp,
+    CAST(floor(CASE WHEN cb > 0 THEN
+      (CAST(cb AS DOUBLE) / nb)
+      * ln(2.0 * (CAST(cb AS DOUBLE) / nb)
+           / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))
+      ELSE 0.0 END * 1000000000.0 + 0.5) AS BIGINT) AS tq
+  FROM pairs
+)
+SELECT src_a, src_b,
+  floor(CAST(sum(tp) + sum(tq) AS DOUBLE) / 2000000000.0 * 1000000.0 + 0.5)
+    / 1000000.0 AS jsd
+FROM terms GROUP BY src_a, src_b
+ORDER BY jsd DESC, src_a, src_b
+LIMIT 20
+""",
+    tags=("datamix", "stats", "divergence", "ring-c"),
+    description=(
+        "Pairwise Jensen-Shannon divergence between per-source unigram "
+        "distributions (the data-mix drift/similarity measure): "
+        "JSD = 0.5*KL(P||M) + 0.5*KL(Q||M) over the shared vocabulary, "
+        "top-20 most-divergent source pairs.  Every p*ln(...) term is "
+        "quantized ONCE to the 1e-9 grid (the libm convention) and "
+        "accumulated as exact integers, so pair scores are "
+        "order-independent cross-engine."
+    ),
+)
+def q_js_divergence_sources(spark, sf_dir):
+    """Token counts shuffle on (source, w); the pair expansion joins
+    the per-source sparse vectors through the word key with the small
+    per-source totals broadcast -- at real vocabulary sizes the sparse
+    formulation (only words present in either side) is the point, and
+    the source-pair count, not the corpus, bounds the output."""
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select("source", tokens(F.lower("text")).alias("toks"))
+    cnt = (
+        tk.select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = cnt.select("w").distinct()
+    a = tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    b = tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    grid = (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .join(vocab)
+    )
+    ca = cnt.select(
+        F.col("source").alias("src_a"), "w", F.col("c").alias("ca")
+    )
+    cb = cnt.select(
+        F.col("source").alias("src_b"), "w", F.col("c").alias("cb")
+    )
+    pairs = (
+        grid.join(ca, ["src_a", "w"], "left")
+        .join(cb, ["src_b", "w"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+
+    def qterm(num, cond_col):
+        return (
+            F.floor(
+                F.when(
+                    F.col(cond_col) > 0,
+                    num * F.log(F.lit(2.0) * num / (p + q)),
+                ).otherwise(F.lit(0.0))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+        ).cast("bigint")
+
+    terms = pairs.select(
+        "src_a",
+        "src_b",
+        qterm(p, "ca").alias("tp"),
+        qterm(q, "cb").alias("tq"),
+    )
+    return (
+        terms.groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.floor(
+                    (F.sum("tp") + F.sum("tq")).cast("double")
+                    / F.lit(2e9)
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("jsd")
+        )
+        .orderBy(F.desc("jsd"), "src_a", "src_b")
+        .limit(20)
+    )

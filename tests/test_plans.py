@@ -574,6 +574,13 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     ("q_multitouch_attribution", 5),
     # sliding-window chunker: map-only + the output sort.
     ("q_chunk_sliding_windows", 1),
+    # Mann-Whitney: value-compress agg + single-partition rank window
+    # + 1-row reduce.
+    ("q_mannwhitney_purchase_view", 3),
+    # JS divergence: token counts, vocab grid join, per-pair reduce.
+    ("q_js_divergence_sources", 8),
+    # windowed dedup: one (user,type,window) rank shuffle + rollup.
+    ("q_dedup_events_time_window", 3),
 ])
 def test_r04_new_queries_plan_shape(name, max_shuffles, spark, sf_dir):
     from etl_onprem_to_cloud_spark.plans.checks import explain_str
