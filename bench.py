@@ -142,6 +142,8 @@ HEADLINE = [
     "q_mannwhitney_purchase_view",
     "q_js_divergence_sources",
     "q_dedup_events_time_window",
+    "q_cohort_ltv_curve",
+    "q_retrieval_ndcg_eval",
 ]
 
 

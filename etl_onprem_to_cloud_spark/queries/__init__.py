@@ -149,6 +149,8 @@ _NEW_THIS_ROUND = (
     "q_mannwhitney_purchase_view",# new: rank-sum test, integer ranks
     "q_js_divergence_sources",    # new: source-pair JS divergence
     "q_dedup_events_time_window", # new: telemetry window dedup
+    "q_cohort_ltv_curve",         # new: cohort revenue/LTV curve
+    "q_retrieval_ndcg_eval",      # new: NDCG@10 retrieval eval
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -591,3 +591,178 @@ def q_chunk_sliding_windows(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_no")
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality eval: NDCG@10 with deterministic graded relevance
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_K = 10
+# 1/log2(rank+1) quantized ONCE in Python and embedded as the SAME
+# integer literals in both engines' expressions -- no runtime libm at
+# all, so rank weights cannot diverge by construction.
+_NDCG_W = [int(1e9 / _math.log2(r + 1) + 0.5) for r in range(1, _NDCG_K + 1)]
+
+
+@query(
+    "q_retrieval_ndcg_eval",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, source, lang,
+    list_distinct({duck_tokens('text')}) AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id AS q_id, source AS q_src, lang AS q_lang, toks AS q_toks
+  FROM tk WHERE doc_id % 101 = 0
+),
+ex AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+qx AS (SELECT q_id, unnest(q_toks) AS w FROM q),
+ov AS (
+  SELECT qx.q_id, ex.doc_id, count(*) AS overlap
+  FROM qx JOIN ex ON ex.w = qx.w AND ex.doc_id != qx.q_id
+  GROUP BY qx.q_id, ex.doc_id
+),
+ranked AS (
+  SELECT o.q_id, o.doc_id, o.overlap,
+    row_number() OVER (PARTITION BY o.q_id
+                       ORDER BY o.overlap DESC, o.doc_id) AS rnk
+  FROM ov o
+),
+hits AS (
+  SELECT r.q_id, r.rnk,
+    (CASE WHEN d.source = q.q_src THEN 2 ELSE 0 END
+     + CASE WHEN d.lang = q.q_lang THEN 1 ELSE 0 END) AS rel
+  FROM ranked r
+  JOIN tk d ON d.doc_id = r.doc_id
+  JOIN q ON q.q_id = r.q_id
+  WHERE r.rnk <= {_NDCG_K}
+),
+w(rnk, wq) AS (VALUES {', '.join(f'({r + 1}, {w})' for r, w in enumerate(_NDCG_W))}),
+dcg AS (
+  SELECT q_id,
+    CAST(sum(CAST((1 << rel) - 1 AS BIGINT) * wq) AS BIGINT) AS dcg_q,
+    count(*) AS n_results
+  FROM hits JOIN w USING (rnk) GROUP BY q_id
+),
+ideal AS (
+  SELECT q_id,
+    CAST(sum(CAST((1 << rel) - 1 AS BIGINT) * wq) AS BIGINT) AS idcg_q
+  FROM (
+    SELECT q_id, rel,
+      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC) AS irnk
+    FROM hits
+  ) JOIN w ON w.rnk = irnk
+  WHERE irnk <= {_NDCG_K}
+  GROUP BY q_id
+)
+SELECT dcg.q_id AS query_doc, CAST(n_results AS BIGINT) AS n_results,
+  CASE WHEN idcg_q = 0 THEN 0.0
+       ELSE floor(CAST(dcg_q AS DOUBLE) / idcg_q * 1000000.0 + 0.5)
+            / 1000000.0 END AS ndcg
+FROM dcg JOIN ideal USING (q_id)
+ORDER BY query_doc
+""",
+    tags=("retrieval", "eval", "ndcg", "ring-c"),
+    description=(
+        "Retrieval-quality evaluation: NDCG@10 per query document "
+        "(every 101st doc) over a deterministic integer ranking "
+        "(distinct-token overlap via the inverted index, ties to the "
+        "smaller doc id) with graded relevance from metadata (same "
+        "source = +2, same lang = +1).  Rank discounts 1/log2(r+1) "
+        "are quantized once in PYTHON and embedded as identical "
+        "integer literals in both engines, so DCG/IDCG are exact "
+        "integer sums -- the eval harness every retrieval stack "
+        "(BM25, TF-IDF, ANN) plugs its rankings into."
+    ),
+)
+def q_retrieval_ndcg_eval(spark, sf_dir):
+    """Inverted-index join on the word key (the sparse-TFIDF shape:
+    query tokens x postings, bounded by shared-term postings), one
+    rank window per query, then two integer reductions.  The weight
+    table is a 10-row broadcast literal."""
+    from pyspark.sql import Window
+
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.array_distinct(tokens(F.lower("text"))).alias("toks"),
+    )
+    q = tk.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("source").alias("q_src"),
+        F.col("lang").alias("q_lang"),
+        F.col("toks").alias("q_toks"),
+    )
+    ex = tk.select("doc_id", F.explode("toks").alias("w"))
+    qx = q.select("q_id", F.explode("q_toks").alias("w"))
+    ov = (
+        qx.join(ex, (ex["w"] == qx["w"]) & (ex["doc_id"] != qx["q_id"]))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    ranked = ov.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("overlap"), "doc_id")
+        ),
+    ).filter(F.col("rnk") <= _NDCG_K)
+    hits = (
+        ranked.join(tk.select("doc_id", "source", "lang"), "doc_id")
+        .join(q.select("q_id", "q_src", "q_lang"), "q_id")
+        .select(
+            "q_id",
+            "rnk",
+            (
+                F.when(F.col("source") == F.col("q_src"), 2).otherwise(0)
+                + F.when(F.col("lang") == F.col("q_lang"), 1).otherwise(0)
+            ).alias("rel"),
+        )
+    )
+    wdf = docs.sparkSession.createDataFrame(
+        [(r + 1, w) for r, w in enumerate(_NDCG_W)], "rnk int, wq bigint"
+    )
+    gain = (F.expr("shiftleft(1, rel)") - 1).cast("bigint")
+    dcg = (
+        hits.join(F.broadcast(wdf), "rnk")
+        .groupBy("q_id")
+        .agg(
+            F.sum(gain * F.col("wq")).cast("bigint").alias("dcg_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        )
+    )
+    ideal = (
+        hits.withColumn(
+            "irnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("rel"))
+            ),
+        )
+        .filter(F.col("irnk") <= _NDCG_K)
+        .join(F.broadcast(wdf.withColumnRenamed("rnk", "irnk")), "irnk")
+        .groupBy("q_id")
+        .agg(F.sum(gain * F.col("wq")).cast("bigint").alias("idcg_q"))
+    )
+    return (
+        dcg.join(ideal, "q_id")
+        .select(
+            F.col("q_id").alias("query_doc"),
+            "n_results",
+            F.when(F.col("idcg_q") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.col("dcg_q").cast("double")
+                    / F.col("idcg_q")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            )
+            .alias("ndcg"),
+        )
+        .orderBy("query_doc")
+    )

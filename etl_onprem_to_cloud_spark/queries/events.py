@@ -582,3 +582,95 @@ def q_dedup_events_time_window(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_cohort_ltv_curve",
+    oracle="""
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+wk AS (
+  SELECT f.cohort_week,
+    CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER) AS week_offset,
+    sum(CAST(e.value AS DECIMAL(18,6))) AS rev
+  FROM events e JOIN f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sz AS (
+  SELECT cohort_week, count(*) AS n_users FROM f GROUP BY 1
+)
+SELECT strftime(CAST(wk.cohort_week AS DATE), '%Y-%m-%d') AS cohort_week,
+  week_offset,
+  CAST(sz.n_users AS BIGINT) AS n_users,
+  CAST(round(sum(rev) OVER (PARTITION BY wk.cohort_week
+    ORDER BY week_offset ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+    AS cum_revenue,
+  floor(CAST(sum(rev) OVER (PARTITION BY wk.cohort_week
+    ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+    / sz.n_users * 10000.0 + 0.5) / 10000.0 AS ltv_per_user
+FROM wk JOIN sz USING (cohort_week)
+ORDER BY cohort_week, week_offset
+""",
+    tags=("events", "cohort", "ltv", "analytics", "window"),
+    description=(
+        "Cohort lifetime-value curve: purchase revenue accumulated per "
+        "signup cohort (first-event ISO week) over weeks-since-signup, "
+        "as cumulative totals and per-user LTV -- the revenue sibling "
+        "of the retention matrix (q_events_retention_cohorts).  "
+        "Cumulative sums stay exact DECIMAL until the final per-user "
+        "division."
+    ),
+)
+def q_cohort_ltv_curve(spark, sf_dir):
+    """Same shuffle shape as retention: one first-event agg joined
+    back, one (cohort, offset) rollup, then a window over the tiny
+    cohort x offset grid."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.sum(dec("value")).alias("rev"))
+    )
+    sz = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("rev").over(w)
+    return (
+        wk.join(sz, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            F.round(cum, 2).cast("double").alias("cum_revenue"),
+            (
+                F.floor(
+                    cum.cast("double") / F.col("n_users") * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -128,6 +128,8 @@ REHEARSAL = [
     "q_mannwhitney_purchase_view",
     "q_js_divergence_sources",
     "q_dedup_events_time_window",
+    "q_cohort_ltv_curve",
+    "q_retrieval_ndcg_eval",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -581,6 +581,10 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     ("q_js_divergence_sources", 8),
     # windowed dedup: one (user,type,window) rank shuffle + rollup.
     ("q_dedup_events_time_window", 3),
+    # cohort LTV: first-event agg + join + rollup + grid window.
+    ("q_cohort_ltv_curve", 6),
+    # NDCG eval: inverted-index join + rank windows + two reductions.
+    ("q_retrieval_ndcg_eval", 12),
 ])
 def test_r04_new_queries_plan_shape(name, max_shuffles, spark, sf_dir):
     from etl_onprem_to_cloud_spark.plans.checks import explain_str
