@@ -144,6 +144,7 @@ HEADLINE = [
     "q_dedup_events_time_window",
     "q_cohort_ltv_curve",
     "q_retrieval_ndcg_eval",
+    "q_contrastive_pairs",
 ]
 
 

@@ -151,6 +151,7 @@ _NEW_THIS_ROUND = (
     "q_dedup_events_time_window", # new: telemetry window dedup
     "q_cohort_ltv_curve",         # new: cohort revenue/LTV curve
     "q_retrieval_ndcg_eval",      # new: NDCG@10 retrieval eval
+    "q_contrastive_pairs",        # new: contrastive pair mining
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

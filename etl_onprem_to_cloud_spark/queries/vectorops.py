@@ -12,6 +12,7 @@ from ..llm.similarity import (
     srp_near_dup_pairs,
     srp_planes,
 )
+from ..operators.sampling import duck_hash_gate
 from ._util import cat
 from . import query
 
@@ -575,3 +576,120 @@ def q_embedding_quantize_int8(spark, sf_dir):
         F.when(sc > 0, F.round(err, 6)).otherwise(F.lit(0.0)).alias("max_abs_err"),
         n_clipped.alias("n_clipped"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair mining (positives = near-dups, negatives =
+# LINEAR bucketed adjacent pairing -- never an all-pairs enumeration)
+
+_CPAIR_BUCKETS = 64
+_CPAIR_GATE = duck_hash_gate("CAST(vec_id AS VARCHAR)", "cpair")
+_SRP_KEYED_SQL_INDENTED = _SRP_KEYED_SQL
+
+
+@query(
+    "q_contrastive_pairs",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+k AS (
+  {_SRP_KEYED_SQL_INDENTED}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pos AS (
+  SELECT id_a, id_b, 1 AS is_positive FROM (
+    SELECT id_a, id_b,
+      round(list_dot_product(va.v, vb.v)
+        / (sqrt(list_dot_product(va.v, va.v))
+           * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cosine
+    FROM cand
+    JOIN e va ON va.vec_id = cand.id_a
+    JOIN e vb ON vb.vec_id = cand.id_b
+  ) WHERE cosine >= 0.4
+),
+g AS (
+  SELECT vec_id, label, {_CPAIR_GATE} AS gate,
+    {_CPAIR_GATE} % {_CPAIR_BUCKETS} AS bucket
+  FROM e
+),
+adj AS (
+  SELECT vec_id, label, bucket,
+    lead(vec_id) OVER w AS nxt_id,
+    lead(label) OVER w AS nxt_label
+  FROM g
+  WINDOW w AS (PARTITION BY bucket ORDER BY gate, vec_id)
+),
+neg AS (
+  SELECT least(vec_id, nxt_id) AS id_a,
+    greatest(vec_id, nxt_id) AS id_b, 0 AS is_positive
+  FROM adj WHERE nxt_id IS NOT NULL AND label != nxt_label
+)
+SELECT id_a, id_b, is_positive FROM pos
+UNION ALL
+SELECT id_a, id_b, is_positive FROM neg
+ORDER BY is_positive DESC, id_a, id_b
+""",
+    tags=("similarity", "ring-c", "training-pairs", "contrastive", "pandas-udf"),
+    description=(
+        "Contrastive training-pair mining for embedding finetuning: "
+        "positives are SRP-LSH banded cosine near-dups (>= 0.4, the "
+        "q_srp_near_dup_pairs machinery -- candidates bounded by "
+        "bucket occupancy, never all-pairs); negatives come from LINEAR "
+        "bucketed adjacent pairing -- each vector lands in one of 64 "
+        "md5-hash buckets, is hash-ordered within it, and pairs with "
+        "its successor when labels differ, yielding ~n random-like "
+        "cross-label pairs for O(n) work.  (The first formulation "
+        "gated an all-pairs cross join and the sf1 rehearsal flagged "
+        "it SUPER-LINEAR at exponent 1.05 -- the gate itself cost "
+        "O(n^2); this pairing is the scale-correct negative sampler.)  "
+        "Fully deterministic, repartition-stable, value-oracled."
+    ),
+)
+def q_contrastive_pairs(spark, sf_dir):
+    """Positives: banded SRP-LSH candidates + exact verify (the first
+    label-blocked formulation cost O(n^2/blocks) in the verify alone
+    -- rehearsal-measured 128 s at sf1 -- and was replaced by the
+    banded path).  Negatives: one window shuffle on the 64-way hash
+    bucket; the pairing never enumerates cross pairs.  Both sides are
+    linear-ish in the corpus at any scale."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_gate
+
+    emb = cat(spark, sf_dir).embeddings
+    pos = srp_near_dup_pairs(emb, dim=_SRP_DIM, threshold=0.4).select(
+        "id_a", "id_b", F.lit(1).alias("is_positive")
+    )
+    gate = hash_gate(F.col("vec_id").cast("string"), "cpair")
+    g = emb.select(
+        "vec_id",
+        "label",
+        gate.alias("gate"),
+        (gate % _CPAIR_BUCKETS).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("gate", "vec_id")
+    adj = g.select(
+        "vec_id",
+        "label",
+        F.lead("vec_id").over(w).alias("nxt_id"),
+        F.lead("label").over(w).alias("nxt_label"),
+    )
+    neg = (
+        adj.filter(
+            F.col("nxt_id").isNotNull()
+            & (F.col("label") != F.col("nxt_label"))
+        )
+        .select(
+            F.least("vec_id", "nxt_id").alias("id_a"),
+            F.greatest("vec_id", "nxt_id").alias("id_b"),
+            F.lit(0).alias("is_positive"),
+        )
+    )
+    return pos.unionByName(neg).orderBy(
+        F.desc("is_positive"), "id_a", "id_b"
+    )

@@ -130,6 +130,7 @@ REHEARSAL = [
     "q_dedup_events_time_window",
     "q_cohort_ltv_curve",
     "q_retrieval_ndcg_eval",
+    "q_contrastive_pairs",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -593,3 +593,16 @@ def test_r04_new_queries_plan_shape(name, max_shuffles, spark, sf_dir):
     assert shuffle_count(df) <= max_shuffles
     assert not has_python_udf(df)
     assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+def test_contrastive_pairs_plan_shape(spark, sf_dir):
+    """SRP banded candidates + verify joins (positive side; its numpy
+    projection is the sanctioned Arrow-batched escape, so only
+    row-at-a-time Python is banned) + one bucket window (negatives)."""
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES["q_contrastive_pairs"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 11
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
