@@ -145,6 +145,7 @@ HEADLINE = [
     "q_cohort_ltv_curve",
     "q_retrieval_ndcg_eval",
     "q_contrastive_pairs",
+    "q_k_anonymity_audit",
 ]
 
 

@@ -141,6 +141,47 @@ def ppm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
+def pgm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
+    """Pure-Python binary-PGM (P5, grayscale) decoder -- the second
+    real in-container codec, existing mostly to PROVE the ``decoder=``
+    boundary of :func:`decode_image_features` is genuinely pluggable:
+    identical signature and pooling contract as :func:`ppm_decoder`,
+    one byte per pixel instead of three.  Raises ValueError on non-P5
+    or truncated payloads."""
+    data = bytes(payload or b"")
+    if not data.startswith(b"P5"):
+        raise ValueError("not a binary PGM (P5) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PGM header")
+        vals.append(int(data[start:pos]))
+    pos += 1
+    width, height, maxval = vals
+    if width <= 0 or height <= 0 or maxval <= 0:
+        raise ValueError("invalid PGM dimensions")
+    raster = data[pos : pos + width * height]
+    if len(raster) < width * height:
+        raise ValueError("truncated PGM raster")
+    slice_len = max(1, len(raster) // feat_dim)
+    feats = []
+    for i in range(feat_dim):
+        sl = raster[i * slice_len : (i + 1) * slice_len]
+        feats.append(
+            round(sum(sl) / (len(sl) * maxval) * 2.0 - 1.0, 6) if sl else 0.0
+        )
+    return width, height, feats
+
+
 def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for a real image decode: md5-derived
     pseudo-dimensions and features."""

@@ -152,6 +152,7 @@ _NEW_THIS_ROUND = (
     "q_cohort_ltv_curve",         # new: cohort revenue/LTV curve
     "q_retrieval_ndcg_eval",      # new: NDCG@10 retrieval eval
     "q_contrastive_pairs",        # new: contrastive pair mining
+    "q_k_anonymity_audit",        # new: privacy k-anonymity report
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

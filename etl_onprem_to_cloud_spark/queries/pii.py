@@ -136,3 +136,70 @@ def q_pii_redaction_summary(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_k_anonymity_audit",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+    count(*) AS group_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, acctbal_band
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+    CAST(min(group_size) AS BIGINT) AS k_anonymity,
+    CAST(sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_groups_below_5,
+    CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS BIGINT)
+      AS n_rows_below_5,
+    CAST(sum(group_size) AS BIGINT) AS n_rows
+  FROM g
+)
+SELECT n_groups, k_anonymity, n_groups_below_5, n_rows_below_5,
+  floor(CAST(n_rows_below_5 AS DOUBLE) / n_rows * 1000000.0 + 0.5)
+    / 1000000.0 AS frac_rows_at_risk
+FROM s
+""",
+    tags=("pii", "privacy", "compliance", "k-anonymity"),
+    description=(
+        "k-anonymity audit over the quasi-identifier combination "
+        "(nation, market segment, account-balance band of 1000): the "
+        "dataset's k (smallest equivalence class), how many classes "
+        "and rows fall below k=5, and the at-risk row fraction -- the "
+        "re-identification risk report a privacy review runs before "
+        "release, complementing the PII content scans."
+    ),
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """One shuffle on the quasi-identifier key, then a 1-row reduce --
+    the audit costs the same as a grouped count at any scale."""
+    c = cat(spark, sf_dir).customer
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    below = F.col("group_size") < 5
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("group_size").cast("bigint").alias("k_anonymity"),
+        F.sum(below.cast("int")).cast("bigint").alias("n_groups_below_5"),
+        F.sum(F.when(below, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_below_5"),
+        (
+            F.floor(
+                F.sum(F.when(below, F.col("group_size")).otherwise(0))
+                .cast("double")
+                / F.sum("group_size")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("frac_rows_at_risk"),
+    )

@@ -131,6 +131,7 @@ REHEARSAL = [
     "q_cohort_ltv_curve",
     "q_retrieval_ndcg_eval",
     "q_contrastive_pairs",
+    "q_k_anonymity_audit",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

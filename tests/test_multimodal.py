@@ -150,3 +150,34 @@ def test_custom_decoder_injection(media):
     # decoder wins over fake=False: no NotImplementedError
     out2 = decode_image_features(media, feat_dim=1, fake=False, decoder=halves)
     assert out2.count() == len(rows)
+
+
+def test_pgm_decoder_pluggable_through_decode_boundary(spark):
+    """The decoder= parameter is a real codec boundary: the P5
+    grayscale decoder drops in with no change to the Spark-side
+    plumbing (same mapInPandas contract, schema, batching)."""
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        decode_image_features,
+        pgm_decoder,
+    )
+
+    payload = b"P5\n4 2\n255\n" + bytes(range(8))
+    w, h, feats = pgm_decoder(payload, feat_dim=4)
+    assert (w, h) == (4, 2)
+    assert len(feats) == 4
+    # pooling contract: slice means scaled to [-1, 1]
+    assert feats[0] == round((0 + 1) / 2 / 255 * 2 - 1, 6)
+
+    media = spark.createDataFrame(
+        [(1, "image/x-portable-graymap", len(payload), bytearray(payload))],
+        "doc_id bigint, mime string, byte_len bigint, payload binary",
+    )
+    rows = decode_image_features(media, feat_dim=4, decoder=pgm_decoder).collect()
+    assert len(rows) == 1 and rows[0]["width"] == 4 and rows[0]["height"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        pgm_decoder(b"P6\n1 1\n255\n\x00\x00\x00", 4)  # wrong magic
