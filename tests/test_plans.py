@@ -583,6 +583,8 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     ("q_dedup_events_time_window", 3),
     # cohort LTV: first-event agg + join + rollup + grid window.
     ("q_cohort_ltv_curve", 6),
+    # k-anonymity: one quasi-identifier grouped count + 1-row reduce.
+    ("q_k_anonymity_audit", 2),
     # NDCG eval: inverted-index join + rank windows + two reductions.
     ("q_retrieval_ndcg_eval", 12),
 ])
