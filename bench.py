@@ -146,6 +146,8 @@ HEADLINE = [
     "q_retrieval_ndcg_eval",
     "q_contrastive_pairs",
     "q_k_anonymity_audit",
+    "q_laspeyres_price_index",
+    "q_skew_profile_orders_custkey",
 ]
 
 

@@ -153,6 +153,8 @@ _NEW_THIS_ROUND = (
     "q_retrieval_ndcg_eval",      # new: NDCG@10 retrieval eval
     "q_contrastive_pairs",        # new: contrastive pair mining
     "q_k_anonymity_audit",        # new: privacy k-anonymity report
+    "q_laspeyres_price_index",    # new: fixed-basket price index
+    "q_skew_profile_orders_custkey",  # new: pre-join skew diagnostics
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

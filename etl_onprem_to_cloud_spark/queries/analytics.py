@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..functions import text as T
+from ..functions.numeric import dec
 from ..operators.sampling import _MOD, duck_hash_gate, weighted_sample
 from ._util import cat, duck_tokens, duck_word_ngrams, fmt_ts, ts_lit
 from . import query
@@ -673,4 +674,205 @@ def q_rolling_24h_active_users(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("active_users_24h"))
         .select(fmt_ts("th", "hour"), "active_users_24h")
         .orderBy("hour")
+    )
+
+
+@query(
+    "q_laspeyres_price_index",
+    oracle="""
+WITH m AS (
+  SELECT l_partkey, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS spend,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT l_partkey, mon,
+    CAST(CAST(spend AS DOUBLE) / CAST(qty AS DOUBLE) AS DOUBLE) AS unit_price,
+    qty
+  FROM m WHERE qty > 0
+),
+base AS (
+  SELECT l_partkey, unit_price AS p0, qty AS q0
+  FROM p QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY mon) = 1
+),
+idx AS (
+  SELECT p.mon,
+    sum(CAST(floor(p.unit_price * base.q0 * 1000000.0 + 0.5)
+      / 1000000.0 AS DECIMAL(18,6))) AS cur,
+    sum(CAST(floor(base.p0 * base.q0 * 1000000.0 + 0.5)
+      / 1000000.0 AS DECIMAL(18,6))) AS bas,
+    count(*) AS n_parts
+  FROM p JOIN base USING (l_partkey)
+  GROUP BY p.mon
+)
+SELECT mon, CAST(n_parts AS BIGINT) AS n_parts,
+  floor(CAST(cur AS DOUBLE) / CAST(bas AS DOUBLE) * 100.0 * 10000.0 + 0.5)
+    / 10000.0 AS laspeyres_index
+FROM idx ORDER BY mon
+""",
+    tags=("analytics", "economics", "index", "report"),
+    description=(
+        "Laspeyres price index per ship month: each part's monthly "
+        "unit price (exact-DECIMAL spend/qty) weighted by its BASE-"
+        "month quantity, index = 100 * sum(p_t*q_0)/sum(p_0*q_0) over "
+        "parts present in the month -- the classic fixed-basket "
+        "inflation measure.  Products are quantized to the 1e-6 grid "
+        "then DECIMAL-summed, so the basket totals are order-"
+        "independent cross-engine."
+    ),
+)
+def q_laspeyres_price_index(spark, sf_dir):
+    """One (part, month) rollup, a first-month window per part, a join
+    back and a month rollup -- three key-partitioned shuffles, no
+    driver involvement."""
+    from pyspark.sql import Window
+
+    li = cat(spark, sf_dir).lineitem
+    m = li.groupBy(
+        "l_partkey",
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+            "mon"
+        ),
+    ).agg(
+        F.sum(dec("l_extendedprice")).alias("spend"),
+        F.sum(dec("l_quantity")).cast("decimal(18,6)").alias("qty"),
+    )
+    p = m.filter(F.col("qty") > 0).select(
+        "l_partkey",
+        "mon",
+        (F.col("spend").cast("double") / F.col("qty").cast("double")).alias(
+            "unit_price"
+        ),
+        "qty",
+    )
+    w = Window.partitionBy("l_partkey").orderBy("mon")
+    base = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("unit_price").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+
+    def q6(col):
+        return (F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
+            "decimal(18,6)"
+        )
+
+    idx = (
+        p.join(base, "l_partkey")
+        .groupBy("mon")
+        .agg(
+            F.sum(q6(F.col("unit_price") * F.col("q0").cast("double"))).alias(
+                "cur"
+            ),
+            F.sum(q6(F.col("p0") * F.col("q0").cast("double"))).alias("bas"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        )
+    )
+    return idx.select(
+        "mon",
+        "n_parts",
+        (
+            F.floor(
+                F.col("cur").cast("double")
+                / F.col("bas").cast("double")
+                * F.lit(100.0)
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("laspeyres_index"),
+    ).orderBy("mon")
+
+
+@query(
+    "q_skew_profile_orders_custkey",
+    oracle="""
+WITH k AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(n) AS BIGINT) AS n_rows,
+    CAST(max(n) AS BIGINT) AS max_rows,
+    CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_rows
+  FROM k
+),
+top AS (
+  SELECT o_custkey, n,
+    row_number() OVER (ORDER BY n DESC, o_custkey) AS rnk
+  FROM k
+)
+SELECT s.n_keys, s.n_rows, s.max_rows, s.p99_rows,
+  floor(CAST(s.max_rows AS DOUBLE)
+    / (CAST(s.n_rows AS DOUBLE) / s.n_keys) * 10000.0 + 0.5) / 10000.0
+    AS skew_factor,
+  CAST(top.o_custkey AS BIGINT) AS hottest_key
+FROM s CROSS JOIN top WHERE top.rnk = 1
+""",
+    tags=("scale", "skew", "diagnostics", "join"),
+    description=(
+        "Pre-join skew profile of orders.o_custkey: key count, max and "
+        "p99 rows per key, the skew factor (max / mean rows-per-key -- "
+        "the number that predicts whether a shuffle join needs salting "
+        "or AQE skew-split), and the hottest key.  Discrete p99 is "
+        "exact on both engines (Spark percentile_approx is NOT used; "
+        "the exact sorted-count form matches quantile_disc)."
+    ),
+)
+def q_skew_profile_orders_custkey(spark, sf_dir):
+    """One grouped count, then two tiny reductions over the per-key
+    table (the profile runs on the KEY domain, not the rows, so its
+    cost is bounded by distinct keys at any fact-table size)."""
+    o = cat(spark, sf_dir).orders
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    # Exact discrete p99: the smallest n whose cumulative key count
+    # reaches 99% -- quantile_disc semantics, engine-portable.
+    wv = Window.orderBy("n")
+    ranked = k.select(
+        "n", F.row_number().over(wv).alias("rn")
+    )
+    s = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+    )
+    p99 = (
+        ranked.crossJoin(F.broadcast(s.select("n_keys")))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.lit(0.99) * F.col("n_keys")).cast("int")
+        )
+        .select(F.col("n").cast("bigint").alias("p99_rows"))
+    )
+    top = (
+        k.orderBy(F.desc("n"), "o_custkey")
+        .limit(1)
+        .select(F.col("o_custkey").cast("bigint").alias("hottest_key"))
+    )
+    return (
+        s.crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_rows",
+            "p99_rows",
+            (
+                F.floor(
+                    F.col("max_rows").cast("double")
+                    / (
+                        F.col("n_rows").cast("double") / F.col("n_keys")
+                    )
+                    * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("skew_factor"),
+            "hottest_key",
+        )
     )

@@ -585,6 +585,10 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     ("q_cohort_ltv_curve", 6),
     # k-anonymity: one quasi-identifier grouped count + 1-row reduce.
     ("q_k_anonymity_audit", 2),
+    # Laspeyres: (part,month) rollup + base-month window + month rollup.
+    ("q_laspeyres_price_index", 7),
+    # skew profile: grouped count + key-domain reductions.
+    ("q_skew_profile_orders_custkey", 8),
     # NDCG eval: inverted-index join + rank windows + two reductions.
     ("q_retrieval_ndcg_eval", 12),
 ])
