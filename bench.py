@@ -148,6 +148,9 @@ HEADLINE = [
     "q_k_anonymity_audit",
     "q_laspeyres_price_index",
     "q_skew_profile_orders_custkey",
+    "q_retrieval_mrr_eval",
+    "q_session_bounce_rate",
+    "q_freshness_report",
 ]
 
 

@@ -155,6 +155,9 @@ _NEW_THIS_ROUND = (
     "q_k_anonymity_audit",        # new: privacy k-anonymity report
     "q_laspeyres_price_index",    # new: fixed-basket price index
     "q_skew_profile_orders_custkey",  # new: pre-join skew diagnostics
+    "q_retrieval_mrr_eval",       # new: MRR@10 retrieval companion
+    "q_session_bounce_rate",      # new: daily bounce-rate KPI
+    "q_freshness_report",         # new: per-stream staleness monitor
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

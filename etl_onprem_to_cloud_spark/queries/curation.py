@@ -766,3 +766,110 @@ def q_retrieval_ndcg_eval(spark, sf_dir):
         )
         .orderBy("query_doc")
     )
+
+
+@query(
+    "q_retrieval_mrr_eval",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, source, lang,
+    list_distinct({duck_tokens('text')}) AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id AS q_id, source AS q_src, toks AS q_toks
+  FROM tk WHERE doc_id % 101 = 0
+),
+ex AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+qx AS (SELECT q_id, unnest(q_toks) AS w FROM q),
+ov AS (
+  SELECT qx.q_id, ex.doc_id, count(*) AS overlap
+  FROM qx JOIN ex ON ex.w = qx.w AND ex.doc_id != qx.q_id
+  GROUP BY qx.q_id, ex.doc_id
+),
+ranked AS (
+  SELECT o.q_id, o.doc_id,
+    row_number() OVER (PARTITION BY o.q_id
+                       ORDER BY o.overlap DESC, o.doc_id) AS rnk
+  FROM ov o
+),
+firsthit AS (
+  SELECT r.q_id, min(r.rnk) AS first_rel_rank
+  FROM ranked r
+  JOIN tk d ON d.doc_id = r.doc_id
+  JOIN q ON q.q_id = r.q_id
+  WHERE r.rnk <= {_NDCG_K} AND d.source = q.q_src
+  GROUP BY r.q_id
+)
+SELECT q.q_id AS query_doc,
+  CAST(coalesce(f.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+  CASE WHEN f.first_rel_rank IS NULL THEN 0.0
+       ELSE floor(1000000.0 / f.first_rel_rank + 0.5) / 1000000.0
+  END AS reciprocal_rank
+FROM q LEFT JOIN firsthit f USING (q_id)
+ORDER BY query_doc
+""",
+    tags=("retrieval", "eval", "mrr", "ring-c"),
+    description=(
+        "MRR@10 companion to q_retrieval_ndcg_eval: the SAME "
+        "deterministic token-overlap ranking, binary relevance (same "
+        "source), reciprocal rank of the first relevant hit per query "
+        "(0 when none in the top 10).  1/rank over ranks 1..10 is "
+        "quantized by the identical floor expression in both engines "
+        "-- only 10 possible values, all exact."
+    ),
+)
+def q_retrieval_mrr_eval(spark, sf_dir):
+    """Identical join shape as the NDCG eval (inverted-index overlap,
+    one rank window), then a per-query min -- the cheaper of the two
+    metrics."""
+    from pyspark.sql import Window
+
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(tokens(F.lower("text"))).alias("toks"),
+    )
+    q = tk.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("source").alias("q_src"),
+        F.col("toks").alias("q_toks"),
+    )
+    ex = tk.select("doc_id", F.explode("toks").alias("w"))
+    qx = q.select("q_id", F.explode("q_toks").alias("w"))
+    ov = (
+        qx.join(ex, (ex["w"] == qx["w"]) & (ex["doc_id"] != qx["q_id"]))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    ranked = ov.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("overlap"), "doc_id")
+        ),
+    ).filter(F.col("rnk") <= _NDCG_K)
+    firsthit = (
+        ranked.join(tk.select("doc_id", "source"), "doc_id")
+        .join(q.select("q_id", "q_src"), "q_id")
+        .filter(F.col("source") == F.col("q_src"))
+        .groupBy("q_id")
+        .agg(F.min("rnk").alias("first_rel_rank"))
+    )
+    return (
+        q.select("q_id")
+        .join(firsthit, "q_id", "left")
+        .select(
+            F.col("q_id").alias("query_doc"),
+            F.coalesce("first_rel_rank", F.lit(0))
+            .cast("bigint")
+            .alias("first_rel_rank"),
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+            .otherwise(
+                F.floor(F.lit(1e6) / F.col("first_rel_rank") + F.lit(0.5))
+                / F.lit(1e6)
+            )
+            .alias("reciprocal_rank"),
+        )
+        .orderBy("query_doc")
+    )

@@ -674,3 +674,87 @@ def q_cohort_ltv_curve(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q_session_bounce_rate",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN floor(epoch(ts))
+           - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)))
+           > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+s AS (
+  SELECT user_id,
+    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no,
+    ts
+  FROM o
+),
+per AS (
+  SELECT user_id, session_no, count(*) AS n_events,
+    CAST(floor(floor(epoch(min(ts))) / 86400) AS BIGINT) AS day
+  FROM s GROUP BY user_id, session_no
+)
+SELECT day,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  floor(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS bounce_rate
+FROM per GROUP BY day ORDER BY day
+""",
+    tags=("events", "sessionization", "bounce", "analytics"),
+    description=(
+        "Daily bounce rate: 30-minute-gap sessionization (the "
+        "q_top_session_paths convention, second-truncated), a session "
+        "is a bounce when it contains exactly one event; reported per "
+        "session-start day -- the engagement KPI next to the retention "
+        "matrix."
+    ),
+)
+def q_session_bounce_rate(spark, sf_dir):
+    """One (user) window shuffle for sessionization, one (user,
+    session) rollup, one day rollup -- all key-partitioned."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    is_start = (
+        lag_ts.isNull()
+        | (es - F.unix_timestamp(lag_ts.cast("timestamp")) > 1800)
+    ).cast("int")
+    s = ev.withColumn("is_start", is_start).withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            F.unix_timestamp(F.min("ts").cast("timestamp")) / F.lit(86400)
+        ).cast("bigint").alias("day"),
+    )
+    bounce = (F.col("n_events") == 1).cast("int")
+    return (
+        per.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(bounce).cast("bigint").alias("n_bounces"),
+            (
+                F.floor(
+                    F.sum(bounce).cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

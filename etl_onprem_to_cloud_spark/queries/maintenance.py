@@ -272,3 +272,55 @@ def q_gdpr_purge_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_freshness_report",
+    oracle="""
+WITH g AS (SELECT max(ts) AS global_max FROM events),
+s AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    max(ts) AS last_ts
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, s.n_events,
+  strftime(s.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+  CAST(floor(epoch(g.global_max)) - floor(epoch(s.last_ts)) AS BIGINT)
+    AS staleness_sec,
+  floor(epoch(g.global_max)) - floor(epoch(s.last_ts)) > 3600 AS is_stale_1h
+FROM s CROSS JOIN g
+ORDER BY s.event_type
+""",
+    tags=("maintenance", "freshness", "monitoring", "report"),
+    description=(
+        "Per-stream freshness report: last event time, staleness "
+        "against the newest record anywhere (second-truncated), and a "
+        "1-hour SLA flag per event type -- the table-health monitor a "
+        "continuously-loaded warehouse publishes next to the quality "
+        "report."
+    ),
+)
+def q_freshness_report(spark, sf_dir):
+    """One grouped max + a 1-row global max broadcast -- pure
+    aggregation; at scale this reads only the ts/type columns (column
+    pruning) and parquet row-group stats make max(ts) near-free."""
+    ev = cat(spark, sf_dir).events
+    g = ev.agg(F.max("ts").alias("global_max"))
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    gsec = F.unix_timestamp(F.col("global_max").cast("timestamp"))
+    lsec = F.unix_timestamp(F.col("last_ts").cast("timestamp"))
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            fmt_ts("last_ts", "last_seen"),
+            (gsec - lsec).cast("bigint").alias("staleness_sec"),
+            ((gsec - lsec) > 3600).alias("is_stale_1h"),
+        )
+        .orderBy("event_type")
+    )

@@ -589,6 +589,12 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     ("q_laspeyres_price_index", 7),
     # skew profile: grouped count + key-domain reductions.
     ("q_skew_profile_orders_custkey", 8),
+    # MRR: inverted-index overlap + rank window + per-query min.
+    ("q_retrieval_mrr_eval", 9),
+    # bounce: session window + two rollups.
+    ("q_session_bounce_rate", 4),
+    # freshness: grouped max + 1-row global broadcast.
+    ("q_freshness_report", 3),
     # NDCG eval: inverted-index join + rank windows + two reductions.
     ("q_retrieval_ndcg_eval", 12),
 ])
