@@ -97,20 +97,20 @@ def attach_ppm_payload(
     )
 
 
-def ppm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
-    """Pure-Python binary-PPM (P6) decoder -- the real (if trivial)
-    in-container codec: no PIL, no numpy requirement, just the netpbm
-    spec.  Parses the whitespace-separated header (magic, width,
-    height, maxval; ``#`` comments allowed), then pools the raster into
-    ``feat_dim`` contiguous slices: feature i = mean of slice i's bytes
-    scaled to [-1, 1] and rounded to 6 decimals.
-
-    Raises ValueError on a non-P6 or truncated payload -- a decoder
-    should reject what it cannot decode, not fabricate output."""
+def _netpbm_raster(
+    payload: bytes, magic: bytes, bytes_per_pixel: int, kind: str
+) -> tuple[int, int, int, bytes]:
+    """Shared binary-netpbm parse: whitespace-separated header (magic,
+    width, height, maxval; ``#`` comments allowed) followed by exactly
+    one whitespace byte and the raster.  Returns (width, height,
+    maxval, raster) or raises ValueError -- a decoder should reject
+    what it cannot decode, not fabricate output.  maxval > 255 (legal
+    netpbm: 2 bytes per sample) is rejected rather than silently
+    decoded as interleaved high/low bytes."""
     data = bytes(payload or b"")
-    if not data.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
-    pos, vals = 2, []
+    if not data.startswith(magic):
+        raise ValueError(f"not a binary {kind} ({magic.decode()}) payload")
+    pos, vals = len(magic), []
     while len(vals) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
@@ -122,15 +122,26 @@ def ppm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         if start == pos:
-            raise ValueError("truncated PPM header")
+            raise ValueError(f"truncated {kind} header")
         vals.append(int(data[start:pos]))
     pos += 1  # exactly one whitespace byte separates maxval from raster
     width, height, maxval = vals
     if width <= 0 or height <= 0 or maxval <= 0:
-        raise ValueError("invalid PPM dimensions")
-    raster = data[pos : pos + width * height * 3]
-    if len(raster) < width * height * 3:
-        raise ValueError("truncated PPM raster")
+        raise ValueError(f"invalid {kind} dimensions")
+    if maxval > 255:
+        raise ValueError(
+            f"{kind} maxval {maxval} needs 2 bytes/sample (unsupported)"
+        )
+    n = width * height * bytes_per_pixel
+    raster = data[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError(f"truncated {kind} raster")
+    return width, height, maxval, raster
+
+
+def _pool_raster(raster: bytes, maxval: int, feat_dim: int) -> list[float]:
+    """Pool a raster into ``feat_dim`` contiguous slices: feature i =
+    mean of slice i's bytes scaled to [-1, 1], rounded to 6 decimals."""
     slice_len = max(1, len(raster) // feat_dim)
     feats = []
     for i in range(feat_dim):
@@ -138,7 +149,16 @@ def ppm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
         feats.append(
             round(sum(sl) / (len(sl) * maxval) * 2.0 - 1.0, 6) if sl else 0.0
         )
-    return width, height, feats
+    return feats
+
+
+def ppm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
+    """Pure-Python binary-PPM (P6) decoder -- the real (if trivial)
+    in-container codec: no PIL, no numpy requirement, just the netpbm
+    spec (8-bit samples; see :func:`_netpbm_raster` for the header
+    grammar and rejection rules)."""
+    width, height, maxval, raster = _netpbm_raster(payload, b"P6", 3, "PPM")
+    return width, height, _pool_raster(raster, maxval, feat_dim)
 
 
 def pgm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
@@ -146,40 +166,9 @@ def pgm_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
     real in-container codec, existing mostly to PROVE the ``decoder=``
     boundary of :func:`decode_image_features` is genuinely pluggable:
     identical signature and pooling contract as :func:`ppm_decoder`,
-    one byte per pixel instead of three.  Raises ValueError on non-P5
-    or truncated payloads."""
-    data = bytes(payload or b"")
-    if not data.startswith(b"P5"):
-        raise ValueError("not a binary PGM (P5) payload")
-    pos, vals = 2, []
-    while len(vals) < 3:
-        while pos < len(data) and data[pos : pos + 1].isspace():
-            pos += 1
-        if data[pos : pos + 1] == b"#":
-            while pos < len(data) and data[pos] != 0x0A:
-                pos += 1
-            continue
-        start = pos
-        while pos < len(data) and not data[pos : pos + 1].isspace():
-            pos += 1
-        if start == pos:
-            raise ValueError("truncated PGM header")
-        vals.append(int(data[start:pos]))
-    pos += 1
-    width, height, maxval = vals
-    if width <= 0 or height <= 0 or maxval <= 0:
-        raise ValueError("invalid PGM dimensions")
-    raster = data[pos : pos + width * height]
-    if len(raster) < width * height:
-        raise ValueError("truncated PGM raster")
-    slice_len = max(1, len(raster) // feat_dim)
-    feats = []
-    for i in range(feat_dim):
-        sl = raster[i * slice_len : (i + 1) * slice_len]
-        feats.append(
-            round(sum(sl) / (len(sl) * maxval) * 2.0 - 1.0, 6) if sl else 0.0
-        )
-    return width, height, feats
+    one byte per pixel instead of three."""
+    width, height, maxval, raster = _netpbm_raster(payload, b"P5", 1, "PGM")
+    return width, height, _pool_raster(raster, maxval, feat_dim)
 
 
 def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:

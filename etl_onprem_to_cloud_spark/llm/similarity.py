@@ -32,6 +32,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..pinned import pin
 
+from ..functions.numeric import portable_round
 from ..functions.vectors import cosine_similarity, dot_product
 
 
@@ -310,9 +311,10 @@ def duck_ivf_lloyd_sql(
         + cos.format(x="c.centroid")
         + f" DESC, c.cell) AS cr FROM q CROSS JOIN c{n_iter} c)"
         f" WHERE cr <= {nprobe})",
-        "s AS (SELECT p.query_id, a.id AS neighbor_id, round("
+        "s AS (SELECT p.query_id, a.id AS neighbor_id, floor(("
         + cos.format(x="a.v")
-        + ", 6) AS cosine FROM probe p JOIN af a ON a.cell = p.cell"
+        + ") * 1000000.0 + 0.5) / 1000000.0 AS cosine"
+        " FROM probe p JOIN af a ON a.cell = p.cell"
         " AND a.id != p.query_id)",
         "r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER ("
         "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank"
@@ -397,7 +399,12 @@ def ivf_top_k(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            # portable_round, not F.round: the cosine feeds a
+            # value-hash-compared output AND the rank ordering, so both
+            # engines must execute the identical floor-based rounding
+            # (native round() implementations disagree on rare boundary
+            # doubles).
+            portable_round(
                 cosine_similarity(F.col("q_vec"), F.col("n_vec")), 6
             ).cast("double").alias("cosine"),
         )

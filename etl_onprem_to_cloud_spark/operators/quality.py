@@ -48,29 +48,12 @@ def in_range(name: str, col: str, lo: float, hi: float) -> Check:
 def predicate_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Evaluate all row-predicate checks in one aggregation pass.
 
-    Output: ``check, violations, total, passed`` -- one row per check,
-    ordered by check name.
+    Output: ``check, violations, total, passed`` -- one row per check.
+    The global special case of :func:`predicate_report_grouped` (empty
+    group key); one code path keeps the streaming-monitor equivalence
+    test honest for both shapes.
     """
-    aggs = [F.count(F.lit(1)).alias("__total")] + [
-        F.sum(c.violation.cast("bigint")).alias(f"__v{i}")
-        for i, c in enumerate(checks)
-    ]
-    wide = df.agg(*aggs)
-    stack_args: list[Column] = []
-    for i, c in enumerate(checks):
-        stack_args += [F.lit(c.name), F.col(f"__v{i}")]
-    return (
-        wide.select(
-            F.col("__total"),
-            F.stack(F.lit(len(checks)), *stack_args).alias("check", "violations"),
-        )
-        .select(
-            "check",
-            F.col("violations").cast("bigint").alias("violations"),
-            F.col("__total").cast("bigint").alias("total"),
-            (F.col("violations") == 0).alias("passed"),
-        )
-    )
+    return predicate_report_grouped(df, checks, [])
 
 
 def predicate_report_grouped(
@@ -82,7 +65,8 @@ def predicate_report_grouped(
     table by its batch key produces exactly the report table the
     ``foreachBatch`` monitor appends to, one (group, check) row at a
     time, but in ONE keyed aggregation pass (map-side partials, one
-    shuffle on the group key, unpivot)."""
+    shuffle on the group key -- none at all when ``group_cols`` is
+    empty -- then unpivot)."""
     aggs = [F.count(F.lit(1)).alias("__total")] + [
         F.sum(c.violation.cast("bigint")).alias(f"__v{i}")
         for i, c in enumerate(checks)

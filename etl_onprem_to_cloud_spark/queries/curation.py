@@ -606,6 +606,50 @@ _NDCG_K = 10
 _NDCG_W = [int(1e9 / _math.log2(r + 1) + 0.5) for r in range(1, _NDCG_K + 1)]
 
 
+def _overlap_ranked(docs):
+    """The shared deterministic retrieval ranking both eval metrics
+    score: query docs = every 101st doc_id, candidates ranked per
+    query by distinct-token overlap (inverted-index join on the word
+    key -- the sparse-TFIDF shape, bounded by shared-term postings),
+    ties to the smaller doc id, cut at ``_NDCG_K``.
+
+    Returns (tk, q, ranked): the tokenized corpus (doc_id, source,
+    lang, toks), the query set (q_id, q_src, q_lang, q_toks), and the
+    top-k ranking (q_id, doc_id, overlap, rnk).  Both
+    q_retrieval_ndcg_eval and q_retrieval_mrr_eval consume THIS
+    ranking, so 'companion metric over the same ranking' is a property
+    of the code, not of two copies staying in sync."""
+    from pyspark.sql import Window
+
+    tk = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.array_distinct(tokens(F.lower("text"))).alias("toks"),
+    )
+    q = tk.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("source").alias("q_src"),
+        F.col("lang").alias("q_lang"),
+        F.col("toks").alias("q_toks"),
+    )
+    ex = tk.select("doc_id", F.explode("toks").alias("w"))
+    qx = q.select("q_id", F.explode("q_toks").alias("w"))
+    ov = (
+        qx.join(ex, (ex["w"] == qx["w"]) & (ex["doc_id"] != qx["q_id"]))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    ranked = ov.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("overlap"), "doc_id")
+        ),
+    ).filter(F.col("rnk") <= _NDCG_K)
+    return tk, q, ranked
+
+
+
 @query(
     "q_retrieval_ndcg_eval",
     oracle=f"""
@@ -679,38 +723,13 @@ ORDER BY query_doc
     ),
 )
 def q_retrieval_ndcg_eval(spark, sf_dir):
-    """Inverted-index join on the word key (the sparse-TFIDF shape:
-    query tokens x postings, bounded by shared-term postings), one
-    rank window per query, then two integer reductions.  The weight
-    table is a 10-row broadcast literal."""
+    """Shared ranking (see :func:`_overlap_ranked`), one rank window
+    per query, then two integer reductions.  The weight table is a
+    10-row broadcast literal."""
     from pyspark.sql import Window
 
     docs = cat(spark, sf_dir).documents
-    tk = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.array_distinct(tokens(F.lower("text"))).alias("toks"),
-    )
-    q = tk.filter(F.col("doc_id") % 101 == 0).select(
-        F.col("doc_id").alias("q_id"),
-        F.col("source").alias("q_src"),
-        F.col("lang").alias("q_lang"),
-        F.col("toks").alias("q_toks"),
-    )
-    ex = tk.select("doc_id", F.explode("toks").alias("w"))
-    qx = q.select("q_id", F.explode("q_toks").alias("w"))
-    ov = (
-        qx.join(ex, (ex["w"] == qx["w"]) & (ex["doc_id"] != qx["q_id"]))
-        .groupBy("q_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("overlap"))
-    )
-    ranked = ov.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.desc("overlap"), "doc_id")
-        ),
-    ).filter(F.col("rnk") <= _NDCG_K)
+    tk, q, ranked = _overlap_ranked(docs)
     hits = (
         ranked.join(tk.select("doc_id", "source", "lang"), "doc_id")
         .join(q.select("q_id", "q_src", "q_lang"), "q_id")
@@ -820,35 +839,11 @@ ORDER BY query_doc
     ),
 )
 def q_retrieval_mrr_eval(spark, sf_dir):
-    """Identical join shape as the NDCG eval (inverted-index overlap,
-    one rank window), then a per-query min -- the cheaper of the two
-    metrics."""
-    from pyspark.sql import Window
-
+    """THE SAME ranking as the NDCG eval (one shared
+    :func:`_overlap_ranked` pipeline), then a per-query min -- the
+    cheaper of the two metrics."""
     docs = cat(spark, sf_dir).documents
-    tk = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(tokens(F.lower("text"))).alias("toks"),
-    )
-    q = tk.filter(F.col("doc_id") % 101 == 0).select(
-        F.col("doc_id").alias("q_id"),
-        F.col("source").alias("q_src"),
-        F.col("toks").alias("q_toks"),
-    )
-    ex = tk.select("doc_id", F.explode("toks").alias("w"))
-    qx = q.select("q_id", F.explode("q_toks").alias("w"))
-    ov = (
-        qx.join(ex, (ex["w"] == qx["w"]) & (ex["doc_id"] != qx["q_id"]))
-        .groupBy("q_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("overlap"))
-    )
-    ranked = ov.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.desc("overlap"), "doc_id")
-        ),
-    ).filter(F.col("rnk") <= _NDCG_K)
+    tk, q, ranked = _overlap_ranked(docs)
     firsthit = (
         ranked.join(tk.select("doc_id", "source"), "doc_id")
         .join(q.select("q_id", "q_src"), "q_id")

@@ -2476,7 +2476,8 @@ WITH v AS (
   SELECT value,
     count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c1,
     count(CASE WHEN event_type = 'view' THEN 1 END) AS c2
-  FROM events WHERE event_type IN ('purchase', 'view')
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
   GROUP BY value
 ),
 r AS (
@@ -2526,6 +2527,11 @@ def q_mannwhitney_purchase_view(spark, sf_dir):
 
     ev = cat(spark, sf_dir).events.filter(
         F.col("event_type").isin("purchase", "view")
+        # NULL values would rank NULLS FIRST in Spark windows but
+        # NULLS LAST in the DuckDB oracle's ORDER BY; a rank-sum test
+        # has no meaningful rank for NULL anyway, so drop them in both
+        # engines.
+        & F.col("value").isNotNull()
     )
     v = ev.groupBy("value").agg(
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),

@@ -115,9 +115,9 @@ probe AS (
 ),
 s AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-    round(list_dot_product(qv, v)
-      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
-      6) AS cosine
+    floor((list_dot_product(qv, v)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))))
+      * 1000000.0 + 0.5) / 1000000.0 AS cosine
   FROM q JOIN probe USING (query_id)
   JOIN e ON e.label = probe.label AND e.vec_id != q.query_id
 ),
@@ -584,7 +584,6 @@ def q_embedding_quantize_int8(spark, sf_dir):
 
 _CPAIR_BUCKETS = 64
 _CPAIR_GATE = duck_hash_gate("CAST(vec_id AS VARCHAR)", "cpair")
-_SRP_KEYED_SQL_INDENTED = _SRP_KEYED_SQL
 
 
 @query(
@@ -594,7 +593,7 @@ WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 k AS (
-  {_SRP_KEYED_SQL_INDENTED}
+  {_SRP_KEYED_SQL}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

@@ -109,7 +109,6 @@ def read_binary_files(
     spark: SparkSession,
     path: str,
     path_glob: str | None = None,
-    max_partition_bytes: str | None = None,
 ) -> DataFrame:
     """Raw-file ingest via Spark's built-in ``binaryFile`` source --
     the entry point of the multimodal pipeline (llm/multimodal.py
@@ -125,14 +124,15 @@ def read_binary_files(
     PDFs), not for splittable text/parquet; a directory of millions of
     small files should be compacted into parquet-with-binary-column
     first (see multimodal.py, which operates on exactly that layout).
-    ``max_partition_bytes`` caps how many files pack into one task via
-    the standard files.maxPartitionBytes conf knob per-read.
+    To cap how many files pack into one task, set the session conf
+    ``spark.sql.files.maxPartitionBytes`` BEFORE the action runs --
+    there is no per-read option for it (file sources only accept
+    listing-time options like ``pathGlobFilter``), and the conf is
+    consulted at scan planning time, not at ``load()``.
     """
     reader = spark.read.format("binaryFile")
     if path_glob is not None:
         reader = reader.option("pathGlobFilter", path_glob)
-    if max_partition_bytes is not None:
-        reader = reader.option("maxPartitionBytes", max_partition_bytes)
     return reader.load(path)
 
 

@@ -482,15 +482,19 @@ def test_sampled_kcenter_invariant_under_repartition(spark, sf_dir):
     assert a == b
 
 
-def test_nb_classifier_invariant_under_repartition(spark, sf_dir):
+def test_nb_classifier_invariant_under_repartition(spark, sf_dir, tmp_path):
     """Hash-gate split + integer-quantized scores: the confusion matrix
-    must be layout-independent."""
+    must be layout-independent.  The query reads documents.parquet from
+    its sf_dir, so the re-laid-out run goes through a temp dir holding
+    a repartitioned rewrite of the same table -- a genuinely different
+    physical layout (different file count, row order, partitioning)."""
     from etl_onprem_to_cloud_spark.queries import QUERIES
     from etl_onprem_to_cloud_spark.sources.io import read_parquet
 
     base = QUERIES["q_nb_lang_classifier"].fn(spark, sf_dir).collect()
-    # Same computation over a re-laid-out copy of documents via a temp dir
-    # is heavy; instead rerun and compare (the plan itself involves
-    # several shuffles whose physical order must not leak into values).
-    again = QUERIES["q_nb_lang_classifier"].fn(spark, sf_dir).collect()
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    docs.repartition(7, "lang").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    again = QUERIES["q_nb_lang_classifier"].fn(spark, str(tmp_path)).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, again))
