@@ -144,12 +144,68 @@ def _dist2_cols(v, c):
     )
 
 
+def lloyd_fit(
+    rows: list[tuple[int, list[float]]],
+    num_cells: int,
+    n_iter: int,
+) -> list[tuple[int, list[float]]]:
+    """Driver-side Lloyd fit, BIT-IDENTICAL to the distributed loop in
+    :func:`lloyd_cells` and to the unrolled DuckDB oracle:
+
+    - dot products use ``cumsum`` (strict sequential left-to-right
+      float64 accumulation -- the same fold as ``F.aggregate`` /
+      ``list_dot_product``; numpy's pairwise summation lives in
+      ``np.sum``, not ``cumsum``);
+    - dist2 = (vv - 2.0*vc) + cc with the identical op order;
+    - centroid means quantize each term to floor(v*1e7+0.5) and
+      accumulate as exact int64 (== the engines' DECIMAL(18,7) sums),
+      then divide (S/1e7)/n -- both divisions correctly rounded, S <
+      2^53, so the doubles match the engines' decimal->double casts;
+    - argmin ties break to the smallest cell id (numpy argmin keeps
+      the first minimum; cells are evaluated in ascending id order);
+    - empty cells drop out of the centroid table, as GROUP BY does.
+
+    Differential-tested against the distributed loop
+    (tests/test_similarity_ml.py)."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = [(j, V[j]) for j in range(min(num_cells, len(rows)))]
+    vv = (V * V).cumsum(axis=1)[:, -1]
+
+    def assign(cents_list):
+        D = np.empty((len(V), len(cents_list)), dtype=np.float64)
+        for col, (_, c) in enumerate(cents_list):
+            vc = (V * c).cumsum(axis=1)[:, -1]
+            cc = (c * c).cumsum()[-1]
+            D[:, col] = (vv - 2.0 * vc) + cc
+        return np.argmin(D, axis=1)  # first min -> smallest cell id
+
+    K = np.floor(V * 1e7 + 0.5).astype(np.int64)
+    for _ in range(n_iter):
+        picked = assign(cents)
+        nxt = []
+        for col, (cell, _) in enumerate(cents):
+            mask = picked == col
+            n = int(mask.sum())
+            if n == 0:
+                continue
+            S = K[mask].sum(axis=0)  # exact int64
+            nxt.append((cell, (S.astype(np.float64) / 1e7) / n))
+        cents = nxt
+    return [(cell, [float(x) for x in c]) for cell, c in cents]
+
+
 def lloyd_cells(
     embeddings: DataFrame,
     num_cells: int = 10,
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit: str = "driver",
+    fit_max_rows: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """DETERMINISTIC Lloyd k-means quantizer (the IVF 'train' step made
     value-checkable, VERDICT r3 item 6): init centroids are the
@@ -166,12 +222,25 @@ def lloyd_cells(
     (final assignment against the last centroids) and the ``(cell,
     centroid)`` table.
 
+    ``fit="driver"`` (default) collects the fit set ONCE and trains in
+    vectorized numpy (:func:`lloyd_fit`, bit-identical by
+    construction): 2 Spark jobs total instead of 2 per Lloyd round.
+    That is how production IVF trains at 100 TB too -- the quantizer
+    fits on a bounded training set while the corpus-wide ASSIGNMENT
+    stays distributed and map-only -- but the collect is corpus-sized
+    here, so it is guarded: more than ``fit_max_rows`` fit rows raises
+    rather than silently flooding the driver; gate/sample the fit set
+    upstream (deterministic ``hash_gate``) at real scale.
+    ``fit="distributed"`` runs the same loop as DataFrame ops (the
+    differential twin; per-round centroid tables materialize through a
+    bounded <= num_cells-row collect to keep lineage linear in
+    n_iter).
+
     Scale shape: ASSIGNMENT is map-only -- the <=num_cells centroids are
     collapsed into one broadcast array row and the argmin runs inside
-    codegen per row; each UPDATE is one shuffle keyed (cell, dim) over
-    the exploded dims.  At 100 TB you fit on a deterministic hash-gate
-    sample and only the final assignment touches the full corpus (the
-    same fit-on-sample note as the seeded twin)."""
+    codegen per row; each distributed UPDATE is one shuffle keyed
+    (cell, dim) over the exploded dims."""
+    spark = embeddings.sparkSession
     e = embeddings.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
@@ -235,8 +304,34 @@ def lloyd_cells(
             )
         )
 
-    for _ in range(n_iter):
-        cents = update(assign(cents))
+    def materialize(rows):
+        return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+    if fit == "driver":
+        fit_rows = [
+            (int(r["__id"]), [float(x) for x in r["__v"]])
+            for r in e.limit(fit_max_rows + 1).collect()
+        ]
+        if len(fit_rows) > fit_max_rows:
+            raise ValueError(
+                f"lloyd_cells driver fit over > {fit_max_rows} rows; "
+                "gate/sample the fit set upstream or pass "
+                "fit='distributed'"
+            )
+        cents = materialize(lloyd_fit(fit_rows, num_cells, n_iter))
+    else:
+        # Materialize the centroid table between rounds: a BOUNDED
+        # collect of <= num_cells rows (same class as the PageRank
+        # scalar and coreset steps).  Without it each round's plan
+        # nests the whole previous chain and planning/recomputation
+        # dominates.
+        for _ in range(n_iter):
+            cents = materialize(
+                [
+                    (int(r["cell"]), [float(x) for x in r["centroid"]])
+                    for r in update(assign(cents)).collect()
+                ]
+            )
     assigned = (
         assign(cents)
         .select("__id", "__cell")

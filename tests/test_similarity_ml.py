@@ -203,3 +203,37 @@ def test_srp_pandas_projection_matches_expr_twin(spark, sf_dir):
         for r in srp_near_dup_pairs(emb, dim=64, projection="expr").collect()
     )
     assert pandas_out == expr_out and len(pandas_out) > 0
+
+
+def test_lloyd_driver_fit_matches_distributed_twin(spark, sf_dir):
+    """Differential: the numpy driver-side Lloyd fit (cumsum folds,
+    int64 'decimal' sums) must reproduce the distributed DataFrame loop
+    BIT-identically -- assignments and centroid doubles both."""
+    from etl_onprem_to_cloud_spark.llm.similarity import lloyd_cells
+    from etl_onprem_to_cloud_spark.queries._util import cat
+
+    emb = cat(spark, sf_dir).embeddings
+    a_asgn, a_cents = lloyd_cells(emb, num_cells=7, n_iter=3, fit="driver")
+    b_asgn, b_cents = lloyd_cells(
+        emb, num_cells=7, n_iter=3, fit="distributed"
+    )
+    pa = sorted((r["vec_id"], r["__cell"]) for r in a_asgn.collect())
+    pb = sorted((r["vec_id"], r["__cell"]) for r in b_asgn.collect())
+    assert pa == pb and len(pa) > 0
+    ca = sorted((r["cell"], tuple(r["centroid"])) for r in a_cents.collect())
+    cb = sorted((r["cell"], tuple(r["centroid"])) for r in b_cents.collect())
+    assert ca == cb
+
+
+def test_lloyd_driver_fit_guard(spark, sf_dir):
+    """The corpus-sized fit collect is guarded: exceeding fit_max_rows
+    raises instead of silently flooding the driver."""
+    import pytest
+
+    from etl_onprem_to_cloud_spark.llm.similarity import lloyd_cells
+    from etl_onprem_to_cloud_spark.queries._util import cat
+
+    emb = cat(spark, sf_dir).embeddings
+    with pytest.raises(ValueError, match="fit"):
+        a, _ = lloyd_cells(emb, num_cells=4, n_iter=1, fit_max_rows=10)
+        a.collect()
