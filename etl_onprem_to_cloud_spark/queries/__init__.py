@@ -158,6 +158,7 @@ _NEW_THIS_ROUND = (
     "q_retrieval_mrr_eval",       # new: MRR@10 retrieval companion
     "q_session_bounce_rate",      # new: daily bounce-rate KPI
     "q_freshness_report",         # new: per-stream staleness monitor
+    "q_multimodal_wav_decode",    # new: real RIFF/WAVE PCM decode
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -15,6 +15,8 @@ from ..llm import dedup as D
 from ..llm.multimodal import (
     attach_binary_payload,
     attach_ppm_payload,
+    attach_wav_payload,
+    decode_audio_features,
     decode_image_features,
 )
 from ._util import cat, duck_shingles, duck_tokens, duck_word_ngrams
@@ -447,6 +449,52 @@ def q_multimodal_ppm_decode(spark, sf_dir):
         .cast("double")
         .alias("f7"),
     )
+
+
+@query(
+    "q_multimodal_wav_decode",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+    rpad(substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 256), 256, ' ') AS pcm
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ord(substr(pcm, CAST(i AS INTEGER), 1)) AS v
+  FROM m, LATERAL (SELECT unnest(generate_series(1, 256)) AS i) i
+)
+SELECT doc_id,
+  CAST(300 AS BIGINT) AS byte_len,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(8 AS INTEGER) AS bits,
+  CAST(256 AS BIGINT) AS n_samples,
+  CAST(max(abs(v - 128)) AS BIGINT) AS peak,
+  CAST(sum(abs(v - 128)) AS BIGINT) AS amp_sum
+FROM b GROUP BY doc_id
+""",
+    tags=("multimodal", "ring-c", "audio", "pandas-udf"),
+    description="REAL in-container audio decode -- the WAV twin of "
+    "q_multimodal_ppm_decode: each doc's printable-ASCII bytes are "
+    "wrapped in a genuine RIFF/WAVE mono 8-bit PCM container "
+    "(attach_wav_payload) and run through the pure-Python chunk-walking "
+    "parser (llm/multimodal.wav_decoder): sample rate and bit depth are "
+    "PARSED from the fmt chunk, amplitude features computed from the "
+    "decoded samples in exact integers (8-bit PCM centers at 128).  "
+    "Because the PCM bytes are a deterministic function of the text "
+    "column, the oracle recomputes every value -- a real decode AND a "
+    "full value check.",
+)
+def q_multimodal_wav_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode (one Python pass per batch, no
+    per-row round trips); header build is JVM-side concat of a constant
+    literal + the padded sample bytes.  At 100 TB the same plan holds:
+    scan tasks are governed by files.maxPartitionBytes over the binary
+    column, decode stays batch-local, and the all-integer features
+    aggregate exactly on any engine."""
+    media = attach_wav_payload(
+        cat(spark, sf_dir).documents, n_samples=256, sample_rate=8000
+    )
+    return decode_audio_features(media)
 
 
 @query(

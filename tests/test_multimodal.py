@@ -181,3 +181,102 @@ def test_pgm_decoder_pluggable_through_decode_boundary(spark):
 
     with _pytest.raises(Exception):
         pgm_decoder(b"P6\n1 1\n255\n\x00\x00\x00", 4)  # wrong magic
+
+
+def test_wav_decoder_roundtrip_and_chunk_walk():
+    """The RIFF parser must decode a canonical file AND one with an
+    extra unknown chunk before fmt/data (the spec allows any order;
+    unknown chunks skip by declared size, odd sizes word-align)."""
+    import struct
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        _wav_header,
+        wav_decoder,
+    )
+
+    pcm = bytes(range(40, 48))
+    rate, bits, samples = wav_decoder(_wav_header(8, 8000, bits=8) + pcm)
+    assert (rate, bits) == (8000, 8)
+    assert samples == list(pcm)
+
+    # Hand-build: RIFF + junk chunk (odd size -> pad byte) + fmt + data
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\0"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 11025, 22050, 2, 16)
+    body = struct.pack("<4h", -1, 300, -32768, 32767)
+    data = b"data" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(junk + fmt + data)) + b"WAVE" + junk + fmt + data
+    rate, bits, samples = wav_decoder(payload)
+    assert (rate, bits) == (11025, 16)
+    assert samples == [-1, 300, -32768, 32767]
+
+
+def test_wav_decoder_error_paths():
+    import struct
+
+    import pytest
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        _wav_header,
+        wav_decoder,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decoder(b"OggS rest")
+    with pytest.raises(ValueError, match="missing fmt"):
+        wav_decoder(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # truncated data chunk: declared 100 bytes, provides 2
+    short = _wav_header(100, 8000) + b"ab"
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decoder(short)
+    # stereo rejected
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 16000, 2, 8)
+    data = b"data" + struct.pack("<I", 2) + b"ab"
+    payload = b"RIFF" + struct.pack("<I", 4 + len(fmt + data)) + b"WAVE" + fmt + data
+    with pytest.raises(ValueError, match="channel"):
+        wav_decoder(payload)
+    # non-PCM rejected
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 8000, 1, 8)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(fmt + data)) + b"WAVE" + fmt + data
+    with pytest.raises(ValueError, match="non-PCM"):
+        wav_decoder(payload)
+
+
+def test_netpbm_rejects_wide_maxval():
+    """16-bit netpbm (maxval > 255) stores 2 bytes/sample; decoding it
+    as 1 byte/pixel would be silent garbage, so the parser refuses."""
+    import pytest
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        pgm_decoder,
+        ppm_decoder,
+    )
+
+    wide_pgm = b"P5\n2 2\n65535\n" + bytes(8)
+    with pytest.raises(ValueError, match="maxval"):
+        pgm_decoder(wide_pgm, 4)
+    wide_ppm = b"P6\n2 2\n65535\n" + bytes(24)
+    with pytest.raises(ValueError, match="maxval"):
+        ppm_decoder(wide_ppm, 4)
+
+
+def test_wav_decode_features_roundtrip(spark, sf_dir):
+    """End-to-end: attach_wav_payload -> mapInPandas decode; parsed
+    rate/bits/n_samples come from the REAL header, amplitude features
+    from the decoded samples."""
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        attach_wav_payload,
+        decode_audio_features,
+    )
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").limit(20)
+    out = decode_audio_features(
+        attach_wav_payload(docs, n_samples=64, sample_rate=16000)
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["sample_rate"] == 16000
+        assert r["bits"] == 8
+        assert r["n_samples"] == 64
+        assert 0 <= r["peak"] <= 128
+        assert r["byte_len"] == 44 + 64
