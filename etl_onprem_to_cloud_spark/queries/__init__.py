@@ -159,6 +159,9 @@ _NEW_THIS_ROUND = (
     "q_session_bounce_rate",      # new: daily bounce-rate KPI
     "q_freshness_report",         # new: per-stream staleness monitor
     "q_multimodal_wav_decode",    # new: real RIFF/WAVE PCM decode
+    "q_kfold_balance",            # new: CV fold assignment + balance
+    "q_bootstrap_mean_ci",        # new: deterministic Poisson bootstrap
+    "q_curriculum_shards",        # new: difficulty stages + loader shards
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -868,3 +868,72 @@ def q_retrieval_mrr_eval(spark, sf_dir):
         )
         .orderBy("query_doc")
     )
+
+
+_CURR_STAGES, _CURR_SHARDS = 4, 8
+_CURR_GATE = duck_hash_gate("CAST(doc_id AS VARCHAR)", "curriculum")
+
+
+@query(
+    "q_curriculum_shards",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len({duck_tokens('text')}) AS BIGINT) AS score,
+    CAST({_CURR_GATE} % {_CURR_SHARDS} AS INTEGER) AS shard
+  FROM documents
+),
+st AS (
+  SELECT doc_id, score, shard,
+    ntile({_CURR_STAGES}) OVER (ORDER BY score, doc_id) AS stage
+  FROM s
+)
+SELECT CAST(stage AS INTEGER) AS stage, shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(score) AS BIGINT) AS total_tokens,
+  CAST(min(score) AS BIGINT) AS min_score,
+  CAST(max(score) AS BIGINT) AS max_score
+FROM st GROUP BY stage, shard
+ORDER BY stage, shard
+""",
+    tags=("curation", "ring-c", "curriculum", "split"),
+    description=(
+        f"Curriculum construction for training: rank every doc by an "
+        "integer difficulty proxy (token count), cut the ranking into "
+        f"{_CURR_STAGES} equal-depth stages (ntile over the total "
+        "order (score, doc_id) -- both engines use the standard "
+        "first-buckets-get-the-remainder ntile, so stages are "
+        f"identical), and hash-shard each stage {_CURR_SHARDS} ways "
+        "for parallel loaders.  Output = the per-(stage, shard) "
+        "manifest a curriculum schedule reads."
+    ),
+)
+def q_curriculum_shards(spark, sf_dir):
+    """The global ntile needs a total-order window -- a single-
+    partition sort of (score, doc_id) pairs ONLY (two ints per doc,
+    never the text).  At 100 TB swap ntile for the equi-depth cutpoint
+    approach of q_equidepth_global_prices (distributed histogram ->
+    broadcast cutpoints) with the same output contract; the per-stage
+    shard agg is an ordinary keyed shuffle either way."""
+    docs = cat(spark, sf_dir).documents
+    s = docs.select(
+        "doc_id",
+        F.size(tokens(F.lower("text"))).cast("bigint").alias("score"),
+        (hash_gate(F.col("doc_id").cast("string"), "curriculum") % _CURR_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    st = s.withColumn(
+        "stage",
+        F.ntile(_CURR_STAGES).over(Window.orderBy("score", "doc_id")),
+    )
+    return (
+        st.groupBy(F.col("stage").cast("int").alias("stage"), "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("score").cast("bigint").alias("total_tokens"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+        )
+        .orderBy("stage", "shard")
+    )

@@ -186,3 +186,204 @@ def q_nb_lang_classifier(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+_KFOLD_K = 5
+_KFOLD_GATE = duck_hash_gate("CAST(doc_id AS VARCHAR)", "kfold")
+
+
+@query(
+    "q_kfold_balance",
+    oracle=f"""
+WITH f AS (
+  SELECT CAST({_KFOLD_GATE} % {_KFOLD_K} AS INTEGER) AS fold, lang
+  FROM documents
+),
+ft AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS fold_docs FROM f GROUP BY fold
+)
+SELECT f.fold, f.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  ft.fold_docs,
+  floor(CAST(count(*) AS DOUBLE) / ft.fold_docs * 1000000.0 + 0.5)
+    / 1000000.0 AS frac_of_fold
+FROM f JOIN ft USING (fold)
+GROUP BY f.fold, f.lang, ft.fold_docs
+ORDER BY fold, lang
+""",
+    tags=("learn", "eval", "split", "ring-c"),
+    description=(
+        f"{_KFOLD_K}-fold cross-validation assignment with a fold-"
+        "balance report: fold = content-derived md5 hash-gate mod k "
+        "(repartition/rerun-stable, no rand()), output = per (fold, "
+        "label) counts and within-fold fraction -- the sanity check "
+        "that the folds are label-balanced before any CV loop trusts "
+        "them.  Fractions are exact-integer ratios through the "
+        "portable floor rounding."
+    ),
+)
+def q_kfold_balance(spark, sf_dir):
+    """One shuffle on (fold, lang) -- k*|labels| groups -- plus a
+    broadcast of the k-row fold totals; the assignment itself is
+    map-only and needs no shuffle at any corpus size."""
+    docs = cat(spark, sf_dir).documents
+    f = docs.select(
+        (hash_gate(F.col("doc_id").cast("string"), "kfold") % _KFOLD_K)
+        .cast("int")
+        .alias("fold"),
+        "lang",
+    )
+    ft = f.groupBy("fold").agg(F.count(F.lit(1)).cast("bigint").alias("fold_docs"))
+    return (
+        f.groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .join(F.broadcast(ft), "fold")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "fold_docs",
+            (
+                F.floor(
+                    F.col("n_docs").cast("double")
+                    / F.col("fold_docs")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("frac_of_fold"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+# Poisson(1) multiplicity thresholds on the md5 hash-gate grid
+# (floor(cdf(k) * (2^31 - 1)) for k = 0..3; the >= t3 tail gets
+# multiplicity 4).  Computed once in Python and embedded as identical
+# integer literals in both engines.
+_BOOT_T = (790015083, 1580030167, 1975037709, 2106706890)
+_BOOT_B = 32
+_BOOT_GATE = duck_hash_gate(
+    "CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)", "boot"
+)
+
+
+@query(
+    "q_bootstrap_mean_ci",
+    oracle=f"""
+WITH x AS (
+  SELECT o.o_totalprice, b.b, {_BOOT_GATE} AS g
+  FROM orders o, LATERAL (
+    SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b
+),
+w AS (
+  SELECT b, o_totalprice,
+    CASE WHEN g < {_BOOT_T[0]} THEN 0
+         WHEN g < {_BOOT_T[1]} THEN 1
+         WHEN g < {_BOOT_T[2]} THEN 2
+         WHEN g < {_BOOT_T[3]} THEN 3
+         ELSE 4 END AS m
+  FROM x
+),
+rep AS (
+  SELECT b,
+    CAST(sum(m * CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      / sum(m) AS rep_mean
+  FROM w GROUP BY b
+),
+rk AS (
+  SELECT rep_mean,
+    row_number() OVER (ORDER BY rep_mean, b) AS rn
+  FROM rep
+),
+full_mean AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+      AS mean_price
+  FROM orders
+)
+SELECT f.n_orders,
+  floor(f.mean_price * 1000000.0 + 0.5) / 1000000.0 AS mean_price,
+  floor(lo.rep_mean * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+  floor(hi.rep_mean * 1000000.0 + 0.5) / 1000000.0 AS ci_hi,
+  CAST({_BOOT_B} AS BIGINT) AS n_replicas
+FROM full_mean f,
+  (SELECT rep_mean FROM rk WHERE rn = 2) lo,
+  (SELECT rep_mean FROM rk WHERE rn = {_BOOT_B - 1}) hi
+""",
+    tags=("stats", "bootstrap", "ring-c", "analytics"),
+    description=(
+        "Deterministic Poisson bootstrap of the mean order price: each "
+        f"of {_BOOT_B} replicas gives every order a Poisson(1) "
+        "multiplicity derived from the md5 hash-gate (thresholds "
+        "embedded as identical integer literals -- no rand(), rerun- "
+        "and repartition-stable), replica means use exact DECIMAL "
+        "sums, and the 90%-ish CI picks the 2nd/31st sorted replica "
+        "means by exact rank.  THE scalable bootstrap: one pass, no "
+        "resample materialization."
+    ),
+)
+def q_bootstrap_mean_ci(spark, sf_dir):
+    """Scale shape: the replica fan-out is an in-task explode (x32
+    rows) that aggregates map-side into just B groups -- one tiny
+    shuffle of B partial rows per task, no data-sized shuffle at any
+    corpus size; the CI rank runs on a B-row relation."""
+    orders = cat(spark, sf_dir).orders
+    x = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    g = hash_gate(
+        F.concat_ws(
+            "#", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+        ),
+        "boot",
+    )
+    m = (
+        F.when(g < _BOOT_T[0], 0)
+        .when(g < _BOOT_T[1], 1)
+        .when(g < _BOOT_T[2], 2)
+        .when(g < _BOOT_T[3], 3)
+        .otherwise(4)
+    )
+    rep = (
+        x.select("b", "o_totalprice", m.alias("m"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(
+                    F.col("m") * F.col("o_totalprice").cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum("m")
+            ).alias("rep_mean")
+        )
+    )
+    w = Window.orderBy("rep_mean", "b")
+    rk = rep.withColumn("rn", F.row_number().over(w))
+    lo = rk.filter(F.col("rn") == 2).select(F.col("rep_mean").alias("lo"))
+    hi = rk.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.col("rep_mean").alias("hi")
+    )
+    full = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+    )
+
+    def pr6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            pr6(F.col("mean_price")).alias("mean_price"),
+            pr6(F.col("lo")).alias("ci_lo"),
+            pr6(F.col("hi")).alias("ci_hi"),
+            F.lit(_BOOT_B).cast("bigint").alias("n_replicas"),
+        )
+    )
