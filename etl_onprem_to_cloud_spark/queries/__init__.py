@@ -162,6 +162,8 @@ _NEW_THIS_ROUND = (
     "q_kfold_balance",            # new: CV fold assignment + balance
     "q_bootstrap_mean_ci",        # new: deterministic Poisson bootstrap
     "q_curriculum_shards",        # new: difficulty stages + loader shards
+    "q_retrieval_rrf_fusion",     # new: reciprocal-rank fusion combiner
+    "q_classifier_kappa",         # new: Cohen's kappa agreement gate
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

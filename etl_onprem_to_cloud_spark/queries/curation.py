@@ -618,9 +618,37 @@ def _overlap_ranked(docs):
     top-k ranking (q_id, doc_id, overlap, rnk).  Both
     q_retrieval_ndcg_eval and q_retrieval_mrr_eval consume THIS
     ranking, so 'companion metric over the same ranking' is a property
-    of the code, not of two copies staying in sync."""
+    of the code, not of two copies staying in sync.
+    q_retrieval_rrf_fusion shares the same candidate generation via
+    ``_overlap_candidates``."""
     from pyspark.sql import Window
 
+    tk = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.array_distinct(tokens(F.lower("text"))).alias("toks"),
+    )
+    q = tk.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("source").alias("q_src"),
+        F.col("lang").alias("q_lang"),
+        F.col("toks").alias("q_toks"),
+    )
+    tk, q, ov = _overlap_candidates(docs)
+    ranked = ov.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("overlap"), "doc_id")
+        ),
+    ).filter(F.col("rnk") <= _NDCG_K)
+    return tk, q, ranked
+
+
+def _overlap_candidates(docs):
+    """Candidate generation shared by the eval metrics and the RRF
+    fusion: tokenized corpus, query set (every 101st doc), and the
+    UN-CUT per-(query, candidate) distinct-token overlap counts."""
     tk = docs.select(
         "doc_id",
         "source",
@@ -640,13 +668,7 @@ def _overlap_ranked(docs):
         .groupBy("q_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
-    ranked = ov.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.desc("overlap"), "doc_id")
-        ),
-    ).filter(F.col("rnk") <= _NDCG_K)
-    return tk, q, ranked
+    return tk, q, ov
 
 
 
@@ -936,4 +958,106 @@ def q_curriculum_shards(spark, sf_dir):
             F.max("score").cast("bigint").alias("max_score"),
         )
         .orderBy("stage", "shard")
+    )
+
+
+_RRF_K = 60  # the standard RRF damping constant
+
+
+@query(
+    "q_retrieval_rrf_fusion",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, list_distinct({duck_tokens('text')}) AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id AS q_id, toks AS q_toks FROM tk WHERE doc_id % 101 = 0
+),
+ex AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+qx AS (SELECT q_id, unnest(q_toks) AS w FROM q),
+ov AS (
+  SELECT qx.q_id, ex.doc_id, count(*) AS overlap
+  FROM qx JOIN ex ON ex.w = qx.w AND ex.doc_id != qx.q_id
+  GROUP BY qx.q_id, ex.doc_id
+),
+sc AS (
+  SELECT o.q_id, o.doc_id, o.overlap,
+    (o.overlap * 1000000) // len(t.toks) AS dens
+  FROM ov o JOIN tk t ON t.doc_id = o.doc_id
+),
+rks AS (
+  SELECT q_id, doc_id,
+    row_number() OVER (PARTITION BY q_id
+                       ORDER BY overlap DESC, doc_id) AS rank_a,
+    row_number() OVER (PARTITION BY q_id
+                       ORDER BY dens DESC, doc_id) AS rank_b
+  FROM sc
+),
+fused AS (
+  SELECT q_id, doc_id,
+    CAST(1000000000 // ({_RRF_K} + rank_a)
+       + 1000000000 // ({_RRF_K} + rank_b) AS BIGINT) AS rrf_score
+  FROM rks
+)
+SELECT q_id AS query_doc, doc_id, rrf_score,
+  CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= {_NDCG_K}
+ORDER BY query_doc, rank
+""",
+    tags=("retrieval", "eval", "fusion", "ring-c"),
+    description=(
+        "Reciprocal-rank fusion of two retrieval systems over the "
+        "shared candidate pool: raw distinct-token overlap vs length-"
+        "normalized overlap density (integer floor-div, so both "
+        "rankings are exact), fused as sum of floor(1e9/(60+rank)) -- "
+        "the standard RRF with k=60 in overflow-free integers.  The "
+        "combiner every multi-retriever stack (BM25 + dense + ...) "
+        "needs, value-checkable because ranks and contributions are "
+        "all integers."
+    ),
+)
+def q_retrieval_rrf_fusion(spark, sf_dir):
+    """Same inverted-index candidate join as the NDCG/MRR evals (one
+    shared _overlap_candidates pipeline), two rank windows per query
+    over the candidate set, one fusion window -- no extra shuffles
+    beyond the eval family's."""
+    docs = cat(spark, sf_dir).documents
+    tk, q, ov = _overlap_candidates(docs)
+    sc = ov.join(
+        tk.select("doc_id", F.size("toks").alias("n_toks")), "doc_id"
+    ).select(
+        "q_id",
+        "doc_id",
+        "overlap",
+        F.expr("(overlap * 1000000) div n_toks").alias("dens"),
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("overlap"), "doc_id")
+    wb = Window.partitionBy("q_id").orderBy(F.desc("dens"), "doc_id")
+    rks = sc.select(
+        "q_id",
+        "doc_id",
+        F.row_number().over(wa).alias("rank_a"),
+        F.row_number().over(wb).alias("rank_b"),
+    )
+    fused = rks.select(
+        "q_id",
+        "doc_id",
+        (
+            F.expr(f"1000000000 div ({_RRF_K} + rank_a)")
+            + F.expr(f"1000000000 div ({_RRF_K} + rank_b)")
+        )
+        .cast("bigint")
+        .alias("rrf_score"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= _NDCG_K)
+        .select(
+            F.col("q_id").alias("query_doc"), "doc_id", "rrf_score", "rank"
+        )
+        .orderBy("query_doc", "rank")
     )

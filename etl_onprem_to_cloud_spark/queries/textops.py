@@ -1369,3 +1369,101 @@ def q_vocab_coverage(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "q_classifier_kappa",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKS_LOW} AS toks_low FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    {{en}} AS s_en, {{es}} AS s_es, {{de}} AS s_de, {{fr}} AS s_fr
+  FROM t
+),
+c AS (
+  SELECT lang AS g,
+    CASE
+      WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+      WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+      WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+      WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+      ELSE 'fr'
+    END AS p
+  FROM s
+),
+marg AS (
+  SELECT coalesce(r.k, col.k) AS k,
+    coalesce(r.rc, 0) AS rc, coalesce(col.cc, 0) AS cc
+  FROM (SELECT g AS k, count(*) AS rc FROM c GROUP BY g) r
+  FULL JOIN (SELECT p AS k, count(*) AS cc FROM c GROUP BY p) col
+    ON r.k = col.k
+),
+agg AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n,
+    (SELECT CAST(count(*) AS BIGINT) FROM c WHERE g = p) AS a,
+    (SELECT CAST(sum(rc * cc) AS BIGINT) FROM marg) AS rr
+)
+SELECT n AS n_docs, a AS n_agree,
+  floor(CAST(a AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0 AS po,
+  floor(CAST(rr AS DOUBLE) / (n * n) * 1000000.0 + 0.5) / 1000000.0 AS pe,
+  floor(CAST(a * n - rr AS DOUBLE) / (n * n - rr) * 1000000.0 + 0.5)
+    / 1000000.0 AS kappa
+FROM agg
+""".format(
+        en=_duck_lang_score(T.LANGUAGE_MARKERS["en"]),
+        es=_duck_lang_score(T.LANGUAGE_MARKERS["es"]),
+        de=_duck_lang_score(T.LANGUAGE_MARKERS["de"]),
+        fr=_duck_lang_score(T.LANGUAGE_MARKERS["fr"]),
+    ),
+    tags=("eval", "stats", "ring-c", "langid"),
+    description=(
+        "Cohen's kappa (chance-corrected agreement) of the marker-word "
+        "language-ID heuristic against the gold lang label: observed "
+        "agreement po, expected-by-chance pe from the row/column "
+        "marginals, kappa = (po - pe)/(1 - pe).  All three derive from "
+        "exact integer counts -- kappa is computed as the single "
+        "division (a*n - rr)/(n*n - rr) of two exact BIGINTs, so the "
+        "doubles are engine-identical.  The labeling-quality gate "
+        "before any heuristic classifier's output is trusted as "
+        "training signal."
+    ),
+)
+def q_classifier_kappa(spark, sf_dir):
+    """One map-only classify pass, two tiny marginal aggregations
+    (|classes| rows), one broadcast-joined scalar row -- no data-sized
+    shuffle at any corpus size."""
+    docs = cat(spark, sf_dir).documents
+    c = docs.select(
+        F.col("lang").alias("g"), T.language_id(F.col("text")).alias("p")
+    )
+    r = c.groupBy(F.col("g").alias("k")).agg(F.count(F.lit(1)).alias("rc"))
+    col = c.groupBy(F.col("p").alias("k")).agg(F.count(F.lit(1)).alias("cc"))
+    marg = (
+        r.join(col, "k", "full")
+        .select(
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+        .agg(F.sum(F.col("rc") * F.col("cc")).cast("bigint").alias("rr"))
+    )
+    base = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("g") == F.col("p")).cast("bigint"))
+        .cast("bigint")
+        .alias("a"),
+    )
+
+    def pr6(x):
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    n, a, rr = F.col("n"), F.col("a"), F.col("rr")
+    return base.crossJoin(F.broadcast(marg)).select(
+        n.alias("n_docs"),
+        a.alias("n_agree"),
+        pr6(a.cast("double") / n).alias("po"),
+        pr6(rr.cast("double") / (n * n)).alias("pe"),
+        pr6((a * n - rr).cast("double") / (n * n - rr)).alias("kappa"),
+    )
