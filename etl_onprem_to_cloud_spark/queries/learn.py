@@ -259,22 +259,35 @@ def q_kfold_balance(spark, sf_dir):
 
 # Poisson(1) multiplicity thresholds on the md5 hash-gate grid
 # (floor(cdf(k) * (2^31 - 1)) for k = 0..3; the >= t3 tail gets
-# multiplicity 4).  Computed once in Python and embedded as identical
-# integer literals in both engines.
-_BOOT_T = (790015083, 1580030167, 1975037709, 2106706890)
+# multiplicity 4).  Computed once in Python on the 2^16 grid and
+# embedded as identical integer literals in both engines.  The 16-bit
+# grid quantizes the Poisson cdf to ~1.5e-5 -- harmless for a
+# bootstrap (the multiplicity distribution is what matters, not its
+# 6th decimal) and it lets one digest serve EIGHT replicas.
+_BOOT_T = (24109, 48218, 60273, 64291)
 _BOOT_B = 32
-_BOOT_GATE = duck_hash_gate(
-    "CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)", "boot"
-)
+# One md5 serves eight replicas: the 32-hex digest splits into 8
+# independent 4-hex (16-bit) uniforms.  md5 is the expensive op here
+# (the only per-row work), so the two-step fan-out -- explode the 4
+# hash groups, hash, THEN explode the 8 slices -- cuts hashing 8x
+# versus one md5 per (row, replica).
+_BOOT_GROUPS = _BOOT_B // 8
 
 
 @query(
     "q_bootstrap_mean_ci",
     oracle=f"""
-WITH x AS (
-  SELECT o.o_totalprice, b.b, {_BOOT_GATE} AS g
+WITH hg AS (
+  SELECT o.o_totalprice, grp.grp,
+    md5('boot' || '|' || CAST(o.o_orderkey AS VARCHAR)
+        || '#' || CAST(grp.grp AS VARCHAR)) AS h
   FROM orders o, LATERAL (
-    SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b
+    SELECT unnest(generate_series(1, {_BOOT_GROUPS})) AS grp) grp
+),
+x AS (
+  SELECT o_totalprice, (grp - 1) * 8 + s + 1 AS b,
+    CAST(concat('0x', substr(h, 1 + 4 * s, 4)) AS BIGINT) AS g
+  FROM hg, LATERAL (SELECT unnest(generate_series(0, 7)) AS s) s
 ),
 w AS (
   SELECT b, o_totalprice,
@@ -329,17 +342,53 @@ def q_bootstrap_mean_ci(spark, sf_dir):
     shuffle of B partial rows per task, no data-sized shuffle at any
     corpus size; the CI rank runs on a B-row relation."""
     orders = cat(spark, sf_dir).orders
-    x = orders.select(
-        "o_orderkey",
+    # Pin the fan-out's parallelism: the 32x explode multiplies
+    # whatever the scan gives, and a small single-file input would
+    # serialize the whole hash+agg pipeline into one task.  The
+    # repartition moves only the skinny (price, key) projection, and
+    # its width follows the session's core count, so the same plan is
+    # right on one box and on a 1000-executor cluster.  Values cannot
+    # depend on the layout (content-derived hashes, order-independent
+    # DECIMAL sums).
+    skinny = orders.select(
+        "o_totalprice", F.col("o_orderkey").cast("string").alias("k")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    hg = skinny.select(
         "o_totalprice",
-        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "k",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_GROUPS))).alias("grp"),
+    ).select(
+        "o_totalprice",
+        "grp",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit("boot"),
+                F.concat_ws("#", F.col("k"), F.col("grp").cast("string")),
+            ).cast("binary")
+        ).alias("h"),
     )
-    g = hash_gate(
-        F.concat_ws(
-            "#", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
-        ),
-        "boot",
+    # Second fan-out AFTER the hash projection: the explode barrier
+    # keeps Catalyst from collapsing the md5 into the per-slice
+    # projection (the two-step tokenize-then-explode convention), so
+    # each digest is computed once and sliced four times.
+    x = hg.select(
+        "o_totalprice",
+        "grp",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
+    ).select(
+        "o_totalprice",
+        ((F.col("grp") - 1) * 8 + F.col("s") + 1).alias("b"),
+        F.conv(
+            F.col("h").substr(F.lit(1) + F.lit(4) * F.col("s"), F.lit(4)),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("g"),
     )
+    g = F.col("g")
     m = (
         F.when(g < _BOOT_T[0], 0)
         .when(g < _BOOT_T[1], 1)

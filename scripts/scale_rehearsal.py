@@ -137,6 +137,13 @@ REHEARSAL = [
     "q_retrieval_mrr_eval",
     "q_session_bounce_rate",
     "q_freshness_report",
+    # r4 batch 3
+    "q_multimodal_wav_decode",
+    "q_kfold_balance",
+    "q_bootstrap_mean_ci",
+    "q_curriculum_shards",
+    "q_retrieval_rrf_fusion",
+    "q_classifier_kappa",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
