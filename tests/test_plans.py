@@ -618,3 +618,36 @@ def test_contrastive_pairs_plan_shape(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # k-fold: one (fold, lang) rollup + the k-row fold-total broadcast.
+    ("q_kfold_balance", 3),
+    # bootstrap: the width-pinning repartition + B-group partial agg
+    # + B-row rank window + scalar crossJoins.
+    ("q_bootstrap_mean_ci", 6),
+    # curriculum: skinny (score, id) global ntile + (stage, shard) agg.
+    ("q_curriculum_shards", 4),
+    # RRF: inverted-index overlap + three rank windows over candidates.
+    ("q_retrieval_rrf_fusion", 10),
+    # kappa: map-only classify + two marginal rollups + scalar joins.
+    ("q_classifier_kappa", 6),
+])
+def test_r04_batch3_plan_shape(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+def test_wav_decode_is_arrow_batched(spark, sf_dir):
+    """The WAV decode runs once per Arrow batch (mapInPandas), never
+    row-at-a-time; everything around it is JVM exprs."""
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES["q_multimodal_wav_decode"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
