@@ -159,6 +159,7 @@ HEADLINE = [
     "q_curriculum_shards",
     "q_retrieval_rrf_fusion",
     "q_classifier_kappa",
+    "q_heaps_vocab_growth",
 ]
 
 

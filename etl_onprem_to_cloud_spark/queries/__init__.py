@@ -164,6 +164,7 @@ _NEW_THIS_ROUND = (
     "q_curriculum_shards",        # new: difficulty stages + loader shards
     "q_retrieval_rrf_fusion",     # new: reciprocal-rank fusion combiner
     "q_classifier_kappa",         # new: Cohen's kappa agreement gate
+    "q_heaps_vocab_growth",       # new: first-occurrence vocab curve
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -1467,3 +1467,83 @@ def q_classifier_kappa(spark, sf_dir):
         pr6(rr.cast("double") / (n * n)).alias("pe"),
         pr6((a * n - rr).cast("double") / (n * n - rr)).alias("kappa"),
     )
+
+
+_HEAPS_STEP = 25  # report every 25th doc (bounded output at any corpus size)
+
+
+@query(
+    "q_heaps_vocab_growth",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_DUCK_TOKS_LOW}) AS w FROM documents
+),
+dtok AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tk GROUP BY doc_id
+),
+first_use AS (
+  SELECT w, min(doc_id) AS first_doc FROM tk GROUP BY w
+),
+new_per_doc AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_use GROUP BY first_doc
+),
+cum AS (
+  SELECT d.doc_id,
+    CAST(sum(d.n_tok) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_tokens,
+    CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id) AS BIGINT)
+      AS cum_vocab
+  FROM dtok d LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id
+)
+SELECT doc_id, cum_tokens, cum_vocab
+FROM cum WHERE doc_id % {_HEAPS_STEP} = 0
+ORDER BY doc_id
+""",
+    tags=("text", "ring-c", "corpus-stats"),
+    description=(
+        "Heaps'-law vocabulary-growth curve: cumulative distinct "
+        "vocabulary vs cumulative token count over the doc_id order, "
+        "sampled every "
+        f"{_HEAPS_STEP}th doc.  The running-distinct is computed "
+        "scalably as first-occurrence attribution -- min(doc_id) per "
+        "token, new-token counts per doc, one cumulative window -- "
+        "never a running set.  The curve that says whether a corpus "
+        "keeps contributing new vocabulary or has gone stale "
+        "(diminishing n_new = crawl saturation)."
+    ),
+)
+def q_heaps_vocab_growth(spark, sf_dir):
+    """Two token-key shuffles (per-doc counts, global first-use), then
+    a window over the skinny (doc_id, n_tok, n_new) relation -- two
+    ints per doc, so the single-partition cumulative window holds at
+    any corpus size; the wide data never reaches it."""
+    docs = cat(spark, sf_dir).documents
+    tk = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower("text"))).alias("w")
+    )
+    dtok = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    new_per_doc = (
+        tk.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        dtok.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
+    return cum.filter(F.col("doc_id") % _HEAPS_STEP == 0).orderBy("doc_id")

@@ -144,6 +144,7 @@ REHEARSAL = [
     "q_curriculum_shards",
     "q_retrieval_rrf_fusion",
     "q_classifier_kappa",
+    "q_heaps_vocab_growth",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
