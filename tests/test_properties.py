@@ -498,3 +498,115 @@ def test_nb_classifier_invariant_under_repartition(spark, sf_dir, tmp_path):
     )
     again = QUERIES["q_nb_lang_classifier"].fn(spark, str(tmp_path)).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+# --------------------------------------------------------------------------
+# Codec properties (pure Python -- no Spark session needed)
+# --------------------------------------------------------------------------
+
+@given(
+    samples=st.lists(st.integers(0, 255), min_size=0, max_size=200),
+    rate=st.sampled_from([8000, 11025, 16000, 44100]),
+)
+@SETTINGS
+def test_wav_8bit_roundtrip_exact(samples, rate):
+    """Any 8-bit PCM stream survives header-build -> parse exactly."""
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        _wav_header,
+        wav_decoder,
+    )
+
+    payload = _wav_header(len(samples), rate, bits=8) + bytes(samples)
+    got_rate, got_bits, got = wav_decoder(payload)
+    assert (got_rate, got_bits) == (rate, 8)
+    assert got == samples
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=100),
+    rate=st.sampled_from([8000, 16000]),
+)
+@SETTINGS
+def test_wav_16bit_roundtrip_exact(samples, rate):
+    import struct
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        _wav_header,
+        wav_decoder,
+    )
+
+    payload = _wav_header(len(samples), rate, bits=16) + b"".join(
+        struct.pack("<h", s) for s in samples
+    )
+    got_rate, got_bits, got = wav_decoder(payload)
+    assert (got_rate, got_bits) == (rate, 16)
+    assert got == samples
+
+
+@given(blob=st.binary(max_size=400))
+@SETTINGS
+def test_parsers_total_on_arbitrary_bytes(blob):
+    """Fuzz totality: the three real codecs either decode or raise
+    ValueError -- never IndexError / struct.error / UnicodeDecodeError,
+    and never hang.  The contract that makes them safe to run inside a
+    mapInPandas pass over untrusted payload bytes."""
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        pgm_decoder,
+        ppm_decoder,
+        wav_decoder,
+    )
+
+    for decode in (
+        lambda b: wav_decoder(b),
+        lambda b: ppm_decoder(b, 8),
+        lambda b: pgm_decoder(b, 8),
+    ):
+        try:
+            decode(blob)
+        except ValueError:
+            pass
+
+
+@given(
+    blob=st.binary(max_size=300),
+    magic=st.sampled_from([b"RIFF", b"P6\n", b"P5\n"]),
+)
+@SETTINGS
+def test_parsers_total_on_magic_prefixed_bytes(blob, magic):
+    """Same totality contract past the magic check (the deeper parse
+    paths: header ints, chunk walks, raster/data slicing)."""
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        pgm_decoder,
+        ppm_decoder,
+        wav_decoder,
+    )
+
+    payload = magic + blob
+    for decode in (
+        lambda b: wav_decoder(b),
+        lambda b: ppm_decoder(b, 4),
+        lambda b: pgm_decoder(b, 4),
+    ):
+        try:
+            decode(payload)
+        except ValueError:
+            pass
+
+
+@given(
+    pixels=st.lists(st.integers(0, 255), min_size=1, max_size=120),
+    maxval_extra=st.integers(0, 55),
+    feat_dim=st.integers(1, 16),
+)
+@SETTINGS
+def test_pool_raster_bounds_on_valid_samples(pixels, maxval_extra, feat_dim):
+    """For spec-valid rasters (every sample <= maxval) pooled features
+    stay in [-1, 1]."""
+    from etl_onprem_to_cloud_spark.llm.multimodal import _pool_raster
+
+    maxval = max(pixels) + maxval_extra
+    if maxval == 0:
+        maxval = 1
+    feats = _pool_raster(bytes(pixels), maxval, feat_dim)
+    assert len(feats) == feat_dim
+    assert all(-1.0 <= f <= 1.0 for f in feats)
