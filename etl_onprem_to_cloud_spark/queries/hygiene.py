@@ -233,70 +233,17 @@ ORDER BY split, source
     ),
 )
 def q_training_data_pipeline(spark, sf_dir):
-    from ..llm import dedup as D
-    from ..operators.datamix import split_assignment
-    from ..functions import text as T
-    from .textops import (
-        _GATE_MAX_DUP_2GRAM,
-        _GATE_MAX_PUNCT,
-        _GATE_MIN_STOPWORD,
-        _GATE_MIN_TOKENS,
-    )
+    """One shared implementation with the operational facade
+    (llm/curate.py): this query reports curation_manifest(curated_docs)
+    and run_curation_pipeline writes the same stages to sinks -- the
+    oracle-checked rollup and the shipped corpus cannot drift.  Plan
+    notes (exploded-aggregation repetition gate, single shared scan)
+    live on curate.curated_docs."""
+    from ..llm.curate import curated_docs, curation_manifest
 
     docs = cat(spark, sf_dir).documents
-    deduped = D.exact_dedup(docs)
-    base = deduped.select(
-        "doc_id",
-        "source",
-        "text",
-        T.tokens(F.lower(F.col("text"))).alias("__tk"),
-    )
-    n_tok = F.size("__tk")
-    # Cheap per-row predicates first (each a single-pass expression --
-    # safe to let pushdown inline them into the scan-side filter).
-    cheap = base.filter(
-        (n_tok >= _GATE_MIN_TOKENS)
-        & (T.punct_ratio(F.col("text")) <= _GATE_MAX_PUNCT)
-        & (T.stopword_ratio(F.col("text")) >= _GATE_MIN_STOPWORD)
-    ).select("doc_id", "source", n_tok.alias("n_tok"), "__tk")
-    # The repetition predicate is NOT filtered in-row: a filter on
-    # dup_ngram_fraction gets pushdown-inlined and the captured gram
-    # construction re-evaluates per array element (measured 17s vs
-    # ~1s at sf0.1).  The scale-correct form is the exploded
-    # aggregation: one Generate evaluates the grams once per row,
-    # partial-agg counts total vs distinct, and a join keeps the
-    # passing docs.  (Docs past the min-token gate always have grams,
-    # so the inner join drops nothing else.)
-    grams = cheap.select(
-        "doc_id",
-        F.explode_outer(
-            T.word_ngrams_from_tokens(F.col("__tk"), 2)
-        ).alias("g"),
-    ).filter(F.col("g").isNotNull())
-    not_repetitive = (
-        grams.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_g"),
-            F.count_distinct("g").alias("n_d"),
-        )
-        .filter(
-            F.lit(1.0) - F.col("n_d") / F.col("n_g") <= _GATE_MAX_DUP_2GRAM
-        )
-        .select("doc_id")
-    )
-    kept = cheap.select("doc_id", "source", "n_tok").join(
-        not_repetitive, "doc_id"
-    )
-    _bucket, split = split_assignment(F.col("doc_id").cast("string"))
-    return (
-        kept.withColumn("split", split)
-        .groupBy("split", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-        )
-        .orderBy("split", "source")
-    )
+    return curation_manifest(curated_docs(docs))
+
 
 
 # --------------------------------------------------------------------------

@@ -89,3 +89,38 @@ def test_pipeline_empty_dir(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         run_netflix_pipeline(spark, str(empty))
+
+
+def test_curation_pipeline_writes_partitioned_corpus(spark, sf_dir, tmp_path):
+    """Operational facade: the curated corpus lands as split-partitioned
+    parquet (readers partition-prune to their fold), the manifest
+    matches the oracle-checked q_training_data_pipeline rollup, and the
+    written rows reconcile with the returned counts."""
+    from etl_onprem_to_cloud_spark.llm.curate import run_curation_pipeline
+    from etl_onprem_to_cloud_spark.queries import QUERIES
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    corpus_out = str(tmp_path / "corpus")
+    manifest_out = str(tmp_path / "manifest")
+    res = run_curation_pipeline(docs, corpus_out, manifest_out)
+    assert res.rows_in == docs.count()
+    assert 0 < res.rows_kept <= res.rows_in
+
+    back = spark.read.parquet(corpus_out)
+    assert back.count() == res.rows_kept
+    assert set(r["split"] for r in back.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    # partition pruning: a split filter must prune to that partition's dir
+    pruned = back.filter(back["split"] == "train")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "split=train" in plan or pruned.count() < back.count()
+
+    # manifest == the driver-green query rollup, value for value
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["q_training_data_pipeline"].fn(spark, sf_dir).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(manifest_out).collect())
+    assert got == want
