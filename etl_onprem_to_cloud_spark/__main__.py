@@ -3,6 +3,7 @@
     python -m etl_onprem_to_cloud_spark list [--tag dedup]
     python -m etl_onprem_to_cloud_spark run q01_pricing_summary \
         [--sf-dir /root/testdata/sf0.1] [--limit 20] [--explain] [--metrics]
+    python -m etl_onprem_to_cloud_spark curate --sf-dir DIR --out DIR
 
 ``run`` prints the result as Spark's show() table (bounded by --limit),
 optionally with the simple-mode physical plan and the executed-plan
@@ -33,6 +34,17 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--explain", action="store_true")
     p_run.add_argument("--metrics", action="store_true")
 
+    p_cur = sub.add_parser(
+        "curate",
+        help="run the curation pipeline: dedup -> quality gate -> split, "
+        "write split-partitioned corpus + manifest",
+    )
+    p_cur.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    p_cur.add_argument("--out", required=True, help="output directory")
+
     args = p.parse_args(argv)
 
     from .queries import QUERIES
@@ -43,6 +55,28 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             oracle = "oracle" if spec.oracle else "rows-only"
             print(f"{name}\t[{oracle}]\t{', '.join(spec.tags)}")
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import SparkSession
+
+        from .llm.curate import run_curation_pipeline
+        from .session import get_spark
+        from .sources.io import read_parquet
+
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = get_spark(app_name="cli-curate")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = read_parquet(spark, os.path.join(args.sf_dir, "documents.parquet"))
+        res = run_curation_pipeline(
+            docs,
+            corpus_out=os.path.join(args.out, "corpus"),
+            manifest_out=os.path.join(args.out, "manifest"),
+        )
+        res.manifest.show(100, truncate=False)
+        print(f"kept {res.rows_kept}/{res.rows_in} docs -> {args.out}")
+        if not preexisting:
+            spark.stop()
         return 0
 
     if args.name not in QUERIES:

@@ -33,3 +33,14 @@ def test_run_executes_and_keeps_shared_session(spark, sf_dir, capsys):
     assert "l_returnflag" in out
     # still alive for the rest of the suite
     assert spark.range(1).count() == 1
+
+
+def test_curate_writes_corpus_and_manifest(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "cur")
+    assert main(["curate", "--sf-dir", sf_dir, "--out", out_dir]) == 0
+    printed = capsys.readouterr().out
+    assert "kept" in printed
+    back = spark.read.parquet(f"{out_dir}/corpus")
+    assert back.count() > 0 and "split" in back.columns
+    assert spark.read.parquet(f"{out_dir}/manifest").count() > 0
+    assert spark.range(1).count() == 1  # shared session survives
