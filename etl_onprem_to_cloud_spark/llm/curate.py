@@ -114,17 +114,31 @@ def run_curation_pipeline(
     ``manifest_out``: the (split, source) manifest as parquet.
     Either sink may be None (report-only / corpus-only runs).
     """
-    curated = curated_docs(docs)
-    manifest = curation_manifest(curated)
-    if corpus_out:
-        curated.write.mode("overwrite").partitionBy("split").parquet(
-            corpus_out
+    # The curation DAG (exploded 2-gram aggregation + joins) is the
+    # dominant cost; without the persist it would recompute for the
+    # corpus write, the manifest write, and the count.  One pass
+    # materializes it; rows_kept folds out of the manifest for free.
+    curated = curated_docs(docs).persist()
+    try:
+        manifest = curation_manifest(curated)
+        if corpus_out:
+            curated.write.mode("overwrite").partitionBy("split").parquet(
+                corpus_out
+            )
+        manifest_rows = manifest.collect()
+        if manifest_out:
+            manifest.write.mode("overwrite").parquet(manifest_out)
+        # Return the manifest re-materialized from its collected rows
+        # (it is a per-(split, source) rollup -- tiny by construction)
+        # so callers can show()/join it after the unpersist below
+        # without re-running the curation DAG.
+        return CurationResult(
+            kept=curated,
+            manifest=docs.sparkSession.createDataFrame(
+                manifest_rows, manifest.schema
+            ),
+            rows_in=docs.count(),
+            rows_kept=sum(r["n_docs"] for r in manifest_rows),
         )
-    if manifest_out:
-        manifest.write.mode("overwrite").parquet(manifest_out)
-    return CurationResult(
-        kept=curated,
-        manifest=manifest,
-        rows_in=docs.count(),
-        rows_kept=curated.count(),
-    )
+    finally:
+        curated.unpersist()

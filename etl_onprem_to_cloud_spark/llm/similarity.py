@@ -169,8 +169,9 @@ def lloyd_fit(
     (tests/test_similarity_ml.py)."""
     import numpy as np
 
+    if not rows:  # mirror the distributed path: empty in, empty out
+        return []
     rows = sorted(rows, key=lambda r: r[0])
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
     V = np.array([r[1] for r in rows], dtype=np.float64)
     cents = [(j, V[j]) for j in range(min(num_cells, len(rows)))]
     vv = (V * V).cumsum(axis=1)[:, -1]
@@ -245,15 +246,6 @@ def lloyd_cells(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    w = Window.orderBy("__id")
-    cents = (
-        e.orderBy("__id")
-        .limit(num_cells)
-        .select(
-            (F.row_number().over(w) - F.lit(1)).cast("int").alias("cell"),
-            F.col("__v").alias("centroid"),
-        )
-    )
 
     def assign(cents_df):
         cents_arr = cents_df.agg(
@@ -320,6 +312,17 @@ def lloyd_cells(
             )
         cents = materialize(lloyd_fit(fit_rows, num_cells, n_iter))
     else:
+        # Init: the num_cells smallest-id vectors, cell = rank - 1
+        # (the same seeding lloyd_fit applies to its sorted rows).
+        w = Window.orderBy("__id")
+        cents = (
+            e.orderBy("__id")
+            .limit(num_cells)
+            .select(
+                (F.row_number().over(w) - F.lit(1)).cast("int").alias("cell"),
+                F.col("__v").alias("centroid"),
+            )
+        )
         # Materialize the centroid table between rounds: a BOUNDED
         # collect of <= num_cells rows (same class as the PageRank
         # scalar and coreset steps).  Without it each round's plan

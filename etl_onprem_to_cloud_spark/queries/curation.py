@@ -621,20 +621,6 @@ def _overlap_ranked(docs):
     of the code, not of two copies staying in sync.
     q_retrieval_rrf_fusion shares the same candidate generation via
     ``_overlap_candidates``."""
-    from pyspark.sql import Window
-
-    tk = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.array_distinct(tokens(F.lower("text"))).alias("toks"),
-    )
-    q = tk.filter(F.col("doc_id") % 101 == 0).select(
-        F.col("doc_id").alias("q_id"),
-        F.col("source").alias("q_src"),
-        F.col("lang").alias("q_lang"),
-        F.col("toks").alias("q_toks"),
-    )
     tk, q, ov = _overlap_candidates(docs)
     ranked = ov.withColumn(
         "rnk",

@@ -257,8 +257,8 @@ def q_kfold_balance(spark, sf_dir):
     )
 
 
-# Poisson(1) multiplicity thresholds on the md5 hash-gate grid
-# (floor(cdf(k) * (2^31 - 1)) for k = 0..3; the >= t3 tail gets
+# Poisson(1) multiplicity thresholds on the 16-bit hash-slice grid
+# (floor(cdf(k) * 2^16) for k = 0..3; the >= t3 tail gets
 # multiplicity 4).  Computed once in Python on the 2^16 grid and
 # embedded as identical integer literals in both engines.  The 16-bit
 # grid quantizes the Poisson cdf to ~1.5e-5 -- harmless for a
