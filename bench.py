@@ -160,6 +160,8 @@ HEADLINE = [
     "q_retrieval_rrf_fusion",
     "q_classifier_kappa",
     "q_heaps_vocab_growth",
+    "q_ks_drift_purchase_view",
+    "q_temporal_split_audit",
 ]
 
 

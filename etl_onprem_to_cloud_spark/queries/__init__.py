@@ -165,6 +165,8 @@ _NEW_THIS_ROUND = (
     "q_retrieval_rrf_fusion",     # new: reciprocal-rank fusion combiner
     "q_classifier_kappa",         # new: Cohen's kappa agreement gate
     "q_heaps_vocab_growth",       # new: first-occurrence vocab curve
+    "q_ks_drift_purchase_view",   # new: exact-integer KS drift test
+    "q_temporal_split_audit",     # new: time split + leakage overlap
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

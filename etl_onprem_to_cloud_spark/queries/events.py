@@ -758,3 +758,79 @@ def q_session_bounce_rate(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_temporal_split_audit",
+    oracle="""
+WITH cut AS (
+  SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY AS cutoff FROM events
+),
+tagged AS (
+  SELECT CASE WHEN e.ts < c.cutoff THEN 'train' ELSE 'test' END AS split,
+    e.ts, e.user_id
+  FROM events e, cut c
+),
+overlap AS (
+  SELECT CAST(count(*) AS BIGINT) AS overlap_users FROM (
+    SELECT user_id FROM tagged GROUP BY user_id
+    HAVING count(DISTINCT split) = 2
+  )
+)
+SELECT t.split,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+  strftime(min(t.ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+  strftime(max(t.ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+  o.overlap_users
+FROM tagged t, overlap o
+GROUP BY t.split, o.overlap_users
+ORDER BY t.split
+""",
+    tags=("events", "eval", "split", "ring-c"),
+    description=(
+        "Temporal train/test split with a leakage audit: cutoff = "
+        "last full day minus 7 days (derived from the data, so the "
+        "split is reproducible without configuration), per-split "
+        "event/user counts and time ranges, plus the cross-split user "
+        "overlap -- the contamination surface that decides whether "
+        "user-level features can be trained on the past and evaluated "
+        "on the future.  The TIME-based sibling of the hash-gate "
+        "q_split_train_val_test."
+    ),
+)
+def q_temporal_split_audit(spark, sf_dir):
+    """One pass tags events against the broadcast 1-row cutoff; the
+    audit is two keyed aggregations (split, user) over the tagged
+    relation -- the tag predicate is scan-inlined, so at 100 TB this
+    is a full scan plus two shuffles on bounded keys."""
+    ev = cat(spark, sf_dir).events
+    cut = ev.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr("INTERVAL 7 DAYS")).alias(
+            "cutoff"
+        )
+    )
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("ts") < F.col("cutoff"), "train")
+        .otherwise("test")
+        .alias("split"),
+        "ts",
+        "user_id",
+    )
+    overlap = (
+        tagged.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_users"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            fmt_ts(F.min("ts"), "first_ts"),
+            fmt_ts(F.max("ts"), "last_ts"),
+        )
+        .crossJoin(F.broadcast(overlap))
+        .orderBy("split")
+    )

@@ -2710,3 +2710,97 @@ def q_js_divergence_sources(spark, sf_dir):
         .orderBy(F.desc("jsd"), "src_a", "src_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample drift test (exact integer ECDFs)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_ks_drift_purchase_view",
+    oracle="""
+WITH v AS (
+  SELECT value,
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c1,
+    count(CASE WHEN event_type = 'view' THEN 1 END) AS c2
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+  GROUP BY value
+),
+c AS (
+  SELECT
+    CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+    CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+  FROM v
+),
+n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM v
+),
+d AS (
+  SELECT CAST(max(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT) AS d_num
+  FROM c, n
+)
+SELECT n.n1, n.n2, d.d_num,
+  floor(CAST(d.d_num AS DOUBLE) / (n.n1 * n.n2) * 1000000.0 + 0.5)
+    / 1000000.0 AS ks_d
+FROM n, d
+""",
+    tags=("stats", "drift", "hypothesis-test", "nonparametric"),
+    description=(
+        "Two-sample Kolmogorov-Smirnov statistic between the purchase "
+        "and view value distributions: D = max |ECDF1 - ECDF2|, "
+        "computed EXACTLY as max |cum1*n2 - cum2*n1| over the distinct "
+        "value domain (one integer per step -- no float ECDFs to "
+        "diverge), divided once at the end.  The distribution-drift "
+        "companion to q_psi_price_drift (binned) and "
+        "q_mannwhitney_purchase_view (rank-sum): same single shuffle "
+        "on the bounded distinct-value domain, NULLs dropped in both "
+        "engines for the same reason as the rank-sum test."
+    ),
+)
+def q_ks_drift_purchase_view(spark, sf_dir):
+    """One shuffle compresses events to per-distinct-value counts; the
+    ECDF cumsum is a single-partition window over the bounded distinct
+    domain (2-decimal values -- thousands of rows), then a 1-row max."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events.filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    v = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = v.select(
+        F.sum("c1").over(w).cast("bigint").alias("cum1"),
+        F.sum("c2").over(w).cast("bigint").alias("cum2"),
+    )
+    n = v.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = c.crossJoin(F.broadcast(n)).agg(
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+        .cast("bigint")
+        .alias("d_num")
+    )
+    return (
+        n.crossJoin(F.broadcast(d))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.floor(
+                    F.col("d_num").cast("double")
+                    / (F.col("n1") * F.col("n2"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("ks_d"),
+        )
+    )
