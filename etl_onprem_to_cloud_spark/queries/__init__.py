@@ -167,6 +167,7 @@ _NEW_THIS_ROUND = (
     "q_heaps_vocab_growth",       # new: first-occurrence vocab curve
     "q_ks_drift_purchase_view",   # new: exact-integer KS drift test
     "q_temporal_split_audit",     # new: time split + leakage overlap
+    "q_chi2_type_by_dow",         # new: chi-squared independence test
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -2804,3 +2804,99 @@ def q_ks_drift_purchase_view(spark, sf_dir):
             ).alias("ks_d"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-squared independence test (event type x day-of-week)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_chi2_type_by_dow",
+    oracle="""
+WITH o AS (
+  SELECT event_type AS t, CAST(dayofweek(ts) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT t, d, obs,
+    CAST(sum(obs) OVER (PARTITION BY t) AS BIGINT) AS row_tot,
+    CAST(sum(obs) OVER (PARTITION BY d) AS BIGINT) AS col_tot,
+    CAST(sum(obs) OVER () AS BIGINT) AS n
+  FROM o
+),
+terms AS (
+  SELECT n,
+    CAST(floor(
+      (CAST(obs * n - row_tot * col_tot AS DOUBLE)
+       * CAST(obs * n - row_tot * col_tot AS DOUBLE))
+      / ((CAST(n AS DOUBLE) * row_tot) * col_tot)
+      * 1000000.0 + 0.5) AS BIGINT) AS tq,
+    row_tot, col_tot
+  FROM m
+)
+SELECT
+  (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM o) AS n_types,
+  (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM o) AS n_days,
+  max(n) AS n_events,
+  CAST(sum(tq) AS DOUBLE) / 1000000.0 AS chi2
+FROM terms
+""",
+    tags=("stats", "hypothesis-test", "analytics"),
+    description=(
+        "Chi-squared test of independence between event type and "
+        "day-of-week: chi2 = sum (obs*N - row*col)^2 / (N*row*col) "
+        "per cell -- every input an exact BIGINT, the numerator "
+        "difference exact in double (< 2^53), the denominator "
+        "multiplied in the same (N*row)*col order in both engines, "
+        "each cell term floor-quantized to 1e-6 and summed as "
+        "integers.  Completes the classical trio with the t-test and "
+        "the rank-sum test: is the traffic mix stable across the "
+        "week, or does the pipeline need day-stratified sampling?"
+    ),
+)
+def q_chi2_type_by_dow(spark, sf_dir):
+    """One shuffle to the (type, dow) contingency table -- a few dozen
+    cells at any corpus size -- then window marginals and a 1-row
+    reduce over the cells."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    o = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.dayofweek("ts").cast("bigint").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    m = o.select(
+        "t",
+        "d",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("t")).cast("bigint").alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("d")).cast("bigint").alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    diff = (F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot")).cast(
+        "double"
+    )
+    tq = F.floor(
+        diff
+        * diff
+        / (
+            (F.col("n").cast("double") * F.col("row_tot"))
+            * F.col("col_tot")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    dims = o.agg(
+        F.count_distinct("t").cast("bigint").alias("n_types"),
+        F.count_distinct("d").cast("bigint").alias("n_days"),
+    )
+    return (
+        m.select(tq.alias("tq"), "n")
+        .agg(
+            F.max("n").alias("n_events"),
+            (F.sum("tq").cast("double") / F.lit(1e6)).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select("n_types", "n_days", "n_events", "chi2")
+    )

@@ -147,6 +147,7 @@ REHEARSAL = [
     "q_heaps_vocab_growth",
     "q_ks_drift_purchase_view",
     "q_temporal_split_audit",
+    "q_chi2_type_by_dow",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
