@@ -163,6 +163,7 @@ HEADLINE = [
     "q_ks_drift_purchase_view",
     "q_temporal_split_audit",
     "q_chi2_type_by_dow",
+    "q_km_survival_first_purchase",
 ]
 
 

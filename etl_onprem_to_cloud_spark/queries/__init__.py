@@ -168,6 +168,7 @@ _NEW_THIS_ROUND = (
     "q_ks_drift_purchase_view",   # new: exact-integer KS drift test
     "q_temporal_split_audit",     # new: time split + leakage overlap
     "q_chi2_type_by_dow",         # new: chi-squared independence test
+    "q_km_survival_first_purchase",  # new: Kaplan-Meier survival curve
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

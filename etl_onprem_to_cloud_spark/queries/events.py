@@ -834,3 +834,127 @@ def q_temporal_split_audit(spark, sf_dir):
         .crossJoin(F.broadcast(overlap))
         .orderBy("split")
     )
+
+
+@query(
+    "q_km_survival_first_purchase",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+    min(ts) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT max(ts) AS tmax FROM events),
+d AS (
+  SELECT
+    CASE WHEN u.tp IS NOT NULL
+      THEN CAST(floor((floor(epoch(u.tp)) - floor(epoch(u.t0))) / 3600) AS BIGINT)
+      ELSE CAST(floor((floor(epoch(h.tmax)) - floor(epoch(u.t0))) / 3600) AS BIGINT)
+    END AS dur_h,
+    CASE WHEN u.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u, horizon h
+),
+g AS (
+  SELECT dur_h,
+    CAST(sum(ev) AS BIGINT) AS d_i,
+    CAST(count(*) AS BIGINT) AS leave_i
+  FROM d GROUP BY dur_h
+),
+r AS (
+  SELECT dur_h, d_i,
+    CAST((SELECT count(*) FROM d) AS BIGINT)
+      - CAST(coalesce(sum(leave_i) OVER (ORDER BY dur_h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS n_risk
+  FROM g
+),
+f AS (
+  SELECT dur_h, d_i, n_risk,
+    CAST(floor(ln(CAST(n_risk - d_i AS DOUBLE) / n_risk) * 1000000.0 + 0.5)
+      AS BIGINT) AS qln_f
+  FROM r WHERE d_i > 0 AND n_risk > d_i
+)
+SELECT dur_h, d_i, n_risk,
+  CAST(sum(qln_f) OVER (ORDER BY dur_h) AS BIGINT) AS log_surv_q
+FROM f ORDER BY dur_h
+""",
+    tags=("events", "stats", "survival", "ring-c"),
+    description=(
+        "Kaplan-Meier estimator of time to first purchase (hours from "
+        "a user's first event; users without a purchase are censored "
+        "at the observation horizon): per event-time at-risk counts "
+        "and events are exact BIGINTs, and the survival curve is "
+        "carried as the CUMULATIVE FIXED-POINT LOG "
+        "(sum of floor(ln((n-d)/n)*1e6+0.5)) -- the engine-portable "
+        "form of the KM product, same quantized-ln convention as the "
+        "NB classifier (documented ~1e-9/term ulp risk).  S(t) = "
+        "exp(log_surv_q/1e6) downstream.  Times where n_risk = d_i "
+        "(the curve hits zero) are excluded from the log-domain "
+        "output, as are pure-censoring times, per the standard "
+        "estimator."
+    ),
+)
+def q_km_survival_first_purchase(spark, sf_dir):
+    """One shuffle to per-user first-event/first-purchase, then the
+    per-duration rollup (bounded domain: hours) and two windows over
+    that bounded relation -- the KM curve costs one user-keyed pass at
+    any corpus size."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    sec = lambda c: F.floor(F.unix_timestamp(c).cast("double"))
+    d = u.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.floor((sec(F.col("tp")) - sec(F.col("t0"))) / 3600),
+        )
+        .otherwise(F.floor((sec(F.col("tmax")) - sec(F.col("t0"))) / 3600))
+        .cast("bigint")
+        .alias("dur_h"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    g = d.groupBy("dur_h").agg(
+        F.sum("ev").cast("bigint").alias("d_i"),
+        F.count(F.lit(1)).cast("bigint").alias("leave_i"),
+    )
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_prior = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.crossJoin(F.broadcast(total)).select(
+        "dur_h",
+        "d_i",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leave_i").over(w_prior), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    f = r.filter((F.col("d_i") > 0) & (F.col("n_risk") > F.col("d_i"))).select(
+        "dur_h",
+        "d_i",
+        "n_risk",
+        F.floor(
+            F.log((F.col("n_risk") - F.col("d_i")).cast("double") / F.col("n_risk"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("qln_f"),
+    )
+    w_cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    return f.select(
+        "dur_h",
+        "d_i",
+        "n_risk",
+        F.sum("qln_f").over(w_cum).cast("bigint").alias("log_surv_q"),
+    ).orderBy("dur_h")

@@ -148,6 +148,7 @@ REHEARSAL = [
     "q_ks_drift_purchase_view",
     "q_temporal_split_audit",
     "q_chi2_type_by_dow",
+    "q_km_survival_first_purchase",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
