@@ -164,6 +164,7 @@ HEADLINE = [
     "q_temporal_split_audit",
     "q_chi2_type_by_dow",
     "q_km_survival_first_purchase",
+    "q_item_item_cf",
 ]
 
 

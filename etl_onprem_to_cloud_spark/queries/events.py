@@ -958,3 +958,133 @@ def q_km_survival_first_purchase(spark, sf_dir):
         "n_risk",
         F.sum("qln_f").over(w_cum).cast("bigint").alias("log_surv_q"),
     ).orderBy("dur_h")
+
+
+_CF_CAP = 50  # max items per user entering the pair fan-out
+
+
+@query(
+    "q_item_item_cf",
+    oracle=f"""
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS INTEGER) AS item
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+    AND (props->>'$.k') IS NOT NULL
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+    FROM ui
+  ) WHERE rn <= {_CF_CAP}
+),
+n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_u FROM capped GROUP BY item
+),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+    CAST(count(*) AS BIGINT) AS co_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+s AS (
+  SELECT co.item_a, co.item_b, co.co_users,
+    floor(CAST(co.co_users AS DOUBLE)
+          / sqrt(CAST(na.n_u AS DOUBLE) * nb.n_u)
+          * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM co
+  JOIN n na ON na.item = co.item_a
+  JOIN n nb ON nb.item = co.item_b
+)
+SELECT item_a, item_b, co_users, cosine,
+  CAST(row_number() OVER (ORDER BY cosine DESC, item_a, item_b) AS BIGINT)
+    AS rank
+FROM s
+QUALIFY rank <= 20
+ORDER BY rank
+""",
+    tags=("events", "recsys", "similarity", "ring-c"),
+    description=(
+        "Item-item collaborative filtering: binary co-occurrence "
+        "cosine between items over the users who interacted with both "
+        "(co / sqrt(n_a * n_b) -- counts exact, sqrt IEEE-correctly-"
+        "rounded, one portable floor-round), top-20 pairs.  The "
+        "classic recsys similarity primitive, computed as the "
+        "pairs-within-user fan-out with a deterministic per-user item "
+        f"cap ({_CF_CAP}) so a power user cannot go quadratic -- the "
+        "same bounding discipline as the contrastive-pair miner."
+    ),
+)
+def q_item_item_cf(spark, sf_dir):
+    """Shuffles: distinct (user, item), the capped rank window per
+    user, one user-keyed self-join whose fan-out is <= cap^2/2 per
+    user, then the (item_a, item_b) rollup -- every stage keyed and
+    bounded; the n_u relation is item-domain-sized and broadcasts."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    ui = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "view")
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    capped = (
+        ui.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("item")
+            ),
+        )
+        .filter(F.col("rn") <= _CF_CAP)
+        .select("user_id", "item")
+    )
+    n = capped.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u")
+    )
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
+    )
+    s = (
+        co.join(
+            F.broadcast(n.select(F.col("item").alias("item_a"), F.col("n_u").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(n.select(F.col("item").alias("item_b"), F.col("n_u").alias("nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "co_users",
+            (
+                F.floor(
+                    F.col("co_users").cast("double")
+                    / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), "item_a", "item_b")
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("item_a", "item_b", "co_users", "cosine", "rank")
+        .orderBy("rank")
+    )
