@@ -165,6 +165,7 @@ HEADLINE = [
     "q_chi2_type_by_dow",
     "q_km_survival_first_purchase",
     "q_item_item_cf",
+    "q_association_rules_parts",
 ]
 
 

@@ -170,6 +170,7 @@ _NEW_THIS_ROUND = (
     "q_chi2_type_by_dow",         # new: chi-squared independence test
     "q_km_survival_first_purchase",  # new: Kaplan-Meier survival curve
     "q_item_item_cf",             # new: item-item co-occurrence cosine
+    "q_association_rules_parts",  # new: market-basket support/conf/lift
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

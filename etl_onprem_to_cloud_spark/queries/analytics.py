@@ -876,3 +876,121 @@ def q_skew_profile_orders_custkey(spark, sf_dir):
             "hottest_key",
         )
     )
+
+
+@query(
+    "q_association_rules_parts",
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM b GROUP BY item
+),
+co AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+    CAST(count(*) AS BIGINT) AS co_baskets
+  FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY a.item, c.item
+  HAVING count(*) >= 2
+),
+s AS (
+  SELECT co.item_a, co.item_b, co.co_baskets,
+    floor(CAST(co.co_baskets AS DOUBLE) / nb.n_baskets * 1000000.0 + 0.5)
+      / 1000000.0 AS support,
+    floor(CAST(co.co_baskets AS DOUBLE) / na.n_i * 1000000.0 + 0.5)
+      / 1000000.0 AS conf_ab,
+    floor(CAST(co.co_baskets AS DOUBLE) / nc.n_i * 1000000.0 + 0.5)
+      / 1000000.0 AS conf_ba,
+    floor(CAST(co.co_baskets AS DOUBLE) * nb.n_baskets
+          / (CAST(na.n_i AS DOUBLE) * nc.n_i) * 1000000.0 + 0.5)
+      / 1000000.0 AS lift
+  FROM co
+  JOIN n na ON na.item = co.item_a
+  JOIN n nc ON nc.item = co.item_b
+  CROSS JOIN nb
+)
+SELECT item_a, item_b, co_baskets, support, conf_ab, conf_ba, lift,
+  CAST(row_number() OVER (ORDER BY lift DESC, item_a, item_b) AS BIGINT)
+    AS rank
+FROM s
+QUALIFY rank <= 20
+ORDER BY rank
+""",
+    tags=("analytics", "recsys", "market-basket", "ring-b"),
+    description=(
+        "Market-basket association rules over order baskets: pair "
+        "support, both-direction confidence, and lift (co*N/(na*nb)) "
+        "for part pairs co-purchased in >= 2 orders, top-20 by lift.  "
+        "Every statistic is a ratio of exact BIGINTs through one "
+        "portable floor-round; the pair fan-out is bounded by order "
+        "width (TPC-H baskets are <= 7 lines), so the self-join is "
+        "pairs-within-basket, never items x items."
+    ),
+)
+def q_association_rules_parts(spark, sf_dir):
+    """Shuffles: distinct (basket, item), the basket-keyed self-join
+    (fan-out <= width^2/2 per basket), the (a, b) rollup; the item
+    count table broadcasts; N is a 1-row broadcast scalar."""
+    from pyspark.sql import Window
+
+    li = cat(spark, sf_dir).lineitem
+    b = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = b.agg(F.count_distinct("basket").cast("bigint").alias("n_baskets"))
+    n = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    x = b.select("basket", F.col("item").alias("item_a"))
+    y = b.select("basket", F.col("item").alias("item_b"))
+    co = (
+        x.join(y, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_baskets"))
+        .filter(F.col("co_baskets") >= 2)
+    )
+
+    def pr6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    s = (
+        co.join(
+            F.broadcast(
+                n.select(F.col("item").alias("item_a"), F.col("n_i").alias("na"))
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("item").alias("item_b"), F.col("n_i").alias("nbk"))
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "co_baskets",
+            pr6(
+                F.col("co_baskets").cast("double") / F.col("n_baskets")
+            ).alias("support"),
+            pr6(F.col("co_baskets").cast("double") / F.col("na")).alias(
+                "conf_ab"
+            ),
+            pr6(F.col("co_baskets").cast("double") / F.col("nbk")).alias(
+                "conf_ba"
+            ),
+            pr6(
+                F.col("co_baskets").cast("double")
+                * F.col("n_baskets")
+                / (F.col("na").cast("double") * F.col("nbk"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "item_a", "item_b")
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
