@@ -171,6 +171,8 @@ _NEW_THIS_ROUND = (
     "q_km_survival_first_purchase",  # new: Kaplan-Meier survival curve
     "q_item_item_cf",             # new: item-item co-occurrence cosine
     "q_association_rules_parts",  # new: market-basket support/conf/lift
+    "q_user_recs_topn",           # new: CF serving-side top-N recs
+    "q_seasonal_naive_mase",      # new: forecast baseline MAE/MASE
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -1088,3 +1088,170 @@ def q_item_item_cf(spark, sf_dir):
         .select("item_a", "item_b", "co_users", "cosine", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "q_user_recs_topn",
+    oracle=f"""
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(props->>'$.k' AS INTEGER) AS item
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+    AND (props->>'$.k') IS NOT NULL
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+    FROM ui
+  ) WHERE rn <= {_CF_CAP}
+),
+n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_u FROM capped GROUP BY item
+),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+    CAST(count(*) AS BIGINT) AS co_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+sim AS (
+  SELECT item_a, item_b,
+    CAST(floor(CAST(co.co_users AS DOUBLE)
+        / sqrt(CAST(na.n_u AS DOUBLE) * nb.n_u) * 1000000.0 + 0.5) AS BIGINT)
+      AS sim_q
+  FROM co
+  JOIN n na ON na.item = co.item_a
+  JOIN n nb ON nb.item = co.item_b
+),
+both_dir AS (
+  SELECT item_a AS owned, item_b AS cand, sim_q FROM sim
+  UNION ALL
+  SELECT item_b, item_a, sim_q FROM sim
+),
+q AS (SELECT user_id, item FROM capped WHERE user_id % 29 = 0),
+scored AS (
+  SELECT q.user_id, b.cand,
+    CAST(sum(b.sim_q) AS BIGINT) AS score_q
+  FROM q JOIN both_dir b ON b.owned = q.item
+  WHERE NOT EXISTS (
+    SELECT 1 FROM capped o
+    WHERE o.user_id = q.user_id AND o.item = b.cand
+  )
+  GROUP BY q.user_id, b.cand
+)
+SELECT user_id, cand AS item,
+  CAST(score_q AS DOUBLE) / 1000000.0 AS score,
+  CAST(row_number() OVER (PARTITION BY user_id
+                          ORDER BY score_q DESC, cand) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY user_id, rank
+""",
+    tags=("events", "recsys", "ring-c"),
+    description=(
+        "Top-5 item recommendations per query user (every 29th) from "
+        "the item-item cosine matrix: candidate score = sum of "
+        "similarities to the user's owned items, owned items excluded "
+        "by anti-join.  Each cosine quantizes to BIGINT micro-units "
+        "BEFORE the sum, so scores are exact integer sums in any "
+        "aggregation order -- the serving-side composition over "
+        "q_item_item_cf's similarity model."
+    ),
+)
+def q_user_recs_topn(spark, sf_dir):
+    """The sim build is q_item_item_cf's bounded shape; serving is a
+    join on the owned-item key (sims broadcast -- item-domain-sized),
+    an anti-join against owned, one (user, candidate) rollup and a
+    per-user rank window."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    ui = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "view")
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    capped = (
+        ui.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("item")),
+        )
+        .filter(F.col("rn") <= _CF_CAP)
+        .select("user_id", "item")
+    )
+    n = capped.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u")
+    )
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
+    )
+    sim = (
+        co.join(
+            F.broadcast(
+                n.select(F.col("item").alias("item_a"), F.col("n_u").alias("na"))
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("item").alias("item_b"), F.col("n_u").alias("nb"))
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            F.floor(
+                F.col("co_users").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sim_q"),
+        )
+    )
+    both_dir = sim.select(
+        F.col("item_a").alias("owned"), F.col("item_b").alias("cand"), "sim_q"
+    ).unionAll(
+        sim.select(
+            F.col("item_b").alias("owned"), F.col("item_a").alias("cand"), "sim_q"
+        )
+    )
+    q = capped.filter(F.col("user_id") % 29 == 0)
+    scored = (
+        q.join(F.broadcast(both_dir), q["item"] == both_dir["owned"])
+        .select("user_id", "cand", "sim_q")
+        .join(
+            capped.select("user_id", F.col("item").alias("cand")),
+            ["user_id", "cand"],
+            "left_anti",
+        )
+        .groupBy("user_id", "cand")
+        .agg(F.sum("sim_q").cast("bigint").alias("score_q"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score_q"), "cand")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "user_id",
+            F.col("cand").alias("item"),
+            (F.col("score_q").cast("double") / F.lit(1e6)).alias("score"),
+            "rank",
+        )
+        .orderBy("user_id", "rank")
+    )

@@ -518,3 +518,85 @@ def q_acf_hourly_counts(spark, sf_dir):
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "q_seasonal_naive_mase",
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+l AS (
+  SELECT hr, y,
+    lag(y, 24) OVER (ORDER BY hr) AS y_season,
+    lag(y, 1) OVER (ORDER BY hr) AS y_naive
+  FROM h
+),
+e AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_hours,
+    CAST(sum(abs(y - y_season)) AS BIGINT) AS ae_season,
+    CAST(sum(abs(y - y_naive)) AS BIGINT) AS ae_naive
+  FROM l WHERE y_season IS NOT NULL AND y_naive IS NOT NULL
+)
+SELECT n_hours,
+  floor(CAST(ae_season AS DOUBLE) / n_hours * 1000000.0 + 0.5)
+    / 1000000.0 AS mae_seasonal,
+  floor(CAST(ae_naive AS DOUBLE) / n_hours * 1000000.0 + 0.5)
+    / 1000000.0 AS mae_naive,
+  floor(CAST(ae_season AS DOUBLE) / ae_naive * 1000000.0 + 0.5)
+    / 1000000.0 AS mase
+FROM e
+""",
+    tags=("timeseries", "forecast", "eval", "analytics"),
+    description=(
+        "Forecast-baseline evaluation on the hourly event-count "
+        "series: MAE of the seasonal-naive forecast (value 24h "
+        "earlier) vs the one-step naive forecast, and their ratio "
+        "(the MASE denominator convention, seasonal vs naive) -- all "
+        "from exact integer absolute errors with one portable "
+        "floor-round each.  The sanity baseline every real "
+        "forecasting model must beat before it ships."
+    ),
+)
+def q_seasonal_naive_mase(spark, sf_dir):
+    """One shuffle to the hourly rollup (bounded domain), two lag
+    windows over that skinny series, a 1-row reduce."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w = Window.orderBy("hr")
+    l = h.select(
+        "y",
+        F.lag("y", 24).over(w).alias("y_season"),
+        F.lag("y", 1).over(w).alias("y_naive"),
+    ).filter(F.col("y_season").isNotNull() & F.col("y_naive").isNotNull())
+    e = l.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.abs(F.col("y") - F.col("y_season")))
+        .cast("bigint")
+        .alias("ae_season"),
+        F.sum(F.abs(F.col("y") - F.col("y_naive")))
+        .cast("bigint")
+        .alias("ae_naive"),
+    )
+
+    def pr6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return e.select(
+        "n_hours",
+        pr6(F.col("ae_season").cast("double") / F.col("n_hours")).alias(
+            "mae_seasonal"
+        ),
+        pr6(F.col("ae_naive").cast("double") / F.col("n_hours")).alias(
+            "mae_naive"
+        ),
+        pr6(F.col("ae_season").cast("double") / F.col("ae_naive")).alias(
+            "mase"
+        ),
+    )

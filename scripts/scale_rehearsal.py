@@ -151,6 +151,8 @@ REHEARSAL = [
     "q_km_survival_first_purchase",
     "q_item_item_cf",
     "q_association_rules_parts",
+    "q_user_recs_topn",
+    "q_seasonal_naive_mase",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
