@@ -651,3 +651,35 @@ def test_wav_decode_is_arrow_batched(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # Heaps: two token-key shuffles + the skinny cumulative window.
+    ("q_heaps_vocab_growth", 6),
+    # KS: distinct-value rollup + ECDF window + scalar joins.
+    ("q_ks_drift_purchase_view", 6),
+    # temporal audit: tag (broadcast cutoff) + split/user rollups.
+    ("q_temporal_split_audit", 7),
+    # chi2: contingency rollup + marginal windows + 1-row reduce.
+    ("q_chi2_type_by_dow", 7),
+    # KM: user rollup + duration rollup + two skinny windows.
+    ("q_km_survival_first_purchase", 8),
+    # CF: distinct + cap window + user-keyed pair join + pair rollup;
+    # capped's lineage prints per consumer (exchange reuse dedups at
+    # execution -- a persist was measured 2x SLOWER than the reuse).
+    ("q_item_item_cf", 12),
+    # rules: basket distinct + pair join + rollup + rank.
+    ("q_association_rules_parts", 8),
+    # recs: the CF shape + serving join + per-user rank; see the CF
+    # note -- the static count includes each reuse of capped's chain.
+    ("q_user_recs_topn", 29),
+    # MASE: hourly rollup + lag window + 1-row reduce.
+    ("q_seasonal_naive_mase", 4),
+])
+def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    assert "CartesianProduct" not in explain_str(df, "simple")
