@@ -168,6 +168,8 @@ HEADLINE = [
     "q_association_rules_parts",
     "q_user_recs_topn",
     "q_seasonal_naive_mase",
+    "q_wilson_ctr_ranking",
+    "q_modularity_brand_copurchase",
 ]
 
 

@@ -173,6 +173,8 @@ _NEW_THIS_ROUND = (
     "q_association_rules_parts",  # new: market-basket support/conf/lift
     "q_user_recs_topn",           # new: CF serving-side top-N recs
     "q_seasonal_naive_mase",      # new: forecast baseline MAE/MASE
+    "q_wilson_ctr_ranking",       # new: lower-bound CTR ranking
+    "q_modularity_brand_copurchase",  # new: Newman modularity Q
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -1255,3 +1255,99 @@ def q_user_recs_topn(spark, sf_dir):
         )
         .orderBy("user_id", "rank")
     )
+
+
+@query(
+    "q_wilson_ctr_ranking",
+    oracle="""
+WITH s AS (
+  SELECT CAST(props->>'$.k' AS INTEGER) AS item,
+    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS pos,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+    AND (props->>'$.k') IS NOT NULL
+  GROUP BY 1
+  HAVING count(*) >= 5
+),
+w AS (
+  SELECT item, pos, n,
+    floor(
+      ((CAST(pos AS DOUBLE) / n + 1.9208 / n
+        - 1.96 * sqrt((CAST(pos AS DOUBLE) / n * (1.0 - CAST(pos AS DOUBLE) / n)
+                       + 0.9604 / n) / n))
+       / (1.0 + 3.8416 / n)) * 1000000.0 + 0.5) / 1000000.0 AS wilson_lb,
+    floor(CAST(pos AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0 AS ctr
+  FROM s
+)
+SELECT item, pos, n, ctr, wilson_lb,
+  CAST(row_number() OVER (ORDER BY wilson_lb DESC, item) AS BIGINT) AS rank
+FROM w
+QUALIFY rank <= 25
+ORDER BY rank
+""",
+    tags=("events", "ranking", "stats", "analytics"),
+    description=(
+        "Rank items by the Wilson-score LOWER bound of their purchase "
+        "rate (z=1.96), not the raw rate -- the standard fix for "
+        "small-sample CTR ranking (an item with 2/2 must not outrank "
+        "one with 90/100).  The z constants are embedded as identical "
+        "decimal literals (1.96, z^2=3.8416, z^2/2=1.9208, "
+        "(z/2)^2=0.9604), every other op is +,*,/,sqrt -- all "
+        "IEEE-correctly-rounded, so the identical expression tree "
+        "yields identical doubles in both engines before the one "
+        "portable floor-round."
+    ),
+)
+def q_wilson_ctr_ranking(spark, sf_dir):
+    """One shuffle to per-item (pos, n) -- item-domain-sized -- then a
+    map-only scalar expression and one rank window over that bounded
+    relation."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    s = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "view")
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("item")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    p = F.col("pos").cast("double") / F.col("n")
+    nn = F.col("n")
+    wilson = (
+        (
+            p
+            + F.lit(1.9208) / nn
+            - F.lit(1.96)
+            * F.sqrt((p * (F.lit(1.0) - p) + F.lit(0.9604) / nn) / nn)
+        )
+        / (F.lit(1.0) + F.lit(3.8416) / nn)
+    )
+
+    def pr6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    w = Window.orderBy(F.desc("wilson_lb"), "item")
+    return (
+        s.select(
+            "item",
+            "pos",
+            "n",
+            pr6(p).alias("ctr"),
+            pr6(wilson).alias("wilson_lb"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 25)
+        .select("item", "pos", "n", "ctr", "wilson_lb", "rank")
+        .orderBy("rank")
+    )

@@ -2900,3 +2900,122 @@ def q_chi2_type_by_dow(spark, sf_dir):
         .crossJoin(F.broadcast(dims))
         .select("n_types", "n_days", "n_events", "chi2")
     )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the brand partition over the co-purchase graph
+# --------------------------------------------------------------------------
+
+@query(
+    "q_modularity_brand_copurchase",
+    oracle=f"""
+WITH e AS (
+{_COPURCHASE_CTE}
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT x AS node FROM e UNION ALL SELECT y FROM e
+  ) GROUP BY node
+),
+b AS (SELECT p_partkey, p_brand FROM part),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+intra AS (
+  SELECT CAST(count(*) AS BIGINT) AS l_intra
+  FROM e
+  JOIN b bx ON bx.p_partkey = e.x
+  JOIN b by_ ON by_.p_partkey = e.y
+  WHERE bx.p_brand = by_.p_brand
+),
+dsum AS (
+  SELECT CAST(sum(bd * bd) AS BIGINT) AS sum_d2 FROM (
+    SELECT CAST(sum(deg.d) AS BIGINT) AS bd
+    FROM deg JOIN b ON b.p_partkey = deg.node
+    GROUP BY b.p_brand
+  )
+)
+SELECT m.m AS n_edges, intra.l_intra,
+  (SELECT CAST(count(DISTINCT p_brand) AS BIGINT) FROM b) AS n_brands,
+  floor((4.0 * m.m * intra.l_intra - CAST(dsum.sum_d2 AS DOUBLE))
+        / (4.0 * m.m * m.m) * 1000000.0 + 0.5) / 1000000.0 AS modularity
+FROM m, intra, dsum
+""",
+    tags=("graph", "analytics", "modularity"),
+    description=(
+        "Newman modularity of the BRAND partition over the part "
+        "co-purchase graph: Q = (4m*L_intra - sum_c d_c^2) / (4m^2) "
+        "-- the algebraically collapsed form with every count an "
+        "exact BIGINT and ONE double expression at the end (identical "
+        "op order in both engines; exact while 4m^2 < 2^53, i.e. up "
+        "to ~50M edges -- past that both engines round identically "
+        "anyway since they run the same expression).  Answers 'do "
+        "customers co-buy within brands?' and grades any community "
+        "assignment against the graph."
+    ),
+)
+def q_modularity_brand_copurchase(spark, sf_dir):
+    """Edge build = the k-core query's self-join (exchange-reused
+    across the degree and intra-edge branches); brand lookup is a
+    broadcast dim join; the rest is three scalar aggregates."""
+    c = cat(spark, sf_dir)
+    li = c.lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    bb = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(bb, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    brand = c.part.select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        edges.join(
+            F.broadcast(brand.withColumnRenamed("node", "x").withColumnRenamed("brand", "brand_x")),
+            "x",
+        )
+        .join(
+            F.broadcast(brand.withColumnRenamed("node", "y").withColumnRenamed("brand", "brand_y")),
+            "y",
+        )
+        .filter(F.col("brand_x") == F.col("brand_y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("l_intra"))
+    )
+    dsum = (
+        deg.join(F.broadcast(brand), "node")
+        .groupBy("brand")
+        .agg(F.sum("d").cast("bigint").alias("bd"))
+        .agg(F.sum(F.col("bd") * F.col("bd")).cast("bigint").alias("sum_d2"))
+    )
+    n_brands = brand.agg(
+        F.count_distinct("brand").cast("bigint").alias("n_brands")
+    )
+    return (
+        m.crossJoin(F.broadcast(intra))
+        .crossJoin(F.broadcast(dsum))
+        .crossJoin(F.broadcast(n_brands))
+        .select(
+            F.col("m").alias("n_edges"),
+            "l_intra",
+            "n_brands",
+            (
+                F.floor(
+                    (
+                        F.lit(4.0) * F.col("m") * F.col("l_intra")
+                        - F.col("sum_d2").cast("double")
+                    )
+                    / (F.lit(4.0) * F.col("m") * F.col("m"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("modularity"),
+        )
+    )
