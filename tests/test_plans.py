@@ -675,6 +675,11 @@ def test_wav_decode_is_arrow_batched(spark, sf_dir):
     ("q_user_recs_topn", 29),
     # MASE: hourly rollup + lag window + 1-row reduce.
     ("q_seasonal_naive_mase", 4),
+    # Wilson: item rollup + rank window over the item domain.
+    ("q_wilson_ctr_ranking", 4),
+    # modularity: edge build (exchange-reused) + degree/brand rollups
+    # + scalar joins; the static count includes each reuse.
+    ("q_modularity_brand_copurchase", 12),
 ])
 def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     from etl_onprem_to_cloud_spark.plans.checks import explain_str
