@@ -1,4 +1,7 @@
-from .joins import click_purchase_attribution_stream
+from .joins import (
+    click_purchase_attribution_outer,
+    click_purchase_attribution_stream,
+)
 from .windows import (
     HAS_TWS,
     session_window_agg,
@@ -13,6 +16,7 @@ from .windows import (
 
 __all__ = [
     "HAS_TWS",
+    "click_purchase_attribution_outer",
     "click_purchase_attribution_stream",
     "session_window_agg",
     "stream_dedup",

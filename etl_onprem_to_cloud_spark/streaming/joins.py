@@ -72,3 +72,46 @@ def click_purchase_attribution_stream(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def click_purchase_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant: every click emits -- matched rows eagerly,
+    unmatched ones (purchase columns null) only once the click's
+    watermark window has passed and no match can still arrive.  That
+    deferred-null semantics is what makes outer stream-stream joins
+    different in kind from inner ones, and why the watermark is
+    REQUIRED here (state could never be declared unmatched without a
+    bound on lateness; Spark rejects the plan otherwise).
+
+    The conversion-funnel shape: clicks that never converted within
+    ``max_delay``, emitted continuously instead of by a batch sweep.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
