@@ -113,6 +113,13 @@ def run_curation_pipeline(
     downstream training/eval readers partition-prune to their fold.
     ``manifest_out``: the (split, source) manifest as parquet.
     Either sink may be None (report-only / corpus-only runs).
+
+    ``CurationResult.kept``: when ``corpus_out`` was written, this is
+    the written corpus read back (already materialized -- consuming
+    it costs a parquet scan, not a curation re-run).  With no
+    ``corpus_out`` there is nothing durable to read back, so ``kept``
+    is the lazy curation DataFrame and RECOMPUTES the DAG on first
+    action -- pass ``corpus_out`` if you intend to consume the rows.
     """
     # The curation DAG (exploded 2-gram aggregation + joins) is the
     # dominant cost; without the persist it would recompute for the
@@ -131,9 +138,18 @@ def run_curation_pipeline(
         # Return the manifest re-materialized from its collected rows
         # (it is a per-(split, source) rollup -- tiny by construction)
         # so callers can show()/join it after the unpersist below
-        # without re-running the curation DAG.
+        # without re-running the curation DAG.  `kept` likewise must
+        # survive the unpersist: prefer the corpus just written (a
+        # parquet scan, still split-partition-prunable) over the lazy
+        # DAG, which would silently replay dedup + gate + split on
+        # the caller's first action.
+        kept = (
+            docs.sparkSession.read.parquet(corpus_out)
+            if corpus_out
+            else curated
+        )
         return CurationResult(
-            kept=curated,
+            kept=kept,
             manifest=docs.sparkSession.createDataFrame(
                 manifest_rows, manifest.schema
             ),

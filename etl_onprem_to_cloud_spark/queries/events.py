@@ -962,138 +962,13 @@ def q_km_survival_first_purchase(spark, sf_dir):
 
 _CF_CAP = 50  # max items per user entering the pair fan-out
 
-
-@query(
-    "q_item_item_cf",
-    oracle=f"""
-WITH ui AS (
-  SELECT DISTINCT user_id, CAST(props->>'$.k' AS INTEGER) AS item
-  FROM events
-  WHERE event_type IN ('purchase', 'view')
-    AND (props->>'$.k') IS NOT NULL
-),
-capped AS (
-  SELECT user_id, item FROM (
-    SELECT user_id, item,
-      row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
-    FROM ui
-  ) WHERE rn <= {_CF_CAP}
-),
-n AS (
-  SELECT item, CAST(count(*) AS BIGINT) AS n_u FROM capped GROUP BY item
-),
-co AS (
-  SELECT a.item AS item_a, b.item AS item_b,
-    CAST(count(*) AS BIGINT) AS co_users
-  FROM capped a JOIN capped b
-    ON a.user_id = b.user_id AND a.item < b.item
-  GROUP BY a.item, b.item
-),
-s AS (
-  SELECT co.item_a, co.item_b, co.co_users,
-    floor(CAST(co.co_users AS DOUBLE)
-          / sqrt(CAST(na.n_u AS DOUBLE) * nb.n_u)
-          * 1000000.0 + 0.5) / 1000000.0 AS cosine
-  FROM co
-  JOIN n na ON na.item = co.item_a
-  JOIN n nb ON nb.item = co.item_b
-)
-SELECT item_a, item_b, co_users, cosine,
-  CAST(row_number() OVER (ORDER BY cosine DESC, item_a, item_b) AS BIGINT)
-    AS rank
-FROM s
-QUALIFY rank <= 20
-ORDER BY rank
-""",
-    tags=("events", "recsys", "similarity", "ring-c"),
-    description=(
-        "Item-item collaborative filtering: binary co-occurrence "
-        "cosine between items over the users who interacted with both "
-        "(co / sqrt(n_a * n_b) -- counts exact, sqrt IEEE-correctly-"
-        "rounded, one portable floor-round), top-20 pairs.  The "
-        "classic recsys similarity primitive, computed as the "
-        "pairs-within-user fan-out with a deterministic per-user item "
-        f"cap ({_CF_CAP}) so a power user cannot go quadratic -- the "
-        "same bounding discipline as the contrastive-pair miner."
-    ),
-)
-def q_item_item_cf(spark, sf_dir):
-    """Shuffles: distinct (user, item), the capped rank window per
-    user, one user-keyed self-join whose fan-out is <= cap^2/2 per
-    user, then the (item_a, item_b) rollup -- every stage keyed and
-    bounded; the n_u relation is item-domain-sized and broadcasts."""
-    from pyspark.sql import Window
-
-    ev = cat(spark, sf_dir).events
-    ui = (
-        ev.filter(
-            F.col("event_type").isin("purchase", "view")
-            & F.get_json_object("props", "$.k").isNotNull()
-        )
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("int").alias("item"),
-        )
-        .distinct()
-    )
-    capped = (
-        ui.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy("item")
-            ),
-        )
-        .filter(F.col("rn") <= _CF_CAP)
-        .select("user_id", "item")
-    )
-    n = capped.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_u")
-    )
-    a = capped.select("user_id", F.col("item").alias("item_a"))
-    b = capped.select("user_id", F.col("item").alias("item_b"))
-    co = (
-        a.join(b, "user_id")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
-    )
-    s = (
-        co.join(
-            F.broadcast(n.select(F.col("item").alias("item_a"), F.col("n_u").alias("na"))),
-            "item_a",
-        )
-        .join(
-            F.broadcast(n.select(F.col("item").alias("item_b"), F.col("n_u").alias("nb"))),
-            "item_b",
-        )
-        .select(
-            "item_a",
-            "item_b",
-            "co_users",
-            (
-                F.floor(
-                    F.col("co_users").cast("double")
-                    / F.sqrt(F.col("na").cast("double") * F.col("nb"))
-                    * F.lit(1e6)
-                    + F.lit(0.5)
-                )
-                / F.lit(1e6)
-            ).alias("cosine"),
-        )
-    )
-    w = Window.orderBy(F.desc("cosine"), "item_a", "item_b")
-    return (
-        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
-        .select("item_a", "item_b", "co_users", "cosine", "rank")
-        .orderBy("rank")
-    )
-
-
-@query(
-    "q_user_recs_topn",
-    oracle=f"""
-WITH ui AS (
+# Shared model definition for the CF family: distinct (user, item)
+# interactions, deterministic per-user cap, co-occurrence counts and
+# the micro-unit-quantized binary cosine.  ONE string feeds both the
+# ranked-similarity oracle (q_item_item_cf) and the serving oracle
+# (q_user_recs_topn), and ONE Spark builder (_cf_sim) feeds both
+# query functions, so the model and its serving layer cannot drift.
+_CF_SIM_CTE = f"""ui AS (
   SELECT DISTINCT user_id, CAST(props->>'$.k' AS INTEGER) AS item
   FROM events
   WHERE event_type IN ('purchase', 'view')
@@ -1117,14 +992,143 @@ co AS (
   GROUP BY a.item, b.item
 ),
 sim AS (
-  SELECT item_a, item_b,
+  SELECT co.item_a, co.item_b, co.co_users,
     CAST(floor(CAST(co.co_users AS DOUBLE)
         / sqrt(CAST(na.n_u AS DOUBLE) * nb.n_u) * 1000000.0 + 0.5) AS BIGINT)
       AS sim_q
   FROM co
   JOIN n na ON na.item = co.item_a
   JOIN n nb ON nb.item = co.item_b
-),
+)"""
+
+
+def _cf_capped(ev):
+    """Distinct (user, item) interactions with the deterministic
+    per-user item cap -- the input relation of the CF model."""
+    from pyspark.sql import Window
+
+    ui = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "view")
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    return (
+        ui.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("item")
+            ),
+        )
+        .filter(F.col("rn") <= _CF_CAP)
+        .select("user_id", "item")
+    )
+
+
+def _cf_sim(capped):
+    """Item-pair co-occurrence cosine over `capped`, quantized to
+    BIGINT micro-units (sim_q).  Columns: item_a < item_b, co_users,
+    sim_q.  The n_u relation is item-domain-sized and broadcasts; the
+    pair fan-out is bounded at cap^2/2 per user."""
+    n = capped.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u")
+    )
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
+    )
+    return (
+        co.join(
+            F.broadcast(
+                n.select(F.col("item").alias("item_a"), F.col("n_u").alias("na"))
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("item").alias("item_b"), F.col("n_u").alias("nb"))
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "co_users",
+            F.floor(
+                F.col("co_users").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sim_q"),
+        )
+    )
+
+
+@query(
+    "q_item_item_cf",
+    oracle=f"""
+WITH {_CF_SIM_CTE}
+SELECT item_a, item_b, co_users,
+  CAST(sim_q AS DOUBLE) / 1000000.0 AS cosine,
+  CAST(row_number() OVER (ORDER BY sim_q DESC, item_a, item_b) AS BIGINT)
+    AS rank
+FROM sim
+QUALIFY rank <= 20
+ORDER BY rank
+""",
+    tags=("events", "recsys", "similarity", "ring-c"),
+    description=(
+        "Item-item collaborative filtering: binary co-occurrence "
+        "cosine between items over the users who interacted with both "
+        "(co / sqrt(n_a * n_b) -- counts exact, sqrt IEEE-correctly-"
+        "rounded, one portable floor-round), top-20 pairs.  The "
+        "classic recsys similarity primitive, computed as the "
+        "pairs-within-user fan-out with a deterministic per-user item "
+        f"cap ({_CF_CAP}) so a power user cannot go quadratic -- the "
+        "same bounding discipline as the contrastive-pair miner."
+    ),
+)
+def q_item_item_cf(spark, sf_dir):
+    """Shuffles: distinct (user, item), the capped rank window per
+    user, one user-keyed self-join whose fan-out is <= cap^2/2 per
+    user, then the (item_a, item_b) rollup -- every stage keyed and
+    bounded; the n_u relation is item-domain-sized and broadcasts.
+    The model build is the shared _cf_sim (one implementation with
+    q_user_recs_topn's serving layer)."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    s = _cf_sim(_cf_capped(ev))
+    w = Window.orderBy(F.desc("sim_q"), "item_a", "item_b")
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "item_a",
+            "item_b",
+            "co_users",
+            (F.col("sim_q").cast("double") / F.lit(1e6)).alias("cosine"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "q_user_recs_topn",
+    oracle=f"""
+WITH {_CF_SIM_CTE},
 both_dir AS (
   SELECT item_a AS owned, item_b AS cand, sim_q FROM sim
   UNION ALL
@@ -1161,69 +1165,20 @@ ORDER BY user_id, rank
     ),
 )
 def q_user_recs_topn(spark, sf_dir):
-    """The sim build is q_item_item_cf's bounded shape; serving is a
-    join on the owned-item key (sims broadcast -- item-domain-sized),
-    an anti-join against owned, one (user, candidate) rollup and a
-    per-user rank window."""
+    """The sim build is the shared _cf_sim (q_item_item_cf's bounded
+    shape -- one implementation, so the ranked-similarity query and
+    this serving layer cannot drift); serving is a join on the
+    owned-item key, an anti-join against owned, one (user, candidate)
+    rollup and a per-user rank window.  both_dir is item-PAIR-sized
+    (2x the observed co-pair table, worst-case quadratic in the item
+    domain), so it is NOT broadcast-hinted: AQE broadcasts it when
+    runtime stats say it fits and shuffle-joins on `owned` otherwise,
+    which is the correct plan at any catalog size."""
     from pyspark.sql import Window
 
     ev = cat(spark, sf_dir).events
-    ui = (
-        ev.filter(
-            F.col("event_type").isin("purchase", "view")
-            & F.get_json_object("props", "$.k").isNotNull()
-        )
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("int").alias("item"),
-        )
-        .distinct()
-    )
-    capped = (
-        ui.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("user_id").orderBy("item")),
-        )
-        .filter(F.col("rn") <= _CF_CAP)
-        .select("user_id", "item")
-    )
-    n = capped.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_u")
-    )
-    a = capped.select("user_id", F.col("item").alias("item_a"))
-    b = capped.select("user_id", F.col("item").alias("item_b"))
-    co = (
-        a.join(b, "user_id")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
-    )
-    sim = (
-        co.join(
-            F.broadcast(
-                n.select(F.col("item").alias("item_a"), F.col("n_u").alias("na"))
-            ),
-            "item_a",
-        )
-        .join(
-            F.broadcast(
-                n.select(F.col("item").alias("item_b"), F.col("n_u").alias("nb"))
-            ),
-            "item_b",
-        )
-        .select(
-            "item_a",
-            "item_b",
-            F.floor(
-                F.col("co_users").cast("double")
-                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
-                * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("sim_q"),
-        )
-    )
+    capped = _cf_capped(ev)
+    sim = _cf_sim(capped).select("item_a", "item_b", "sim_q")
     both_dir = sim.select(
         F.col("item_a").alias("owned"), F.col("item_b").alias("cand"), "sim_q"
     ).unionAll(
@@ -1233,7 +1188,7 @@ def q_user_recs_topn(spark, sf_dir):
     )
     q = capped.filter(F.col("user_id") % 29 == 0)
     scored = (
-        q.join(F.broadcast(both_dir), q["item"] == both_dir["owned"])
+        q.join(both_dir, q["item"] == both_dir["owned"])
         .select("user_id", "cand", "sim_q")
         .join(
             capped.select("user_id", F.col("item").alias("cand")),

@@ -371,7 +371,9 @@ def q_bootstrap_mean_ci(spark, sf_dir):
     # Second fan-out AFTER the hash projection: the explode barrier
     # keeps Catalyst from collapsing the md5 into the per-slice
     # projection (the two-step tokenize-then-explode convention), so
-    # each digest is computed once and sliced four times.
+    # each digest is computed once and sliced eight times (one 4-hex
+    # 16-bit slice per s in 0..7 -- 32 hex chars / 4 = 8 slices, the
+    # arithmetic behind _BOOT_GROUPS = 32 // 8).
     x = hg.select(
         "o_totalprice",
         "grp",

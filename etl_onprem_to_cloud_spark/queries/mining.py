@@ -2813,10 +2813,16 @@ def q_ks_drift_purchase_view(spark, sf_dir):
 @query(
     "q_chi2_type_by_dow",
     oracle="""
-WITH o AS (
+WITH o0 AS (
   SELECT event_type AS t, CAST(dayofweek(ts) AS BIGINT) AS d,
     CAST(count(*) AS BIGINT) AS obs
   FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT tt.t, dd.d, CAST(COALESCE(o0.obs, 0) AS BIGINT) AS obs
+  FROM (SELECT DISTINCT t FROM o0) tt
+  CROSS JOIN (SELECT DISTINCT d FROM o0) dd
+  LEFT JOIN o0 ON o0.t = tt.t AND o0.d = dd.d
 ),
 m AS (
   SELECT t, d, obs,
@@ -2850,22 +2856,33 @@ FROM terms
         "difference exact in double (< 2^53), the denominator "
         "multiplied in the same (N*row)*col order in both engines, "
         "each cell term floor-quantized to 1e-6 and summed as "
-        "integers.  Completes the classical trio with the t-test and "
-        "the rank-sum test: is the traffic mix stable across the "
-        "week, or does the pipeline need day-stratified sampling?"
+        "integers.  The contingency table is DENSIFIED (type-domain x "
+        "dow-domain cross join, absent cells obs=0) so a type that "
+        "never occurs on some weekday still contributes its full "
+        "(0-E)^2/E = E term -- omitting empty cells understates chi2 "
+        "exactly when the mix shift is most extreme.  Completes the "
+        "classical trio with the t-test and the rank-sum test: is the "
+        "traffic mix stable across the week, or does the pipeline "
+        "need day-stratified sampling?"
     ),
 )
 def q_chi2_type_by_dow(spark, sf_dir):
     """One shuffle to the (type, dow) contingency table -- a few dozen
-    cells at any corpus size -- then window marginals and a 1-row
-    reduce over the cells."""
+    cells at any corpus size -- densified against the tiny broadcast
+    type x dow domain grid, then window marginals and a 1-row reduce
+    over the cells."""
     from pyspark.sql import Window
 
     ev = cat(spark, sf_dir).events
-    o = ev.groupBy(
+    o0 = ev.groupBy(
         F.col("event_type").alias("t"),
         F.dayofweek("ts").cast("bigint").alias("d"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    grid = o0.select("t").distinct().crossJoin(o0.select("d").distinct())
+    o = (
+        grid.join(F.broadcast(o0), ["t", "d"], "left")
+        .select("t", "d", F.coalesce("obs", F.lit(0)).cast("bigint").alias("obs"))
+    )
     m = o.select(
         "t",
         "d",

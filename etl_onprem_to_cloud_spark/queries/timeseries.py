@@ -524,21 +524,22 @@ def q_acf_hourly_counts(spark, sf_dir):
     "q_seasonal_naive_mase",
     oracle="""
 WITH h AS (
-  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS y
-  FROM events GROUP BY 1
+  SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY hr
 ),
 l AS (
-  SELECT hr, y,
-    lag(y, 24) OVER (ORDER BY hr) AS y_season,
-    lag(y, 1) OVER (ORDER BY hr) AS y_naive
-  FROM h
+  SELECT a.hr, a.y, s.y AS y_season, n.y AS y_naive
+  FROM h a
+  JOIN h s ON s.hr = a.hr - 24
+  JOIN h n ON n.hr = a.hr - 1
 ),
 e AS (
   SELECT
     CAST(count(*) AS BIGINT) AS n_hours,
     CAST(sum(abs(y - y_season)) AS BIGINT) AS ae_season,
     CAST(sum(abs(y - y_naive)) AS BIGINT) AS ae_naive
-  FROM l WHERE y_season IS NOT NULL AND y_naive IS NOT NULL
+  FROM l
 )
 SELECT n_hours,
   floor(CAST(ae_season AS DOUBLE) / n_hours * 1000000.0 + 0.5)
@@ -556,25 +557,44 @@ FROM e
         "earlier) vs the one-step naive forecast, and their ratio "
         "(the MASE denominator convention, seasonal vs naive) -- all "
         "from exact integer absolute errors with one portable "
-        "floor-round each.  The sanity baseline every real "
-        "forecasting model must beat before it ships."
+        "floor-round each.  Lagged values are matched by CLOCK TIME "
+        "(epoch-hour join, the q_acf_hourly_counts convention), so "
+        "hours with zero events never misalign the seasonal baseline "
+        "the way a row-offset lag(y, 24) would.  The sanity baseline "
+        "every real forecasting model must beat before it ships."
     ),
 )
 def q_seasonal_naive_mase(spark, sf_dir):
-    """One shuffle to the hourly rollup (bounded domain), two lag
-    windows over that skinny series, a 1-row reduce."""
-    from pyspark.sql import Window
-
+    """One shuffle to the hourly rollup (bounded domain), two
+    epoch-hour self-joins over that skinny series (hours-count sized
+    on both sides, kilobytes even for years of hours), a 1-row
+    reduce.  Time-aligned joins rather than row-offset lags: gaps in
+    the hourly series drop their pairs instead of silently pairing
+    each hour with the wrong clock hour."""
     ev = cat(spark, sf_dir).events
-    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("y")
+    h = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(3600)
+        ).cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    l = (
+        h.alias("a")
+        .join(
+            h.select(
+                (F.col("hr") + F.lit(24)).alias("hr_s"),
+                F.col("y").alias("y_season"),
+            ),
+            F.col("a.hr") == F.col("hr_s"),
+        )
+        .join(
+            h.select(
+                (F.col("hr") + F.lit(1)).alias("hr_n"),
+                F.col("y").alias("y_naive"),
+            ),
+            F.col("a.hr") == F.col("hr_n"),
+        )
+        .select("a.y", "y_season", "y_naive")
     )
-    w = Window.orderBy("hr")
-    l = h.select(
-        "y",
-        F.lag("y", 24).over(w).alias("y_season"),
-        F.lag("y", 1).over(w).alias("y_naive"),
-    ).filter(F.col("y_season").isNotNull() & F.col("y_naive").isNotNull())
     e = l.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hours"),
         F.sum(F.abs(F.col("y") - F.col("y_season")))

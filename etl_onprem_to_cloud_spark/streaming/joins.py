@@ -14,6 +14,10 @@ each purchase to every click by the same user in the preceding
 batch ones unchanged -- which is how the test differentials it against
 the batch result (tests/test_streaming_joins.py).
 
+Both public variants share ONE builder (projection schema, watermarks,
+and the range condition -- the state-eviction contract -- live in a
+single place), differing only in join type and watermark optionality.
+
 The reference has no streaming at all (its 5-minute cron is commented
 out, reference dags/etl_csv_to_dwh.py:14); Ring B/C extension.
 """
@@ -21,6 +25,45 @@ out, reference dags/etl_csv_to_dwh.py:14); Ring B/C extension.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str,
+    watermark: str | None,
+    how: str,
+) -> DataFrame:
+    """Shared body: select/watermark both sides, range condition,
+    join, output projection.  Callers fix `how` and the watermark
+    contract; everything else is defined exactly once."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if watermark is not None:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(p, cond, how).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
 
 
 def click_purchase_attribution_stream(
@@ -45,33 +88,7 @@ def click_purchase_attribution_stream(
     set a watermark; events arriving later than it are dropped, which
     is the documented trade against bounded state.
     """
-    c = clicks.select(
-        F.col("user_id"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").cast("timestamp").alias("click_ts"),
-    )
-    p = purchases.select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").cast("timestamp").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
-    if watermark is not None:
-        c = c.withWatermark("click_ts", watermark)
-        p = p.withWatermark("purchase_ts", watermark)
-    cond = (
-        (c["user_id"] == p["p_user_id"])
-        & (p["purchase_ts"] >= c["click_ts"])
-        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {max_delay}"))
-    )
-    return c.join(p, cond, "inner").select(
-        "user_id",
-        "click_id",
-        "click_ts",
-        "purchase_id",
-        "purchase_ts",
-        "purchase_value",
-    )
+    return _attribution_join(clicks, purchases, max_delay, watermark, "inner")
 
 
 def click_purchase_attribution_outer(
@@ -91,27 +108,11 @@ def click_purchase_attribution_outer(
     The conversion-funnel shape: clicks that never converted within
     ``max_delay``, emitted continuously instead of by a batch sweep.
     """
-    c = clicks.select(
-        F.col("user_id"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").cast("timestamp").alias("click_ts"),
-    ).withWatermark("click_ts", watermark)
-    p = purchases.select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").cast("timestamp").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    ).withWatermark("purchase_ts", watermark)
-    cond = (
-        (c["user_id"] == p["p_user_id"])
-        & (p["purchase_ts"] >= c["click_ts"])
-        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {max_delay}"))
-    )
-    return c.join(p, cond, "left_outer").select(
-        "user_id",
-        "click_id",
-        "click_ts",
-        "purchase_id",
-        "purchase_ts",
-        "purchase_value",
+    if watermark is None:
+        raise ValueError(
+            "outer stream-stream joins require a watermark: without a "
+            "lateness bound no click could ever be declared unmatched"
+        )
+    return _attribution_join(
+        clicks, purchases, max_delay, watermark, "left_outer"
     )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import csv
 import os
+import re
 
 import pytest
 
@@ -112,10 +113,15 @@ def test_curation_pipeline_writes_partitioned_corpus(spark, sf_dir, tmp_path):
     assert set(r["split"] for r in back.select("split").distinct().collect()) <= {
         "train", "val", "test"
     }
-    # partition pruning: a split filter must prune to that partition's dir
+    # partition pruning: the corpus must be laid out as split=... dirs
+    # (the physical precondition for pruning) AND a split filter's
+    # executed plan must carry the partition filter -- no count-based
+    # escape hatch, so dropping partitionBy("split") fails this test.
+    assert (tmp_path / "corpus" / "split=train").exists()
     pruned = back.filter(back["split"] == "train")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "split=train" in plan or pruned.count() < back.count()
+    # renders as `PartitionFilters: [isnotnull(split#N), (split#N = train)]`
+    assert re.search(r"PartitionFilters: \[[^\]]*= train", plan), plan
 
     # manifest == the driver-green query rollup, value for value
     want = sorted(
