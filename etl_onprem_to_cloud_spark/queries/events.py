@@ -1179,13 +1179,28 @@ def q_user_recs_topn(spark, sf_dir):
     ev = cat(spark, sf_dir).events
     capped = _cf_capped(ev)
     sim = _cf_sim(capped).select("item_a", "item_b", "sim_q")
+    # Both orientations via explode-of-array rather than a unionAll of
+    # two projections: a union's branches are separate subtrees, so
+    # the whole CF build (scan -> distinct -> cap window -> self-join
+    # -> rollup) would execute TWICE (measured 12.1s vs 5.4s at the
+    # sf1 rehearsal); the explode doubles rows in-place on one
+    # subtree.
     both_dir = sim.select(
-        F.col("item_a").alias("owned"), F.col("item_b").alias("cand"), "sim_q"
-    ).unionAll(
-        sim.select(
-            F.col("item_b").alias("owned"), F.col("item_a").alias("cand"), "sim_q"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("owned"),
+                    F.col("item_b").alias("cand"),
+                    F.col("sim_q"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("owned"),
+                    F.col("item_a").alias("cand"),
+                    F.col("sim_q"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.owned", "e.cand", "e.sim_q")
     q = capped.filter(F.col("user_id") % 29 == 0)
     scored = (
         q.join(both_dir, q["item"] == both_dir["owned"])
