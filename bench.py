@@ -170,6 +170,9 @@ HEADLINE = [
     "q_seasonal_naive_mase",
     "q_wilson_ctr_ranking",
     "q_modularity_brand_copurchase",
+    "q_seq_patterns_support",
+    "q_peak_concurrent_sessions",
+    "q_holt_linear_forecast",
 ]
 
 

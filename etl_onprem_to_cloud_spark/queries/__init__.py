@@ -175,6 +175,9 @@ _NEW_THIS_ROUND = (
     "q_seasonal_naive_mase",      # new: forecast baseline MAE/MASE
     "q_wilson_ctr_ranking",       # new: lower-bound CTR ranking
     "q_modularity_brand_copurchase",  # new: Newman modularity Q
+    "q_seq_patterns_support",     # new: PrefixSpan-style subsequence support
+    "q_peak_concurrent_sessions", # new: interval-sweep peak concurrency
+    "q_holt_linear_forecast",     # new: double-exponential-smoothing forecast
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -6,7 +6,7 @@ JSON extraction over the ``props`` payload column.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..functions.numeric import dec
 from ._util import cat, fmt_ts
@@ -1320,4 +1320,131 @@ def q_wilson_ctr_ranking(spark, sf_dir):
         .filter(F.col("rank") <= 25)
         .select("item", "pos", "n", "ctr", "wilson_lb", "rank")
         .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrent sessions (interval sweep)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_peak_concurrent_sessions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN floor(epoch(ts))
+           - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)))
+           > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+s AS (
+  SELECT user_id,
+    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_no,
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM o
+),
+iv AS (
+  SELECT user_id, session_no, min(sec) AS s_sec, max(sec) AS e_sec
+  FROM s GROUP BY user_id, session_no
+),
+pts AS (
+  SELECT s_sec AS sec, 1 AS delta, user_id, session_no FROM iv
+  UNION ALL
+  SELECT e_sec AS sec, -1 AS delta, user_id, session_no FROM iv
+),
+-- single global sweep: the oracle's formulation is the sequential
+-- one; the Spark side proves the same fixpoint with a two-level
+-- carry-in decomposition
+run AS (
+  SELECT CAST(floor(sec / 3600) AS BIGINT) AS h,
+    sum(delta) OVER (ORDER BY sec, delta DESC, user_id, session_no
+                     ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT h, CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY h
+ORDER BY peak_concurrency DESC, h
+LIMIT 5
+""",
+    tags=("events", "sessionization", "interval", "sweep"),
+    description=(
+        "Peak concurrent 30-min-gap sessions per hour, top-5 hours: "
+        "each session becomes a +1/-1 point pair (inclusive ends; "
+        "starts sort before ends at the same second) and the maximum "
+        "of the running sum inside each hour is the hour's peak "
+        "concurrency -- the classic interval-sweep capacity metric."
+    ),
+)
+def q_peak_concurrent_sessions(spark, sf_dir):
+    """The oracle sweeps one global running sum; Spark decomposes it
+    into a per-hour local prefix sum (window partitioned by hour --
+    parallel) plus a carry-in of prior hours' delta totals (cumulative
+    window over the hours-count-sized rollup).  max(carry + local
+    prefix) per hour equals the global sweep's per-hour max by
+    associativity of the prefix sum, so the two formally different
+    formulations must agree -- and at 100 TB the Spark side never
+    funnels the point stream through one partition; only the tiny
+    hourly totals table is sequenced."""
+    ev = cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_start = (
+        lag_ts.isNull()
+        | (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(lag_ts.cast("timestamp"))
+            > 1800
+        )
+    ).cast("int")
+    s = ev.withColumn("is_start", is_start).select(
+        "user_id",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    iv = s.groupBy("user_id", "session_no").agg(
+        F.min("sec").alias("s_sec"), F.max("sec").alias("e_sec")
+    )
+    pts = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s_sec").alias("sec"), F.lit(1).alias("delta")),
+                F.struct(F.col("e_sec").alias("sec"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+        "user_id",
+        "session_no",
+    ).select(
+        F.floor(F.col("p.sec") / 3600).cast("bigint").alias("h"),
+        F.col("p.sec").alias("sec"),
+        F.col("p.delta").alias("delta"),
+        "user_id",
+        "session_no",
+    )
+    local_w = Window.partitionBy("h").orderBy(
+        "sec", F.desc("delta"), "user_id", "session_no"
+    )
+    local = pts.withColumn(
+        "local_run",
+        F.sum("delta").over(local_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hourly = local.groupBy("h").agg(
+        F.sum("delta").alias("tot"), F.max("local_run").alias("local_peak")
+    )
+    carry_w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        hourly.withColumn("carry", F.coalesce(F.sum("tot").over(carry_w), F.lit(0)))
+        .select(
+            "h",
+            (F.col("carry") + F.col("local_peak"))
+            .cast("bigint")
+            .alias("peak_concurrency"),
+        )
+        .orderBy(F.desc("peak_concurrency"), "h")
+        .limit(5)
     )

@@ -3036,3 +3036,143 @@ def q_modularity_brand_copurchase(spark, sf_dir):
             ).alias("modularity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining (PrefixSpan-style subsequence support)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_seq_patterns_support",
+    oracle="""
+WITH pos AS (
+  SELECT user_id, event_type AS t,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+summ AS (
+  SELECT user_id, t, min(rn) AS first_rn, max(rn) AS last_rn
+  FROM pos GROUP BY user_id, t
+),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+p2 AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS supp
+  FROM summ a JOIN summ b
+    ON a.user_id = b.user_id AND a.first_rn < b.last_rn
+  GROUP BY a.t, b.t
+),
+mid AS (
+  SELECT a.user_id, a.t AS t1, p.t AS t2, min(p.rn) AS earliest_mid
+  FROM summ a JOIN pos p
+    ON a.user_id = p.user_id AND p.rn > a.first_rn
+  GROUP BY a.user_id, a.t, p.t
+),
+p3 AS (
+  SELECT m.t1, m.t2, c.t AS t3, count(*) AS supp
+  FROM mid m JOIN summ c
+    ON m.user_id = c.user_id AND m.earliest_mid < c.last_rn
+  GROUP BY m.t1, m.t2, c.t
+),
+pats AS (
+  SELECT t1 || '>' || t2 AS pattern, 2 AS len, supp FROM p2
+  UNION ALL
+  SELECT t1 || '>' || t2 || '>' || t3 AS pattern, 3 AS len, supp FROM p3
+)
+SELECT pattern, CAST(len AS INT) AS len, CAST(supp AS BIGINT) AS support,
+  floor(CAST(supp AS DOUBLE) / nu.n_users * 1000000.0 + 0.5) / 1000000.0
+    AS support_ratio
+FROM pats CROSS JOIN nu
+ORDER BY support DESC, pattern
+LIMIT 15
+""",
+    tags=("mining", "sequence", "prefixspan", "ring-c"),
+    description=(
+        "Sequential-pattern support (the PrefixSpan/GSP family): for "
+        "every ordered event-type pattern <a,b> and <a,b,c>, the "
+        "number of users whose event sequence contains it as a "
+        "(not-necessarily-contiguous) subsequence, top-15 by support. "
+        "Containment is decided from per-(user,type) first/last "
+        "positions -- <a,b> holds iff first(a) < last(b); <a,b,c> "
+        "holds iff the earliest b strictly after the first a precedes "
+        "the last c -- so no per-user sequence is ever enumerated."
+    ),
+)
+def q_seq_patterns_support(spark, sf_dir):
+    """Spark-first shape: one shuffle builds per-user positions; the
+    (user,type) summary is |users| x |types| rows, so the pattern
+    joins (summ x summ, pos x summ) fan out by at most the type
+    cardinality -- linear in events, never per-user quadratic.  At
+    100 TB every downstream join is partitioned by user_id (one
+    co-partitioned exchange reused across all three joins) and the
+    final rollup shuffles only (type-pair, count) pairs.
+
+    Subsequence semantics (exists i<j with t_i=a, t_j=b) follow
+    MLlib's PrefixSpan support counting restricted to single-item
+    itemsets; reference has no sequence miner (ring-C extension)."""
+    ev = cat(spark, sf_dir).events
+    pos = ev.select(
+        "user_id",
+        F.col("event_type").alias("t"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    summ = pos.groupBy("user_id", "t").agg(
+        F.min("rn").alias("first_rn"), F.max("rn").alias("last_rn")
+    )
+    n_users = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    a = summ.select(
+        "user_id", F.col("t").alias("t1"), F.col("first_rn").alias("fa")
+    )
+    b = summ.select(
+        "user_id", F.col("t").alias("t2"), F.col("last_rn").alias("lb")
+    )
+    p2 = (
+        a.join(b, "user_id")
+        .filter(F.col("fa") < F.col("lb"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("supp"))
+    )
+    mid = (
+        a.join(pos.select("user_id", F.col("t").alias("t2"), "rn"), "user_id")
+        .filter(F.col("rn") > F.col("fa"))
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("rn").alias("earliest_mid"))
+    )
+    c3 = summ.select(
+        "user_id", F.col("t").alias("t3"), F.col("last_rn").alias("lc")
+    )
+    p3 = (
+        mid.join(c3, "user_id")
+        .filter(F.col("earliest_mid") < F.col("lc"))
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("supp"))
+    )
+    pats = p2.select(
+        F.concat_ws(">", "t1", "t2").alias("pattern"),
+        F.lit(2).alias("len"),
+        "supp",
+    ).unionAll(
+        p3.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("pattern"),
+            F.lit(3).alias("len"),
+            "supp",
+        )
+    )
+    return (
+        pats.crossJoin(F.broadcast(n_users))
+        .select(
+            "pattern",
+            F.col("len").cast("int").alias("len"),
+            F.col("supp").cast("bigint").alias("support"),
+            (
+                F.floor(
+                    F.col("supp").cast("double") / F.col("n_users") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("support_ratio"),
+        )
+        .orderBy(F.desc("support"), "pattern")
+        .limit(15)
+    )

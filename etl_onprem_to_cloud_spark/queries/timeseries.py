@@ -620,3 +620,140 @@ def q_seasonal_naive_mase(spark, sf_dir):
             "mase"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast (double exponential smoothing)
+# --------------------------------------------------------------------------
+
+# l_t and b_t updates with alpha = beta = 1/2 in milli-unit BIGINT
+# fixed point: every step is integer add + floor(x / 2.0) (the double
+# division is exact for |x| < 2^52, documented below), so both engines
+# walk an identical integer state sequence.  The recursive oracle must
+# restate l_t inside the b_t update (SQL cannot reference a same-SELECT
+# alias); the fold names it once.
+_HOLT_LNEW = (
+    "CAST(floor((i.n * 1000 + rec.l + rec.bt) / 2.0) AS BIGINT)"
+)
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE days AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+    count(*) AS n
+  FROM events GROUP BY d
+),
+idx AS (
+  SELECT d, n, row_number() OVER (ORDER BY d) AS rn FROM days
+),
+rec AS (
+  SELECT 1 AS t,
+    CAST(a.n * 1000 AS BIGINT) AS l,
+    CAST(b.n * 1000 - a.n * 1000 AS BIGINT) AS bt,
+    CAST(0 AS BIGINT) AS sae,
+    0 AS ne
+  FROM idx a JOIN idx b ON a.rn = 1 AND b.rn = 2
+  UNION ALL
+  SELECT rec.t + 1,
+    {_HOLT_LNEW},
+    CAST(floor(({_HOLT_LNEW} - rec.l + rec.bt) / 2.0) AS BIGINT),
+    rec.sae + abs(i.n * 1000 - (rec.l + rec.bt)),
+    rec.ne + 1
+  FROM rec JOIN idx i ON i.rn = rec.t + 1
+)
+SELECT CAST(t AS BIGINT) AS n_days,
+  l / 1000.0 AS level,
+  bt / 1000.0 AS trend,
+  (l + bt) / 1000.0 AS forecast_1,
+  (l + 3 * bt) / 1000.0 AS forecast_3,
+  (l + 7 * bt) / 1000.0 AS forecast_7,
+  floor(CAST(sae AS DOUBLE) / ne / 1000.0 * 1000000.0 + 0.5) / 1000000.0
+    AS mae_one_step
+FROM rec ORDER BY t DESC LIMIT 1
+"""
+
+
+@query(
+    "q_holt_linear_forecast",
+    oracle=_HOLT_ORACLE,
+    tags=("timeseries", "forecast", "fixed-point", "ring-c"),
+    description=(
+        "Holt double exponential smoothing (alpha = beta = 1/2) over "
+        "the daily event-count series: final level/trend state, 1-, "
+        "3- and 7-day-ahead forecasts, and the in-sample one-step MAE "
+        "-- the trend-aware upgrade of the seasonal-naive baseline.  "
+        "State lives in milli-unit BIGINT fixed point; each update is "
+        "an integer add plus floor(x/2.0), exact in doubles below "
+        "2^52, so the Spark array fold and the DuckDB recursive CTE "
+        "walk bit-identical state sequences (init l=y_1, b=y_2-y_1; "
+        "the t=2 error is 0 by construction and is counted)."
+    ),
+)
+def q_holt_linear_forecast(spark, sf_dir):
+    """The distributed work is the daily rollup (one shuffle on the
+    day key); the recursion then folds over the days-count-sized
+    array in ONE row -- O(days), not O(events), exactly the
+    temperature-mixture pinned-order-fold convention.  At 100 TB the
+    fold length is the calendar (a few thousand elements), so
+    sequential state is never a scale concern; only the rollup
+    touches raw data.  Guard: needs >= 2 observed days."""
+    ev = cat(spark, sf_dir).events
+    days = (
+        ev.select(
+            F.floor(
+                F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    one = days.agg(
+        F.array_sort(F.collect_list(F.struct("d", "n"))).alias("arr")
+    )
+    y1 = F.element_at(F.col("arr"), 1)["n"].cast("bigint") * 1000
+    y2 = F.element_at(F.col("arr"), 2)["n"].cast("bigint") * 1000
+    init = F.struct(
+        y1.alias("l"),
+        (y2 - y1).alias("bt"),
+        F.lit(0).cast("bigint").alias("sae"),
+        F.lit(0).cast("int").alias("ne"),
+    )
+
+    def step(acc, x):
+        y = x["n"].cast("bigint") * 1000
+        f = acc["l"] + acc["bt"]
+        l_new = F.floor((y + acc["l"] + acc["bt"]) / F.lit(2.0)).cast("bigint")
+        return F.struct(
+            l_new.alias("l"),
+            F.floor((l_new - acc["l"] + acc["bt"]) / F.lit(2.0))
+            .cast("bigint")
+            .alias("bt"),
+            (acc["sae"] + F.abs(y - f)).alias("sae"),
+            (acc["ne"] + F.lit(1)).alias("ne"),
+        )
+
+    folded = one.select(
+        F.size("arr").alias("n_days_i"),
+        F.aggregate(
+            F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("st"),
+    )
+    st = F.col("st")
+    return folded.select(
+        F.col("n_days_i").cast("bigint").alias("n_days"),
+        (st["l"] / F.lit(1000.0)).alias("level"),
+        (st["bt"] / F.lit(1000.0)).alias("trend"),
+        ((st["l"] + st["bt"]) / F.lit(1000.0)).alias("forecast_1"),
+        ((st["l"] + 3 * st["bt"]) / F.lit(1000.0)).alias("forecast_3"),
+        ((st["l"] + 7 * st["bt"]) / F.lit(1000.0)).alias("forecast_7"),
+        (
+            F.floor(
+                st["sae"].cast("double") / st["ne"] / F.lit(1000.0) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mae_one_step"),
+    )
