@@ -173,6 +173,10 @@ HEADLINE = [
     "q_seq_patterns_support",
     "q_peak_concurrent_sessions",
     "q_holt_linear_forecast",
+    "q_clamped_balance_users",
+    "q_user_daily_streaks",
+    "q_markov_stationary_types",
+    "q_interarrival_burstiness",
 ]
 
 

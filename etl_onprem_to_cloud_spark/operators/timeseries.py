@@ -265,3 +265,66 @@ def ewma(
         *key_cols, *order_cols
     )
     return parts.mapInPandas(run, out_schema)
+
+
+def clamped_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+    floor_value: int = 0,
+) -> DataFrame:
+    """Per-key clamped running sum (inventory/ledger semantics):
+    ``bal_t = max(floor_value, bal_{t-1} + delta_t)``, starting from
+    ``floor_value``.  Like ``ewma`` this recurrence reads its own
+    previous OUTPUT -- the clamp makes it inexpressible as any window
+    frame (a plain running sum un-clamps retroactively) -- so it runs
+    as a grouped ``applyInPandas`` fold.  ``delta_col`` must be an
+    integer column (exact arithmetic; quantize currency upstream), so
+    the Python fold and a recursive-CTE SQL twin walk identical
+    states.
+
+    Returns ONE summary row per key: n_rows, final_balance, n_clamps
+    (times the floor bit), peak_balance.  Scale shape: one shuffle on
+    ``key_cols``; sequential within a key (inherent to the operator);
+    output is key-cardinality sized.  NULL deltas are treated as 0
+    (state unchanged, never a clamp).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_rows", LongType()),
+            StructField("final_balance", LongType()),
+            StructField("n_clamps", LongType()),
+            StructField("peak_balance", LongType()),
+        ]
+    )
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        bal = floor_value
+        clamps = 0
+        peak = floor_value
+        n = 0
+        for d in pdf[delta_col]:
+            n += 1
+            if pd.isna(d):
+                continue
+            nxt = bal + int(d)
+            if nxt < floor_value:
+                clamps += 1
+                nxt = floor_value
+            bal = nxt
+            if bal > peak:
+                peak = bal
+        row = {k.name: key[i] for i, k in enumerate(key_fields)}
+        row.update(
+            n_rows=n, final_balance=bal, n_clamps=clamps, peak_balance=peak
+        )
+        return pd.DataFrame([row])
+
+    return df.groupBy(*key_cols).applyInPandas(fn, out_schema)

@@ -178,6 +178,10 @@ _NEW_THIS_ROUND = (
     "q_seq_patterns_support",     # new: PrefixSpan-style subsequence support
     "q_peak_concurrent_sessions", # new: interval-sweep peak concurrency
     "q_holt_linear_forecast",     # new: double-exponential-smoothing forecast
+    "q_clamped_balance_users",    # new: floor-clamped ledger recurrence
+    "q_user_daily_streaks",       # new: consecutive-active-day streaks
+    "q_markov_stationary_types",  # new: fixed-point Markov steady state
+    "q_interarrival_burstiness",  # new: Goh-Barabasi burstiness index
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

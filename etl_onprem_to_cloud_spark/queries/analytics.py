@@ -994,3 +994,216 @@ def q_association_rules_parts(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov chain steady state of the event-type process
+# --------------------------------------------------------------------------
+
+_MARKOV_ITERS = 8
+_MARKOV_SCALE = 1_000_000
+
+
+def _duck_markov_sql(iters: int = _MARKOV_ITERS) -> str:
+    """Generated unrolled twin of the Spark power-iteration loop below
+    (the duck_pagerank_sql convention: generated text cannot drift from
+    the loop; AS MATERIALIZED because DuckDB inlines plain CTEs and the
+    chained iterations would expand exponentially).  All arithmetic is
+    BIGINT with `//` floor division -- identical to Spark's `div` on
+    the same positive operands."""
+    s = _MARKOV_SCALE
+    parts = [
+        """seq AS (
+  SELECT event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS nxt
+  FROM events
+)""",
+        "t AS MATERIALIZED (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c"
+        " FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt)",
+        "r AS MATERIALIZED (SELECT cur, CAST(sum(c) AS BIGINT) AS rtot"
+        " FROM t GROUP BY cur)",
+        "tr AS MATERIALIZED (SELECT t.cur, t.nxt, t.c, r.rtot"
+        " FROM t JOIN r ON t.cur = r.cur)",
+        "nn AS (SELECT count(*) AS n FROM r)",
+        f"p0 AS MATERIALIZED (SELECT r.cur AS state,"
+        f" CAST({s} // nn.n AS BIGINT) AS p FROM r CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT tr.nxt AS state,"
+            f" CAST(sum((p.p * tr.c) // tr.rtot) AS BIGINT) AS p"
+            f" FROM p{k - 1} p JOIN tr ON tr.cur = p.state GROUP BY tr.nxt)"
+        )
+    parts.append("tot AS (SELECT CAST(sum(rtot) AS BIGINT) AS tot FROM r)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT f.state AS event_type,
+  f.p / {s}.0 AS stationary_p,
+  CAST((r.rtot * {s}) // tot.tot AS BIGINT) / {s}.0 AS empirical_p
+FROM p{iters} f
+JOIN r ON r.cur = f.state
+CROSS JOIN tot
+ORDER BY event_type
+"""
+    )
+
+
+@query(
+    "q_markov_stationary_types",
+    oracle=_duck_markov_sql(),
+    tags=("events", "markov", "fixed-point", "iterative", "analytics"),
+    description=(
+        "Steady-state distribution of the first-order event-type "
+        "Markov chain: 8 power-iteration steps over the row-"
+        "normalized transition matrix, entirely in micro-unit BIGINT "
+        "fixed point (each mass transfer is (p*c) // rowsum -- floor "
+        "division, so both engines walk identical integer vectors), "
+        "reported next to the empirical origin frequencies."
+    ),
+)
+def q_markov_stationary_types(spark, sf_dir):
+    """The only event-scale work is the lead() pair build (one shuffle
+    on user_id) and the transition rollup; the chain itself is
+    |types|^2 rows -- bounded by the TYPE VOCABULARY, not data volume
+    -- so it is collected (guarded, <= 10k entries) and the 8 power
+    iterations run as driver-side Python integer arithmetic: `//` on
+    positive ints is the same floor division as the oracle's BIGINT
+    `//`, so the walked vectors are identical.  A first cut kept the
+    iterations as unrolled broadcast joins and the sf1 rehearsal
+    flagged it SUPER-LINEAR (exponent 2.13, 232 s): every iteration's
+    broadcast re-executed the whole accumulated lineage, events scan
+    included.  Driver-side iteration is the Lloyd-IVF-fit convention
+    (bounded collect + exact arithmetic) and removes all re-scans."""
+    ev = cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = (
+        seq.groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    )
+    if len(tr) > 10_000:
+        raise ValueError(
+            "q_markov_stationary_types: transition matrix has "
+            f"{len(tr)} entries; the bounded-collect guard assumes a "
+            "small state space (<= 10k pairs)"
+        )
+    c = {(row["cur"], row["nxt"]): int(row["c"]) for row in tr}
+    rtot: dict = {}
+    for (i, _j), cij in c.items():
+        rtot[i] = rtot.get(i, 0) + cij
+    n = len(rtot)
+    pi = {s: _MARKOV_SCALE // n for s in rtot}
+    for _ in range(_MARKOV_ITERS):
+        # Mirror the oracle's join semantics exactly: p{k} has a row
+        # for every nxt reachable from p{k-1}'s support; states with
+        # no outgoing edges leak their mass (documented, identical).
+        new: dict = {}
+        for (i, j), cij in c.items():
+            if i in pi:
+                new[j] = new.get(j, 0) + (pi[i] * cij) // rtot[i]
+        pi = new
+    tot = sum(rtot.values())
+    rows = [
+        (
+            s,
+            pi[s] / float(_MARKOV_SCALE),
+            ((rtot[s] * _MARKOV_SCALE) // tot) / float(_MARKOV_SCALE),
+        )
+        for s in sorted(rtot)
+        if s in pi  # the oracle's final INNER JOIN p8 x r
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, stationary_p double, empirical_p double"
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness (Goh-Barabasi B index)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_interarrival_burstiness",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+    floor(epoch(ts))
+      - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id))) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id,
+    CAST(count(gap) AS BIGINT) AS n_gaps,
+    CAST(sum(CAST(gap AS BIGINT)) AS BIGINT) AS sg,
+    CAST(sum(CAST(gap AS BIGINT) * CAST(gap AS BIGINT)) AS BIGINT) AS sg2
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+  floor(sg / CAST(n_gaps AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    AS mean_gap_s,
+  floor(sqrt((sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
+             / CAST(n_gaps AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+    AS std_gap_s,
+  floor((sqrt((sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
+              / CAST(n_gaps AS DOUBLE)) - sg / CAST(n_gaps AS DOUBLE))
+        / (sqrt((sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
+                / CAST(n_gaps AS DOUBLE)) + sg / CAST(n_gaps AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS burstiness
+FROM s
+WHERE n_gaps >= 2
+ORDER BY user_id
+""",
+    tags=("events", "timeseries", "stats", "burstiness"),
+    description=(
+        "Per-user inter-arrival burstiness: gaps in floored-epoch "
+        "seconds, then the Goh-Barabasi index B = (s-m)/(s+m) from "
+        "exact BIGINT sufficient statistics (n, sum g, sum g^2); "
+        "-1 = periodic, 0 = Poisson, ->1 = bursty.  mean/std/B use "
+        "only correctly-rounded IEEE ops (div, sqrt) in the identical "
+        "literal expression order, so the doubles are bit-equal "
+        "cross-engine before the 1e-6 rounding."
+    ),
+)
+def q_interarrival_burstiness(spark, sf_dir):
+    """One shuffle for the lag window; the sufficient statistics
+    reduce per user (partial-aggregated), so at 100 TB the post-window
+    traffic is user-cardinality sized.  All data-dependent
+    accumulation is exact BIGINT; doubles appear only in the final
+    per-user scalar expression."""
+    ev = cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).cast("bigint").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sg2"),
+    )
+    n_d = F.col("n_gaps").cast("double")
+    mean = F.col("sg") / n_d
+    std = F.sqrt((F.col("sg2") - F.col("sg") / n_d * F.col("sg")) / n_d)
+
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        s.filter(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            r6(mean).alias("mean_gap_s"),
+            r6(std).alias("std_gap_s"),
+            r6((std - mean) / (std + mean)).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )

@@ -1448,3 +1448,72 @@ def q_peak_concurrent_sessions(spark, sf_dir):
         .orderBy(F.desc("peak_concurrency"), "h")
         .limit(5)
     )
+
+
+# --------------------------------------------------------------------------
+# Daily activity streaks (gaps-and-islands on the day grid)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_user_daily_streaks",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+),
+isl AS (
+  SELECT user_id, day - rn AS grp, count(*) AS len
+  FROM r GROUP BY user_id, day - rn
+)
+SELECT user_id,
+  CAST(max(len) AS BIGINT) AS longest_streak,
+  CAST(count(*) AS BIGINT) AS n_streaks,
+  CAST(sum(len) AS BIGINT) AS n_active_days
+FROM isl GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("events", "gaps-islands", "retention"),
+    description=(
+        "Per-user consecutive-active-day streaks: distinct active "
+        "days, the day-minus-row-number island trick, then longest "
+        "streak / streak count / total active days per user -- the "
+        "retention 'streak' metric (day granularity twin of the "
+        "second-granularity session islands)."
+    ),
+)
+def q_user_daily_streaks(spark, sf_dir):
+    """distinct (user, day) collapses the fact table first (one
+    shuffle, output |users| x |days| max); the island window and both
+    rollups all share the user_id partitioning, so AQE coalesces them
+    onto one exchange.  Day ids are floored-epoch integers -- the
+    portable granularity convention."""
+    ev = cat(spark, sf_dir).events
+    d = ev.select(
+        "user_id",
+        F.floor(
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        )
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    r = d.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    )
+    isl = r.groupBy("user_id", (F.col("day") - F.col("rn")).alias("grp")).agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        isl.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )

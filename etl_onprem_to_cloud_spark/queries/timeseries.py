@@ -757,3 +757,87 @@ def q_holt_linear_forecast(spark, sf_dir):
             / F.lit(1e6)
         ).alias("mae_one_step"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clamped running balance (inventory/ledger recurrence)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_clamped_balance_users",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    CASE WHEN event_type IN ('purchase', 'error')
+         THEN -CAST(floor(value * 1000) AS BIGINT)
+         ELSE CAST(floor(value * 1000) AS BIGINT) END AS d
+  FROM events
+),
+n AS (SELECT user_id, max(rn) AS n_rows FROM s GROUP BY user_id),
+rec AS (
+  SELECT user_id, rn,
+    greatest(0, d) AS bal,
+    CASE WHEN d < 0 THEN 1 ELSE 0 END AS clamps,
+    greatest(0, d) AS peak
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+    greatest(0, rec.bal + s.d),
+    rec.clamps + CASE WHEN rec.bal + s.d < 0 THEN 1 ELSE 0 END,
+    greatest(rec.peak, greatest(0, rec.bal + s.d))
+  FROM rec JOIN s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+)
+SELECT rec.user_id,
+  CAST(n.n_rows AS BIGINT) AS n_events,
+  bal / 1000.0 AS final_balance,
+  CAST(clamps AS BIGINT) AS n_clamps,
+  peak / 1000.0 AS peak_balance
+FROM rec JOIN n ON rec.user_id = n.user_id AND rec.rn = n.n_rows
+ORDER BY rec.user_id
+""",
+    tags=("timeseries", "recurrence", "applyInPandas", "ring-c"),
+    description=(
+        "Per-user credit ledger floored at zero: purchases/errors "
+        "debit, other events credit (milli-unit integer amounts); "
+        "balance_t = max(0, balance_{t-1} + delta_t).  Reports final "
+        "balance, clamp count and peak per user.  The clamp makes the "
+        "recurrence window-inexpressible (a plain running sum "
+        "un-clamps retroactively), so it is the EWMA machinery's "
+        "integer sibling: operators/timeseries.clamped_running_sum, "
+        "with a genuine recursive-CTE oracle walking identical BIGINT "
+        "states."
+    ),
+)
+def q_clamped_balance_users(spark, sf_dir):
+    """One shuffle on user_id; the fold is sequential within a key
+    (inherent to clamped semantics) and emits one row per user, so at
+    100 TB the output is user-cardinality sized and the only data
+    motion is the grouped exchange.  All arithmetic is BIGINT
+    milli-units -- floor(value*1000) is the same IEEE double op in
+    both engines, everything after is exact."""
+    from ..operators.timeseries import clamped_running_sum
+
+    ev = cat(spark, sf_dir).events
+    m = F.floor(F.col("value") * 1000).cast("bigint")
+    deltas = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "error"), -m)
+        .otherwise(m)
+        .alias("delta_m"),
+    )
+    out = clamped_running_sum(
+        deltas,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        delta_col="delta_m",
+    )
+    return out.select(
+        "user_id",
+        F.col("n_rows").cast("bigint").alias("n_events"),
+        (F.col("final_balance") / F.lit(1000.0)).alias("final_balance"),
+        F.col("n_clamps").cast("bigint").alias("n_clamps"),
+        (F.col("peak_balance") / F.lit(1000.0)).alias("peak_balance"),
+    ).orderBy("user_id")

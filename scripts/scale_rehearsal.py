@@ -155,6 +155,13 @@ REHEARSAL = [
     "q_seasonal_naive_mase",
     "q_wilson_ctr_ranking",
     "q_modularity_brand_copurchase",
+    "q_seq_patterns_support",
+    "q_peak_concurrent_sessions",
+    "q_holt_linear_forecast",
+    "q_clamped_balance_users",
+    "q_user_daily_streaks",
+    "q_markov_stationary_types",
+    "q_interarrival_burstiness",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -151,3 +151,47 @@ def test_ewma_null_keys_form_one_group(spark):
         assert rows[(None, 2)] == 0.5 * 10.0 + 0.5 * 20.0, (
             f"{impl}: null keys must share one recurrence"
         )
+
+
+def test_clamped_running_sum_basic(spark):
+    """Hand-checked clamp semantics: balance floors at 0, clamps are
+    counted, peak tracks the post-clamp maximum, NULL deltas leave
+    state untouched but still count as rows."""
+    from etl_onprem_to_cloud_spark.operators.timeseries import clamped_running_sum
+
+    df = spark.createDataFrame(
+        [
+            # key a: +5, -10 (clamp), +3, NULL -> final 3, clamps 1, peak 5
+            ("a", 1, 5),
+            ("a", 2, -10),
+            ("a", 3, 3),
+            ("a", 4, None),
+            # key b: -1 (clamp at start), +2 -> final 2, clamps 1, peak 2
+            ("b", 1, -1),
+            ("b", 2, 2),
+        ],
+        "k string, t int, d long",
+    )
+    out = {
+        r.k: (r.n_rows, r.final_balance, r.n_clamps, r.peak_balance)
+        for r in clamped_running_sum(df, ["k"], ["t"], "d").collect()
+    }
+    assert out["a"] == (4, 3, 1, 5)
+    assert out["b"] == (2, 2, 1, 2)
+
+
+def test_clamped_running_sum_order_insensitive_input(spark):
+    """Result depends only on (key, order) -- shuffling the input rows
+    must not change the fold."""
+    from etl_onprem_to_cloud_spark.operators.timeseries import clamped_running_sum
+
+    rows = [("a", t, (-1) ** t * (t + 3)) for t in range(1, 20)]
+    df1 = spark.createDataFrame(rows, "k string, t int, d long")
+    df2 = spark.createDataFrame(rows[::-1], "k string, t int, d long").repartition(7)
+    r1 = clamped_running_sum(df1, ["k"], ["t"], "d").collect()[0]
+    r2 = clamped_running_sum(df2, ["k"], ["t"], "d").collect()[0]
+    assert (r1.final_balance, r1.n_clamps, r1.peak_balance) == (
+        r2.final_balance,
+        r2.n_clamps,
+        r2.peak_balance,
+    )
