@@ -182,6 +182,8 @@ _NEW_THIS_ROUND = (
     "q_user_daily_streaks",       # new: consecutive-active-day streaks
     "q_markov_stationary_types",  # new: fixed-point Markov steady state
     "q_interarrival_burstiness",  # new: Goh-Barabasi burstiness index
+    "q_max_drawdown_users",       # new: window-closed-form max drawdown
+    "q_cusum_value_drift",        # new: CUSUM drift via reflection form
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -763,9 +763,12 @@ def q_holt_linear_forecast(spark, sf_dir):
 # Clamped running balance (inventory/ledger recurrence)
 # --------------------------------------------------------------------------
 
+_LEDGER_CAP_M = 500_000  # credit ceiling, milli-units (500.0)
+
+
 @query(
     "q_clamped_balance_users",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE s AS (
   SELECT user_id,
     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -777,45 +780,50 @@ WITH RECURSIVE s AS (
 n AS (SELECT user_id, max(rn) AS n_rows FROM s GROUP BY user_id),
 rec AS (
   SELECT user_id, rn,
-    greatest(0, d) AS bal,
+    least({_LEDGER_CAP_M}, greatest(0, d)) AS bal,
     CASE WHEN d < 0 THEN 1 ELSE 0 END AS clamps,
-    greatest(0, d) AS peak
+    CASE WHEN d > {_LEDGER_CAP_M} THEN 1 ELSE 0 END AS caps,
+    least({_LEDGER_CAP_M}, greatest(0, d)) AS peak
   FROM s WHERE rn = 1
   UNION ALL
   SELECT s.user_id, s.rn,
-    greatest(0, rec.bal + s.d),
+    least({_LEDGER_CAP_M}, greatest(0, rec.bal + s.d)),
     rec.clamps + CASE WHEN rec.bal + s.d < 0 THEN 1 ELSE 0 END,
-    greatest(rec.peak, greatest(0, rec.bal + s.d))
+    rec.caps + CASE WHEN rec.bal + s.d > {_LEDGER_CAP_M} THEN 1 ELSE 0 END,
+    greatest(rec.peak, least({_LEDGER_CAP_M}, greatest(0, rec.bal + s.d)))
   FROM rec JOIN s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
 )
 SELECT rec.user_id,
   CAST(n.n_rows AS BIGINT) AS n_events,
   bal / 1000.0 AS final_balance,
   CAST(clamps AS BIGINT) AS n_clamps,
+  CAST(caps AS BIGINT) AS n_caps,
   peak / 1000.0 AS peak_balance
 FROM rec JOIN n ON rec.user_id = n.user_id AND rec.rn = n.n_rows
 ORDER BY rec.user_id
 """,
     tags=("timeseries", "recurrence", "applyInPandas", "ring-c"),
     description=(
-        "Per-user credit ledger floored at zero: purchases/errors "
-        "debit, other events credit (milli-unit integer amounts); "
-        "balance_t = max(0, balance_{t-1} + delta_t).  Reports final "
-        "balance, clamp count and peak per user.  The clamp makes the "
-        "recurrence window-inexpressible (a plain running sum "
-        "un-clamps retroactively), so it is the EWMA machinery's "
-        "integer sibling: operators/timeseries.clamped_running_sum, "
-        "with a genuine recursive-CTE oracle walking identical BIGINT "
-        "states."
+        "Per-user credit ledger floored at zero AND capped at a "
+        "500.0-unit credit ceiling: purchases/errors debit, other "
+        "events credit (milli-unit integers); balance_t = min(cap, "
+        "max(0, balance_{t-1} + delta_t)).  Reports final balance, "
+        "floor-clamp count, cap count and peak per user.  The "
+        "TWO-SIDED clamp is genuinely window-inexpressible (unlike "
+        "the floor-only form, which has the reflection closed form "
+        "used by q_max_drawdown_users / q_cusum_value_drift), so it "
+        "runs as the EWMA machinery's integer sibling: "
+        "operators/timeseries.clamped_running_sum, with a genuine "
+        "recursive-CTE oracle walking identical BIGINT states."
     ),
 )
 def q_clamped_balance_users(spark, sf_dir):
     """One shuffle on user_id; the fold is sequential within a key
-    (inherent to clamped semantics) and emits one row per user, so at
-    100 TB the output is user-cardinality sized and the only data
-    motion is the grouped exchange.  All arithmetic is BIGINT
-    milli-units -- floor(value*1000) is the same IEEE double op in
-    both engines, everything after is exact."""
+    (inherent to two-sided clamped semantics) and emits one row per
+    user, so at 100 TB the output is user-cardinality sized and the
+    only data motion is the grouped exchange.  All arithmetic is
+    BIGINT milli-units -- floor(value*1000) is the same IEEE double op
+    in both engines, everything after is exact."""
     from ..operators.timeseries import clamped_running_sum
 
     ev = cat(spark, sf_dir).events
@@ -833,11 +841,206 @@ def q_clamped_balance_users(spark, sf_dir):
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         delta_col="delta_m",
+        cap_value=_LEDGER_CAP_M,
     )
     return out.select(
         "user_id",
         F.col("n_rows").cast("bigint").alias("n_events"),
         (F.col("final_balance") / F.lit(1000.0)).alias("final_balance"),
         F.col("n_clamps").cast("bigint").alias("n_clamps"),
+        F.col("n_caps").cast("bigint").alias("n_caps"),
         (F.col("peak_balance") / F.lit(1000.0)).alias("peak_balance"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Max drawdown + CUSUM drift: the reflection closed form in pure windows
+# --------------------------------------------------------------------------
+
+@query(
+    "q_max_drawdown_users",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type IN ('purchase', 'error')
+         THEN -CAST(floor(value * 1000) AS BIGINT)
+         ELSE CAST(floor(value * 1000) AS BIGINT) END AS m
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id, m,
+    CAST(sum(m) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM d
+),
+r AS (
+  SELECT user_id, m, p,
+    max(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS rmax
+  FROM c
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(m) AS BIGINT) / 1000.0 AS final_value,
+  max(p) / 1000.0 AS peak_value,
+  max(rmax - p) / 1000.0 AS max_drawdown
+FROM r GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("timeseries", "windows", "drawdown", "ring-c"),
+    description=(
+        "Per-user maximum drawdown of the signed cumulative value "
+        "series (purchases/errors debit): running peak minus running "
+        "sum, maximized -- pure window functions over exact BIGINT "
+        "milli-units, no recurrence needed (the running max IS the "
+        "reflection trick that makes the floor-only clamp closed-form; "
+        "contrast q_clamped_balance_users' two-sided fold)."
+    ),
+)
+def q_max_drawdown_users(spark, sf_dir):
+    """Both windows and the final rollup share the user_id
+    partitioning -- one exchange end to end at any scale; all
+    accumulation is exact BIGINT until the final /1000.0."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    mm = F.floor(F.col("value") * 1000).cast("bigint")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "error"), -mm)
+        .otherwise(mm)
+        .alias("m"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "m",
+        F.sum("m").over(w).cast("bigint").alias("p"),
+    ).withColumn("rmax", F.max("p").over(w))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum("m").cast("bigint") / F.lit(1000.0)).alias("final_value"),
+            (F.max("p") / F.lit(1000.0)).alias("peak_value"),
+            (F.max(F.col("rmax") - F.col("p")) / F.lit(1000.0)).alias(
+                "max_drawdown"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CUSUM_H_M = 400_000  # alarm threshold, milli-units (400.0)
+
+
+@query(
+    "q_cusum_value_drift",
+    oracle=f"""
+WITH d AS (
+  SELECT user_id, ts, event_id, CAST(floor(value * 1000) AS BIGINT) AS m
+  FROM events
+),
+k AS (
+  SELECT CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS k FROM d
+),
+x AS (
+  SELECT user_id, ts, event_id, m - k.k AS x FROM d CROSS JOIN k
+),
+q AS (
+  SELECT user_id, ts, event_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    CAST(sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS q
+  FROM x
+),
+s AS (
+  SELECT user_id, rn,
+    q - least(CAST(0 AS BIGINT),
+              min(q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)) AS s
+  FROM q
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  max(s) / 1000.0 AS max_cusum,
+  CAST(sum(CASE WHEN s > {_CUSUM_H_M} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_over_threshold,
+  CAST(min(CASE WHEN s > {_CUSUM_H_M} THEN rn END) AS BIGINT)
+    AS first_alarm_rn
+FROM s GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("timeseries", "windows", "cusum", "changepoint", "ring-c"),
+    description=(
+        "Per-user CUSUM positive-drift detector against the global "
+        "mean event value: S_t = max(0, S_t-1 + (x_t - mean)), "
+        "evaluated WITHOUT any recurrence via the reflection closed "
+        "form S_t = Q_t - min(0, running-min Q) over the plain "
+        "deviation prefix sum -- pure window functions, exact BIGINT "
+        "milli-units.  Reports max CUSUM, rows over the 400.0 alarm "
+        "threshold and the first alarm position per user."
+    ),
+)
+def q_cusum_value_drift(spark, sf_dir):
+    """Two passes over events: a tiny global-mean agg (broadcast as a
+    1-row cross join) and one user_id-partitioned window pass; the
+    final rollup shares the window's partitioning.  The global mean is
+    an exact BIGINT floor division (both operands positive, so
+    Spark's truncating `div` equals DuckDB's flooring `//`)."""
+    from pyspark.sql import Window
+
+    ev = cat(spark, sf_dir).events
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("m"),
+    )
+    k = d.agg(
+        F.expr("CAST(sum(m) AS BIGINT) div count(*)").alias("k")
+    )
+    x = d.join(F.broadcast(k)).select(
+        "user_id", "ts", "event_id", (F.col("m") - F.col("k")).alias("x")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q = x.select(
+        "user_id",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("x").over(wf).cast("bigint").alias("q"),
+    )
+    wrn = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = q.select(
+        "user_id",
+        "rn",
+        (
+            F.col("q")
+            - F.least(F.lit(0).cast("bigint"), F.min("q").over(wrn))
+        ).alias("s"),
+    )
+    over = F.col("s") > _CUSUM_H_M
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max("s") / F.lit(1000.0)).alias("max_cusum"),
+            F.sum(over.cast("int")).cast("bigint").alias("n_over_threshold"),
+            F.min(F.when(over, F.col("rn"))).cast("bigint").alias(
+                "first_alarm_rn"
+            ),
+        )
+        .orderBy("user_id")
+    )

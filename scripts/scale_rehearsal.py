@@ -162,6 +162,8 @@ REHEARSAL = [
     "q_user_daily_streaks",
     "q_markov_stationary_types",
     "q_interarrival_burstiness",
+    "q_max_drawdown_users",
+    "q_cusum_value_drift",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

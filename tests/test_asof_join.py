@@ -180,6 +180,95 @@ def test_clamped_running_sum_basic(spark):
     assert out["b"] == (2, 2, 1, 2)
 
 
+def test_clamped_stream_grouped_identical(spark):
+    """Both execution shapes (mapInPandas stream walk vs grouped
+    applyInPandas) must emit identical summaries, including null keys
+    and null deltas, capped and uncapped."""
+    import random
+
+    from etl_onprem_to_cloud_spark.operators.timeseries import clamped_running_sum
+
+    rng = random.Random(11)
+    rows = []
+    for k in ("a", "b", None, "c"):
+        for t in range(1, 60):
+            rows.append((k, t, rng.choice([-7, -3, 0, 2, 5, 9, None])))
+    df = spark.createDataFrame(rows, "k string, t int, d long").repartition(5)
+    for cap in (None, 6):
+        got = {}
+        for impl in ("stream", "grouped"):
+            got[impl] = sorted(
+                (
+                    (
+                        r.k,
+                        r.n_rows,
+                        r.final_balance,
+                        r.n_clamps,
+                        r.n_caps,
+                        r.peak_balance,
+                    )
+                    for r in clamped_running_sum(
+                        df, ["k"], ["t"], "d", cap_value=cap, impl=impl
+                    ).collect()
+                ),
+                key=lambda t: (t[0] is None, t),
+            )
+        assert got["stream"] == got["grouped"], f"cap={cap}"
+
+
+def test_clamped_running_sum_two_sided_cap(spark):
+    """Cap semantics: the ceiling truncates, cap hits are counted
+    separately from floor clamps, and peak never exceeds the cap."""
+    from etl_onprem_to_cloud_spark.operators.timeseries import clamped_running_sum
+
+    df = spark.createDataFrame(
+        # +8 (cap to 5), +1 (cap again), -9 (clamp to 0), +3 -> final 3
+        [("a", 1, 8), ("a", 2, 1), ("a", 3, -9), ("a", 4, 3)],
+        "k string, t int, d long",
+    )
+    r = clamped_running_sum(df, ["k"], ["t"], "d", cap_value=5).collect()[0]
+    assert (r.final_balance, r.n_clamps, r.n_caps, r.peak_balance) == (3, 1, 2, 5)
+
+
+def test_clamped_closed_form_matches_sequential_fold(spark):
+    """The vectorized reflection closed form (cap=None) must walk the
+    identical states as a plain sequential fold, on adversarial
+    deltas: runs of debits, exact-zero landings, repeated minima."""
+    import random
+
+    from etl_onprem_to_cloud_spark.operators.timeseries import clamped_running_sum
+
+    rng = random.Random(7)
+    rows = []
+    for k in ("a", "b", "c"):
+        for t in range(1, 200):
+            d = rng.choice([-5, -3, -1, 0, 1, 2, 3, None, -2, 4])
+            rows.append((k, t, d))
+    df = spark.createDataFrame(rows, "k string, t int, d long")
+    got = {
+        r.k: (r.final_balance, r.n_clamps, r.n_caps, r.peak_balance)
+        for r in clamped_running_sum(df, ["k"], ["t"], "d", floor_value=2).collect()
+    }
+    # reference sequential fold
+    want = {}
+    by_key: dict = {}
+    for k, t, d in rows:
+        by_key.setdefault(k, []).append((t, d))
+    for k, seq in by_key.items():
+        bal, clamps, peak = 2, 0, 2
+        for _, d in sorted(seq):
+            if d is None:
+                continue
+            nxt = bal + d
+            if nxt < 2:
+                clamps += 1
+                nxt = 2
+            bal = nxt
+            peak = max(peak, bal)
+        want[k] = (bal, clamps, 0, peak)
+    assert got == want
+
+
 def test_clamped_running_sum_order_insensitive_input(spark):
     """Result depends only on (key, order) -- shuffling the input rows
     must not change the fold."""
