@@ -995,7 +995,13 @@ def q_cusum_value_drift(spark, sf_dir):
     1-row cross join) and one user_id-partitioned window pass; the
     final rollup shares the window's partitioning.  The global mean is
     an exact BIGINT floor division (both operands positive, so
-    Spark's truncating `div` equals DuckDB's flooring `//`)."""
+    Spark's truncating `div` equals DuckDB's flooring `//`).
+
+    Not a duplicate of mining.q_cusum_changepoints: that one is the
+    UNclamped two-sided cumulative-deviation scan (changepoint
+    localization at peak |CUSUM|); this is the one-sided Page control
+    chart S_t = max(0, S_{t-1}+x_t-k) -- the clamped recurrence whose
+    closed form is the point -- with alarm thresholding."""
     from pyspark.sql import Window
 
     ev = cat(spark, sf_dir).events
