@@ -769,3 +769,333 @@ def srp_near_dup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+
+def pq_fit_codebooks(
+    rows: list[tuple[int, list[float]]],
+    num_subspaces: int,
+    num_centroids: int,
+    n_iter: int,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train one deterministic Lloyd codebook per subspace: split each
+    vector into ``num_subspaces`` contiguous slices and run
+    :func:`lloyd_fit` on each slice family independently.  Returns
+    ``books[m] = [(cell, centroid), ...]`` in ascending cell order --
+    every bit-identity guarantee of :func:`lloyd_fit` applies per
+    subspace, so a SQL twin that unrolls the same per-subspace Lloyd
+    loop reproduces the codebooks exactly."""
+    if not rows:
+        return [[] for _ in range(num_subspaces)]
+    dim = len(rows[0][1])
+    if dim % num_subspaces:
+        raise ValueError(
+            f"pq_fit_codebooks: dim {dim} not divisible by "
+            f"num_subspaces {num_subspaces}"
+        )
+    sub = dim // num_subspaces
+    return [
+        lloyd_fit(
+            [(i, list(v[m * sub : (m + 1) * sub])) for i, v in rows],
+            num_centroids,
+            n_iter,
+        )
+        for m in range(num_subspaces)
+    ]
+
+
+def pq_top_k(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_subspaces: int = 4,
+    num_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_max_rows: int = 1_000_000,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors (the FAISS-style scale
+    path the IVF entry lacks): vectors are ENCODED as one small code
+    per subspace (argmin against that subspace's Lloyd codebook), and
+    each query ranks the corpus by the ASYMMETRIC distance -- the sum
+    over subspaces of dist2(query-slice, centroid-of-code) -- never
+    touching the original corpus vectors at search time.  Returns
+    (query_id, neighbor_id, adc_dist2, rank), ascending distance,
+    self-matches excluded.
+
+    ``rerank=R`` adds the production second stage: the top-R ADC
+    shortlist per query is re-scored with EXACT cosine against the
+    original vectors and the final top-k is ranked on that -- output
+    becomes (query_id, neighbor_id, cosine, rank).  PQ codes alone
+    are a lossy 64x compression (measured recall@10 ~0.2-0.3 on the
+    64-dim fixture); shortlist-then-rerank recovers ~0.7 while still
+    reading only R full vectors per query instead of the corpus.
+
+    100 TB shape: the fit is a bounded driver-side numpy train
+    (:func:`lloyd_fit` per subspace; gate/sample the fit set upstream
+    at real scale -- guarded by ``fit_max_rows``); ENCODE is map-only
+    (codebooks are literal arrays folded in codegen, no shuffle, and
+    the persisted form of a 64-dim float vector collapses to
+    ``num_subspaces`` small ints -- 64x storage compression at M=4);
+    the ADC scan is map-only over codes with a broadcast per-query
+    lookup table (|queries| x M x num_centroids doubles), followed by
+    a bounded |queries| x k top-k.  No stage reads the full vectors
+    except the one-time encode.
+
+    Determinism contract (what makes this value-oracle-checkable,
+    unlike typical ANN): Lloyd per-subspace fit is bit-identical to
+    the unrolled SQL twin (:func:`duck_pq_adc_sql`); encode argmin
+    ties break to the smallest cell id (first minimum); ADC sums the
+    per-subspace terms in ascending-subspace order with explicit
+    left-association, so both engines execute the identical IEEE
+    sequence before the 1e-6 portable rounding."""
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    rows = [
+        (r["id"], list(r["v"])) for r in e.limit(fit_max_rows + 1).collect()
+    ]
+    if len(rows) > fit_max_rows:
+        raise ValueError(
+            f"pq_top_k: fit set exceeds fit_max_rows={fit_max_rows}; "
+            "hash-gate or sample the fit set upstream"
+        )
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist2 double, rank bigint"
+        )
+    dim = len(rows[0][1])
+    sub = dim // num_subspaces
+    books = pq_fit_codebooks(rows, num_subspaces, num_centroids, n_iter)
+
+    # All codebook-literal expressions are built as SQL TEXT and parsed
+    # with ONE F.expr per column: the Column-constructor form issued
+    # thousands of Py4J round trips (one per literal / node) and cost
+    # ~9 s of DRIVER time at M=4 x 8 centroids before any job ran.
+    # Literals go through CAST('repr' AS DOUBLE) -- a correctly-rounded
+    # string->double parse, so the values are bit-identical to F.lit.
+    def sql_vec(xs: list[float]) -> str:
+        return (
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs)
+            + ")"
+        )
+
+    def sql_dot(a: str, b: str) -> str:
+        # Same fold as functions.vectors.dot_product (the double cast
+        # there is an identity on these already-double arrays).
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    def sql_dist2(v: str, c: list[float]) -> str:
+        cc = 0.0
+        for x in c:  # sequential fold, identical to the engines' order
+            cc = cc + float(x) * float(x)
+        return (
+            f"(({sql_dot(v, v)} - CAST(2.0 AS DOUBLE) * "
+            f"{sql_dot(v, sql_vec(c))}) + CAST('{cc!r}' AS DOUBLE))"
+        )
+
+    def sql_darr(vec_col: str, m: int, book) -> str:
+        sub_v = f"slice({vec_col}, {m * sub + 1}, {sub})"
+        return (
+            "array(" + ", ".join(sql_dist2(sub_v, c) for _, c in book) + ")"
+        )
+
+    # ENCODE (map-only): per subspace, position of the first-minimum
+    # dist2 within the ascending-cell codebook (1-based; ties take the
+    # smallest index because array_sort on (d, i) structs orders by d
+    # then i -- the oracle's ORDER BY dist ASC, cell).
+    enc = e
+    for m, book in enumerate(books):
+        enc = enc.withColumn(
+            f"pos_{m}",
+            F.expr(
+                f"CAST(array_sort(transform({sql_darr('v', m, book)}, "
+                f"(x, i) -> struct(x AS d, i AS i)))[0].i + 1 AS INT)"
+            ),
+        )
+    codes = enc.select(
+        F.col("id").alias("neighbor_id"),
+        *[F.col(f"pos_{m}") for m in range(num_subspaces)],
+    )
+
+    # Per-query ADC lookup tables (tiny, broadcast).
+    q = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    for m, book in enumerate(books):
+        q = q.withColumn(f"tab_{m}", F.expr(sql_darr("qv", m, book)))
+    q = q.drop("qv")
+
+    joined = codes.join(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.element_at(F.col("tab_0"), F.col("pos_0"))
+    for m in range(1, num_subspaces):
+        adc = adc + F.element_at(F.col(f"tab_{m}"), F.col(f"pos_{m}"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(adc, 6).cast("double").alias("adc_dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    if rerank is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "adc_dist2", "rank"
+        )
+    shortlist = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    qv = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.join(
+        F.broadcast(shortlist), F.col("id") == F.col("neighbor_id")
+    ).join(F.broadcast(qv), "query_id")
+    rescored = cand.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(cosine_similarity(F.col("qv"), F.col("v")), 6)
+        .cast("double")
+        .alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def duck_pq_adc_sql(
+    query_ids: list[int],
+    k: int = 10,
+    num_subspaces: int = 4,
+    num_centroids: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    rerank: int | None = None,
+) -> str:
+    """Generated unrolled DuckDB twin of :func:`pq_top_k` over the
+    ``embeddings`` table: per-subspace Lloyd loops (the
+    duck_ivf_lloyd_sql generator pattern), final assignment, and the
+    ADC ranking with the same left-associated subspace-term sum.  The
+    oracle computes each pair's ADC term DIRECTLY as dist2(query
+    slice, centroid of the doc's cell) -- the Spark side's per-query
+    lookup table is an optimization producing the identical doubles."""
+    ids_sql = ", ".join(str(i) for i in query_ids)
+    sub = dim // num_subspaces
+
+    def dist2(v: str, c: str) -> str:
+        return (
+            f"(list_dot_product({v}, {v}) - 2.0 * list_dot_product({v}, {c})"
+            f" + list_dot_product({c}, {c}))"
+        )
+
+    def assign(src_e: str, src_cents: str, name: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT id, v, cell FROM ("
+            f"SELECT e.id, e.v, c.cell, row_number() OVER ("
+            f"PARTITION BY e.id ORDER BY {dist2('e.v', 'c.centroid')} ASC,"
+            f" c.cell) AS rn FROM {src_e} e CROSS JOIN {src_cents} c)"
+            f" WHERE rn = 1)"
+        )
+
+    def update(src_assign: str, name: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT cell,"
+            f" list(m ORDER BY dim) AS centroid FROM ("
+            f"SELECT a.cell, d.i AS dim,"
+            f" CAST(sum(CAST(floor(a.v[d.i] * 10000000.0 + 0.5)"
+            f" / 10000000.0 AS DECIMAL(18,7))) AS DOUBLE) / count(*) AS m"
+            f" FROM {src_assign} a, LATERAL (SELECT"
+            f" unnest(generate_series(1, len(a.v))) AS i) d"
+            f" GROUP BY a.cell, d.i) GROUP BY cell)"
+        )
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id AS id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+    ]
+    for m in range(num_subspaces):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        parts.append(
+            f"e{m} AS MATERIALIZED (SELECT id, v[{lo}:{hi}] AS v FROM e)"
+        )
+        parts.append(
+            f"c0_{m} AS MATERIALIZED (SELECT row_number() OVER"
+            f" (ORDER BY id) - 1 AS cell, v AS centroid FROM e{m}"
+            f" ORDER BY id LIMIT {num_centroids})"
+        )
+        for i in range(1, n_iter + 1):
+            parts.append(assign(f"e{m}", f"c{i - 1}_{m}", f"a{i}_{m}"))
+            parts.append(update(f"a{i}_{m}", f"c{i}_{m}"))
+        parts.append(assign(f"e{m}", f"c{n_iter}_{m}", f"af_{m}"))
+        parts.append(
+            f"q{m} AS (SELECT id AS query_id, v AS qv FROM e{m}"
+            f" WHERE id IN ({ids_sql}))"
+        )
+        parts.append(
+            f"s{m} AS MATERIALIZED (SELECT q.query_id, a.id,"
+            f" {dist2('q.qv', 'c.centroid')} AS d"
+            f" FROM q{m} q CROSS JOIN af_{m} a"
+            f" JOIN c{n_iter}_{m} c ON c.cell = a.cell)"
+        )
+    adc = "s0.d"
+    for m in range(1, num_subspaces):
+        adc = f"({adc} + s{m}.d)"
+    joins = " ".join(
+        f"JOIN s{m} ON s{m}.query_id = s0.query_id AND s{m}.id = s0.id"
+        for m in range(1, num_subspaces)
+    )
+    parts.append(
+        f"s AS (SELECT s0.query_id, s0.id AS neighbor_id,"
+        f" floor({adc} * 1000000.0 + 0.5) / 1000000.0 AS adc_dist2"
+        f" FROM s0 {joins} WHERE s0.id != s0.query_id)"
+    )
+    parts.append(
+        "r AS (SELECT query_id, neighbor_id, adc_dist2, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id) AS rank"
+        " FROM s)"
+    )
+    if rerank is None:
+        return (
+            "WITH "
+            + ",\n".join(parts)
+            + f"\nSELECT query_id, neighbor_id, adc_dist2, rank FROM r"
+            f" WHERE rank <= {k} ORDER BY query_id, rank"
+        )
+    cos = (
+        "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))"
+        " * sqrt(list_dot_product(c.v, c.v)))"
+    )
+    parts += [
+        f"short AS (SELECT query_id, neighbor_id FROM r"
+        f" WHERE rank <= {rerank})",
+        f"rr AS (SELECT short.query_id, short.neighbor_id,"
+        f" floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cosine"
+        f" FROM short JOIN e c ON c.id = short.neighbor_id"
+        f" JOIN e q ON q.id = short.query_id)",
+        "r2 AS (SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank"
+        " FROM rr)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, neighbor_id, cosine, rank FROM r2"
+        f" WHERE rank <= {k} ORDER BY query_id, rank"
+    )

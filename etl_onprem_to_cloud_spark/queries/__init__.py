@@ -184,6 +184,7 @@ _NEW_THIS_ROUND = (
     "q_interarrival_burstiness",  # new: Goh-Barabasi burstiness index
     "q_max_drawdown_users",       # new: window-closed-form max drawdown
     "q_cusum_value_drift",        # new: CUSUM drift via reflection form
+    "q_ann_pq_adc_topk",          # new: PQ/ADC ANN with exact rerank
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 from ..llm.similarity import (
     brute_force_top_k,
     duck_ivf_lloyd_sql,
+    duck_pq_adc_sql,
     embedding_near_dup_pairs,
     ivf_top_k,
+    pq_top_k,
     srp_near_dup_pairs,
     srp_planes,
 )
@@ -691,4 +693,41 @@ def q_contrastive_pairs(spark, sf_dir):
     )
     return pos.unionByName(neg).orderBy(
         F.desc("is_positive"), "id_a", "id_b"
+    )
+
+
+@query(
+    "q_ann_pq_adc_topk",
+    oracle=duck_pq_adc_sql(_QUERY_IDS, k=10, num_subspaces=4, num_centroids=8,
+                           n_iter=2, dim=64, rerank=50),
+    tags=("similarity", "ring-c", "ann", "approx", "iterative", "pq"),
+    description="Product-quantization ANN with asymmetric distance "
+    "computation and exact re-ranking (the FAISS-style memory-bound "
+    "scale path): 4 deterministic per-subspace Lloyd codebooks of 8 "
+    "centroids, corpus encoded to 4 small codes per vector (64x "
+    "storage compression of a 64-dim float vector), queries shortlist "
+    "the top-50 by summed per-subspace dist2 lookups WITHOUT reading "
+    "corpus vectors, then only the shortlist is re-scored with exact "
+    "cosine.  Codebook training, encoding argmin, the left-associated "
+    "ADC sum and the rerank all verify value-for-value against a "
+    "generated unrolled-CTE oracle -- same bit-identity conventions "
+    "as q_ann_ivf_topk.",
+)
+def q_ann_pq_adc_topk(spark, sf_dir):
+    """Fit is a bounded driver-side numpy train (hash-gate the fit set
+    at real scale); encode and the ADC scan are map-only with literal
+    codebooks / broadcast per-query tables; the rerank reads only
+    |queries| x 50 full vectors via a broadcast shortlist semi-join;
+    the only shuffles are the bounded top-k windows.  Recall vs the
+    exact baseline is tested in tests/test_similarity_ml.py (ADC-only
+    ~0.2-0.3 on this fixture, rerank-50 ~0.7)."""
+    emb = cat(spark, sf_dir).embeddings
+    return pq_top_k(
+        emb,
+        _QUERY_IDS,
+        k=10,
+        num_subspaces=4,
+        num_centroids=8,
+        n_iter=2,
+        rerank=50,
     )

@@ -164,6 +164,7 @@ REHEARSAL = [
     "q_interarrival_burstiness",
     "q_max_drawdown_users",
     "q_cusum_value_drift",
+    "q_ann_pq_adc_topk",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -237,3 +237,25 @@ def test_lloyd_driver_fit_guard(spark, sf_dir):
     with pytest.raises(ValueError, match="fit"):
         a, _ = lloyd_cells(emb, num_cells=4, n_iter=1, fit_max_rows=10)
         a.collect()
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """PQ/ADC with 4 subspaces x 8 centroids is a coarse quantization
+    of a 64-dim space (ADC-only recall@10 is ~0.2-0.3 here); the
+    registered query's exact rerank of the top-50 ADC shortlist must
+    recover most of the exact top-10."""
+    exact = QUERIES["q_ann_brute_force_topk"].fn(spark, sf_dir).collect()
+    approx = QUERIES["q_ann_pq_adc_topk"].fn(spark, sf_dir).collect()
+
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assert set(got) == set(truth), "every query vector must get neighbors"
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.5, f"PQ/ADC+rerank recall@10 too low: {recall:.2f}"
