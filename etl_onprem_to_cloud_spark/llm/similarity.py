@@ -775,6 +775,73 @@ def srp_near_dup_pairs(
 # Product quantization (PQ) + asymmetric distance computation (ADC)
 # --------------------------------------------------------------------------
 
+# All codebook-literal expressions are built as SQL TEXT and parsed
+# with ONE F.expr per column: the Column-constructor form issues one
+# Py4J round trip per literal / node and cost ~9 s of DRIVER time at
+# M=4 x 8 centroids before any job ran (measured).  Literals go
+# through CAST('repr' AS DOUBLE) -- a correctly-rounded string->double
+# parse, so the values are bit-identical to F.lit.
+
+def _sql_vec(xs: list[float]) -> str:
+    return (
+        "array("
+        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs)
+        + ")"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    # Same fold as functions.vectors.dot_product (the double cast there
+    # is an identity on these already-double arrays).
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_dist2(v: str, c: list[float]) -> str:
+    cc = 0.0
+    for x in c:  # sequential fold, identical to the engines' order
+        cc = cc + float(x) * float(x)
+    return (
+        f"(({_sql_dot(v, v)} - CAST(2.0 AS DOUBLE) * "
+        f"{_sql_dot(v, _sql_vec(c))}) + CAST('{cc!r}' AS DOUBLE))"
+    )
+
+
+def _sql_darr(vec_col: str, lo: int, sub: int, book) -> str:
+    """SQL array of dist2(slice(vec, lo, sub), centroid) per codebook
+    entry, in ascending cell order."""
+    sub_v = f"slice({vec_col}, {lo}, {sub})"
+    return "array(" + ", ".join(_sql_dist2(sub_v, c) for _, c in book) + ")"
+
+
+def _sql_argmin_pos(darr_sql: str) -> str:
+    """1-based position of the first minimum of a SQL double array
+    (ties take the smallest index: array_sort on (d, i) structs orders
+    by d then i -- the oracles' ORDER BY dist ASC, cell)."""
+    return (
+        f"CAST(array_sort(transform({darr_sql}, "
+        f"(x, i) -> struct(x AS d, i AS i)))[0].i + 1 AS INT)"
+    )
+
+
+def _assign_np(V, cents_list):
+    """numpy replica of the Lloyd assignment (first-min argmin over
+    dist2 = (vv - 2vc) + cc with cumsum dots) -- the same math as
+    :func:`lloyd_fit`'s inner loop, exposed for residual computation."""
+    import numpy as np
+
+    vv = (V * V).cumsum(axis=1)[:, -1]
+    D = np.empty((len(V), len(cents_list)), dtype=np.float64)
+    for col, (_, c) in enumerate(cents_list):
+        c = np.asarray(c, dtype=np.float64)
+        vc = (V * c).cumsum(axis=1)[:, -1]
+        cc = (c * c).cumsum()[-1]
+        D[:, col] = (vv - 2.0 * vc) + cc
+    return np.argmin(D, axis=1)
+
+
 def pq_fit_codebooks(
     rows: list[tuple[int, list[float]]],
     num_subspaces: int,
@@ -875,54 +942,13 @@ def pq_top_k(
     sub = dim // num_subspaces
     books = pq_fit_codebooks(rows, num_subspaces, num_centroids, n_iter)
 
-    # All codebook-literal expressions are built as SQL TEXT and parsed
-    # with ONE F.expr per column: the Column-constructor form issued
-    # thousands of Py4J round trips (one per literal / node) and cost
-    # ~9 s of DRIVER time at M=4 x 8 centroids before any job ran.
-    # Literals go through CAST('repr' AS DOUBLE) -- a correctly-rounded
-    # string->double parse, so the values are bit-identical to F.lit.
-    def sql_vec(xs: list[float]) -> str:
-        return (
-            "array("
-            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs)
-            + ")"
-        )
-
-    def sql_dot(a: str, b: str) -> str:
-        # Same fold as functions.vectors.dot_product (the double cast
-        # there is an identity on these already-double arrays).
-        return (
-            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-
-    def sql_dist2(v: str, c: list[float]) -> str:
-        cc = 0.0
-        for x in c:  # sequential fold, identical to the engines' order
-            cc = cc + float(x) * float(x)
-        return (
-            f"(({sql_dot(v, v)} - CAST(2.0 AS DOUBLE) * "
-            f"{sql_dot(v, sql_vec(c))}) + CAST('{cc!r}' AS DOUBLE))"
-        )
-
-    def sql_darr(vec_col: str, m: int, book) -> str:
-        sub_v = f"slice({vec_col}, {m * sub + 1}, {sub})"
-        return (
-            "array(" + ", ".join(sql_dist2(sub_v, c) for _, c in book) + ")"
-        )
-
     # ENCODE (map-only): per subspace, position of the first-minimum
-    # dist2 within the ascending-cell codebook (1-based; ties take the
-    # smallest index because array_sort on (d, i) structs orders by d
-    # then i -- the oracle's ORDER BY dist ASC, cell).
+    # dist2 within the ascending-cell codebook (1-based).
     enc = e
     for m, book in enumerate(books):
         enc = enc.withColumn(
             f"pos_{m}",
-            F.expr(
-                f"CAST(array_sort(transform({sql_darr('v', m, book)}, "
-                f"(x, i) -> struct(x AS d, i AS i)))[0].i + 1 AS INT)"
-            ),
+            F.expr(_sql_argmin_pos(_sql_darr("v", m * sub + 1, sub, book))),
         )
     codes = enc.select(
         F.col("id").alias("neighbor_id"),
@@ -934,7 +960,9 @@ def pq_top_k(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
     for m, book in enumerate(books):
-        q = q.withColumn(f"tab_{m}", F.expr(sql_darr("qv", m, book)))
+        q = q.withColumn(
+            f"tab_{m}", F.expr(_sql_darr("qv", m * sub + 1, sub, book))
+        )
     q = q.drop("qv")
 
     joined = codes.join(F.broadcast(q)).filter(
@@ -1089,6 +1117,331 @@ def duck_pq_adc_sql(
         f" floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cosine"
         f" FROM short JOIN e c ON c.id = short.neighbor_id"
         f" JOIN e q ON q.id = short.query_id)",
+        "r2 AS (SELECT query_id, neighbor_id, cosine, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank"
+        " FROM rr)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, neighbor_id, cosine, rank FROM r2"
+        f" WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# IVFPQ: coarse quantizer + PQ on RESIDUALS + cell-probed ADC + rerank
+# --------------------------------------------------------------------------
+
+def ivfpq_top_k(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_cells: int = 8,
+    nprobe: int = 3,
+    num_subspaces: int = 4,
+    num_centroids: int = 8,
+    n_iter: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_max_rows: int = 1_000_000,
+) -> DataFrame:
+    """The full FAISS-style IVFPQ index, value-checkable end to end:
+
+    1. COARSE: deterministic Lloyd quantizer over full vectors
+       (:func:`lloyd_fit`); every corpus vector is assigned map-only.
+    2. RESIDUAL ENCODE: r = v - coarse_centroid(cell), then one PQ
+       codebook per subspace trained ON THE RESIDUALS
+       (:func:`pq_fit_codebooks`) -- residuals are far more compact
+       than raw vectors, which is why real IVFPQ encodes them.
+    3. SEARCH: each query probes the ``nprobe`` cells of smallest
+       dist2(q, coarse centroid); within probed cells candidates are
+       ranked by the ADC sum over the QUERY'S OWN residual against
+       that cell (q - centroid(cell), one lookup table per
+       (query, cell, subspace)); the top-``rerank`` shortlist is
+       re-scored with exact cosine.  Returns (query_id, neighbor_id,
+       cosine, rank).
+
+    100 TB shape: fit = bounded driver-side numpy (gate the fit set
+    upstream); coarse assignment + residual + PQ encode are ONE
+    map-only pass (broadcast centroid struct + literal codebooks in
+    codegen); the ADC scan touches only probed cells (the coarse cell
+    is the natural partition key, so each probe reads a bounded
+    partition set) with a broadcast (query, cell) table; rerank reads
+    ``rerank`` full vectors per query.  Storage per vector: one small
+    cell id + ``num_subspaces`` codes.
+
+    Determinism: every stage inherits the Lloyd/PQ bit-identity
+    conventions; probes order by dist2 ASC with cell tie-break; the
+    numpy residuals used for fitting are the identical doubles the
+    plan's zip_with subtraction produces."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    rows = [
+        (r["id"], list(r["v"])) for r in e.limit(fit_max_rows + 1).collect()
+    ]
+    if len(rows) > fit_max_rows:
+        raise ValueError(
+            f"ivfpq_top_k: fit set exceeds fit_max_rows={fit_max_rows}; "
+            "hash-gate or sample the fit set upstream"
+        )
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank bigint"
+        )
+    dim = len(rows[0][1])
+    sub = dim // num_subspaces
+
+    coarse = lloyd_fit(rows, num_cells, n_iter)
+    rows_sorted = sorted(rows, key=lambda r: r[0])
+    V = np.array([r[1] for r in rows_sorted], dtype=np.float64)
+    a = _assign_np(V, coarse)
+    C = np.array([c for _, c in coarse], dtype=np.float64)
+    R = V - C[a]
+    res_rows = [
+        (rows_sorted[i][0], [float(x) for x in R[i]]) for i in range(len(V))
+    ]
+    books = pq_fit_codebooks(res_rows, num_subspaces, num_centroids, n_iter)
+
+    cents_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in coarse],
+        "cell int, centroid array<double>",
+    )
+    cents_arr = cents_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+        ).alias("__cs")
+    )
+
+    def pick_cell(vcol):
+        scored = F.transform(
+            F.col("__cs"),
+            lambda c: F.struct(
+                _dist2_cols(vcol, c["centroid"]).alias("d"),
+                c["cell"].alias("cell"),
+                c["centroid"].alias("centroid"),
+            ),
+        )
+        return F.element_at(F.array_sort(scored), 1)
+
+    # One map-only pass: coarse assign + residual + per-subspace codes.
+    enc = (
+        e.crossJoin(F.broadcast(cents_arr))
+        .withColumn("__pick", pick_cell(F.col("v")))
+        .withColumn("cell", F.col("__pick")["cell"])
+        .withColumn(
+            "r",
+            F.zip_with(
+                F.col("v"), F.col("__pick")["centroid"], lambda x, y: x - y
+            ),
+        )
+    )
+    for m, book in enumerate(books):
+        enc = enc.withColumn(
+            f"pos_{m}",
+            F.expr(_sql_argmin_pos(_sql_darr("r", m * sub + 1, sub, book))),
+        )
+    codes = enc.select(
+        F.col("id").alias("neighbor_id"),
+        "cell",
+        *[F.col(f"pos_{m}") for m in range(num_subspaces)],
+    )
+
+    # Probes: nprobe nearest coarse cells per query, each carrying the
+    # query's residual against THAT cell and its ADC lookup tables.
+    q = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents_df))
+        .withColumn("d2", _dist2_cols(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cell")
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .withColumn(
+            "qr",
+            F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: x - y),
+        )
+    )
+    for m, book in enumerate(books):
+        probes = probes.withColumn(
+            f"tab_{m}", F.expr(_sql_darr("qr", m * sub + 1, sub, book))
+        )
+    ptabs = probes.select(
+        "query_id", "cell", *[f"tab_{m}" for m in range(num_subspaces)]
+    )
+
+    joined = codes.join(F.broadcast(ptabs), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.element_at(F.col("tab_0"), F.col("pos_0"))
+    for m in range(1, num_subspaces):
+        adc = adc + F.element_at(F.col(f"tab_{m}"), F.col(f"pos_{m}"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(adc, 6).cast("double").alias("adc_dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.join(
+        F.broadcast(shortlist), F.col("id") == F.col("neighbor_id")
+    ).join(F.broadcast(qv), "query_id")
+    rescored = cand.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(cosine_similarity(F.col("qv"), F.col("v")), 6)
+        .cast("double")
+        .alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def duck_ivfpq_sql(
+    query_ids: list[int],
+    k: int = 10,
+    num_cells: int = 8,
+    nprobe: int = 3,
+    num_subspaces: int = 4,
+    num_centroids: int = 8,
+    n_iter: int = 2,
+    rerank: int = 50,
+    dim: int = 64,
+) -> str:
+    """Generated unrolled DuckDB twin of :func:`ivfpq_top_k`: coarse
+    Lloyd loop on full vectors, residuals via elementwise subtraction,
+    one PQ Lloyd loop per residual subspace, dist2-ordered probes,
+    per-(query, cell) residual ADC terms joined per subspace with the
+    left-associated sum, shortlist, exact-cosine rerank."""
+    ids_sql = ", ".join(str(i) for i in query_ids)
+    sub = dim // num_subspaces
+
+    def dist2(v: str, c: str) -> str:
+        return (
+            f"(list_dot_product({v}, {v}) - 2.0 * list_dot_product({v}, {c})"
+            f" + list_dot_product({c}, {c}))"
+        )
+
+    def assign(src_e: str, src_cents: str, name: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT id, v, cell FROM ("
+            f"SELECT e.id, e.v, c.cell, row_number() OVER ("
+            f"PARTITION BY e.id ORDER BY {dist2('e.v', 'c.centroid')} ASC,"
+            f" c.cell) AS rn FROM {src_e} e CROSS JOIN {src_cents} c)"
+            f" WHERE rn = 1)"
+        )
+
+    def update(src_assign: str, name: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT cell,"
+            f" list(m ORDER BY dim) AS centroid FROM ("
+            f"SELECT a.cell, d.i AS dim,"
+            f" CAST(sum(CAST(floor(a.v[d.i] * 10000000.0 + 0.5)"
+            f" / 10000000.0 AS DECIMAL(18,7))) AS DOUBLE) / count(*) AS m"
+            f" FROM {src_assign} a, LATERAL (SELECT"
+            f" unnest(generate_series(1, len(a.v))) AS i) d"
+            f" GROUP BY a.cell, d.i) GROUP BY cell)"
+        )
+
+    def lloyd_loop(src_e: str, prefix: str) -> list[str]:
+        out = [
+            f"{prefix}c0 AS MATERIALIZED (SELECT row_number() OVER"
+            f" (ORDER BY id) - 1 AS cell, v AS centroid FROM {src_e}"
+            f" ORDER BY id LIMIT "
+            + str(num_cells if prefix == "" else num_centroids)
+            + ")"
+        ]
+        for i in range(1, n_iter + 1):
+            out.append(assign(src_e, f"{prefix}c{i - 1}", f"{prefix}a{i}"))
+            out.append(update(f"{prefix}a{i}", f"{prefix}c{i}"))
+        out.append(assign(src_e, f"{prefix}c{n_iter}", f"{prefix}af"))
+        return out
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id AS id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+    ]
+    parts += lloyd_loop("e", "")
+    parts.append(
+        f"res AS MATERIALIZED (SELECT a.id, a.cell,"
+        f" list_transform(generate_series(1, {dim}),"
+        f" i -> a.v[i] - c.centroid[i]) AS r"
+        f" FROM af a JOIN c{n_iter} c ON c.cell = a.cell)"
+    )
+    for m in range(num_subspaces):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        parts.append(
+            f"rs{m} AS MATERIALIZED (SELECT id, r[{lo}:{hi}] AS v FROM res)"
+        )
+        parts += lloyd_loop(f"rs{m}", f"p{m}_")
+    parts += [
+        f"q AS (SELECT id AS query_id, v AS qv FROM e"
+        f" WHERE id IN ({ids_sql}))",
+        f"probe AS (SELECT query_id, qv, cell, centroid FROM ("
+        f"SELECT q.query_id, q.qv, c.cell, c.centroid, row_number() OVER ("
+        f"PARTITION BY q.query_id ORDER BY {dist2('q.qv', 'c.centroid')} ASC,"
+        f" c.cell) AS cr FROM q CROSS JOIN c{n_iter} c) WHERE cr <= {nprobe})",
+        f"qres AS (SELECT query_id, cell,"
+        f" list_transform(generate_series(1, {dim}),"
+        f" i -> qv[i] - centroid[i]) AS qr FROM probe)",
+    ]
+    for m in range(num_subspaces):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        parts.append(
+            f"s{m} AS MATERIALIZED (SELECT g.query_id, ra.id,"
+            f" {dist2(f'g.qr[{lo}:{hi}]', 'c.centroid')} AS d"
+            f" FROM qres g JOIN res ra ON ra.cell = g.cell"
+            f" JOIN p{m}_af a ON a.id = ra.id"
+            f" JOIN p{m}_c{n_iter} c ON c.cell = a.cell)"
+        )
+    adc = "s0.d"
+    for m in range(1, num_subspaces):
+        adc = f"({adc} + s{m}.d)"
+    joins = " ".join(
+        f"JOIN s{m} ON s{m}.query_id = s0.query_id AND s{m}.id = s0.id"
+        for m in range(1, num_subspaces)
+    )
+    cos = (
+        "list_dot_product(qq.v, cc.v) / (sqrt(list_dot_product(qq.v, qq.v))"
+        " * sqrt(list_dot_product(cc.v, cc.v)))"
+    )
+    parts += [
+        f"s AS (SELECT s0.query_id, s0.id AS neighbor_id,"
+        f" floor({adc} * 1000000.0 + 0.5) / 1000000.0 AS adc_dist2"
+        f" FROM s0 {joins} WHERE s0.id != s0.query_id)",
+        "r1 AS (SELECT query_id, neighbor_id, adc_dist2, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id) AS rank"
+        " FROM s)",
+        f"short AS (SELECT query_id, neighbor_id FROM r1"
+        f" WHERE rank <= {rerank})",
+        f"rr AS (SELECT short.query_id, short.neighbor_id,"
+        f" floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cosine"
+        f" FROM short JOIN e cc ON cc.id = short.neighbor_id"
+        f" JOIN e qq ON qq.id = short.query_id)",
         "r2 AS (SELECT query_id, neighbor_id, cosine, row_number() OVER ("
         "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank"
         " FROM rr)",

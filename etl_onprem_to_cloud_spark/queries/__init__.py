@@ -185,6 +185,7 @@ _NEW_THIS_ROUND = (
     "q_max_drawdown_users",       # new: window-closed-form max drawdown
     "q_cusum_value_drift",        # new: CUSUM drift via reflection form
     "q_ann_pq_adc_topk",          # new: PQ/ADC ANN with exact rerank
+    "q_ann_ivfpq_topk",           # new: full IVFPQ (residual PQ + probes)
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -7,9 +7,11 @@ from pyspark.sql import functions as F
 from ..llm.similarity import (
     brute_force_top_k,
     duck_ivf_lloyd_sql,
+    duck_ivfpq_sql,
     duck_pq_adc_sql,
     embedding_near_dup_pairs,
     ivf_top_k,
+    ivfpq_top_k,
     pq_top_k,
     srp_near_dup_pairs,
     srp_planes,
@@ -730,4 +732,35 @@ def q_ann_pq_adc_topk(spark, sf_dir):
         num_centroids=8,
         n_iter=2,
         rerank=50,
+    )
+
+
+@query(
+    "q_ann_ivfpq_topk",
+    oracle=duck_ivfpq_sql(_QUERY_IDS, k=10, num_cells=8, nprobe=3,
+                          num_subspaces=4, num_centroids=8, n_iter=2,
+                          rerank=50, dim=64),
+    tags=("similarity", "ring-c", "ann", "approx", "iterative", "pq", "ivf"),
+    description="The full FAISS-style IVFPQ index, value-checked end to "
+    "end: deterministic coarse Lloyd quantizer (8 cells), PQ codebooks "
+    "trained on RESIDUALS (v - coarse centroid; 4 subspaces x 8 "
+    "centroids), queries probe the 3 nearest cells by dist2 and rank "
+    "candidates by the ADC sum of their own per-cell residual lookup "
+    "tables, then the top-50 shortlist is re-scored with exact cosine.  "
+    "Coarse training, residuals, per-subspace PQ training, encode "
+    "argmin, probe order, ADC sum and rerank ALL hash-match the "
+    "generated unrolled-CTE oracle.",
+)
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """One map-only pass does coarse-assign + residual + PQ encode
+    (broadcast centroid struct, literal codebooks in codegen); the ADC
+    scan touches only probed cells via a broadcast (query, cell) table
+    -- at 100 TB the coarse cell is the partition key, so each probe
+    reads a bounded partition set; rerank reads 50 full vectors per
+    query.  Recall vs the exact baseline is tested in
+    tests/test_similarity_ml.py."""
+    emb = cat(spark, sf_dir).embeddings
+    return ivfpq_top_k(
+        emb, _QUERY_IDS, k=10, num_cells=8, nprobe=3, num_subspaces=4,
+        num_centroids=8, n_iter=2, rerank=50,
     )

@@ -165,6 +165,7 @@ REHEARSAL = [
     "q_max_drawdown_users",
     "q_cusum_value_drift",
     "q_ann_pq_adc_topk",
+    "q_ann_ivfpq_topk",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

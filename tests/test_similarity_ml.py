@@ -259,3 +259,24 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     total = sum(len(v) for v in truth.values())
     recall = hits / total
     assert recall >= 0.5, f"PQ/ADC+rerank recall@10 too low: {recall:.2f}"
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """IVFPQ compounds two approximations (3-of-8 probed cells + PQ'd
+    residuals), partially undone by the exact rerank of the top-50 ADC
+    shortlist; recall@10 must stay well above the random rate."""
+    exact = QUERIES["q_ann_brute_force_topk"].fn(spark, sf_dir).collect()
+    approx = QUERIES["q_ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assert set(got) == set(truth), "every query vector must get neighbors"
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.3, f"IVFPQ recall@10 too low: {recall:.2f}"
