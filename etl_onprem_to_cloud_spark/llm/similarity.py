@@ -174,19 +174,12 @@ def lloyd_fit(
     rows = sorted(rows, key=lambda r: r[0])
     V = np.array([r[1] for r in rows], dtype=np.float64)
     cents = [(j, V[j]) for j in range(min(num_cells, len(rows)))]
-    vv = (V * V).cumsum(axis=1)[:, -1]
-
-    def assign(cents_list):
-        D = np.empty((len(V), len(cents_list)), dtype=np.float64)
-        for col, (_, c) in enumerate(cents_list):
-            vc = (V * c).cumsum(axis=1)[:, -1]
-            cc = (c * c).cumsum()[-1]
-            D[:, col] = (vv - 2.0 * vc) + cc
-        return np.argmin(D, axis=1)  # first min -> smallest cell id
 
     K = np.floor(V * 1e7 + 0.5).astype(np.int64)
     for _ in range(n_iter):
-        picked = assign(cents)
+        # _assign_np is the single source of the assignment math
+        # (first-min argmin over (vv - 2vc) + cc with cumsum dots).
+        picked = _assign_np(V, cents)
         nxt = []
         for col, (cell, _) in enumerate(cents):
             mask = picked == col
@@ -344,6 +337,42 @@ def lloyd_cells(
     return assigned, cents
 
 
+def _duck_dist2(v: str, c: str) -> str:
+    """SQL-text squared L2 with the coreset op structure -- shared by
+    every generated Lloyd oracle (the bit-identity-critical form)."""
+    return (
+        f"(list_dot_product({v}, {v}) - 2.0 * list_dot_product({v}, {c})"
+        f" + list_dot_product({c}, {c}))"
+    )
+
+
+def _duck_assign(src_e: str, src_cents: str, name: str) -> str:
+    """SQL-text Lloyd ASSIGN stage: nearest centroid per row, ties to
+    the smallest cell id."""
+    return (
+        f"{name} AS MATERIALIZED (SELECT id, v, cell FROM ("
+        f"SELECT e.id, e.v, c.cell, row_number() OVER ("
+        f"PARTITION BY e.id ORDER BY {_duck_dist2('e.v', 'c.centroid')} ASC,"
+        f" c.cell) AS rn FROM {src_e} e CROSS JOIN {src_cents} c)"
+        f" WHERE rn = 1)"
+    )
+
+
+def _duck_update(src_assign: str, name: str) -> str:
+    """SQL-text Lloyd UPDATE stage: per-(cell, dim) mean with the
+    fixed-point DECIMAL(18,7) accumulation contract."""
+    return (
+        f"{name} AS MATERIALIZED (SELECT cell,"
+        f" list(m ORDER BY dim) AS centroid FROM ("
+        f"SELECT a.cell, d.i AS dim,"
+        f" CAST(sum(CAST(floor(a.v[d.i] * 10000000.0 + 0.5)"
+        f" / 10000000.0 AS DECIMAL(18,7))) AS DOUBLE) / count(*) AS m"
+        f" FROM {src_assign} a, LATERAL (SELECT"
+        f" unnest(generate_series(1, len(a.v))) AS i) d"
+        f" GROUP BY a.cell, d.i) GROUP BY cell)"
+    )
+
+
 def duck_ivf_lloyd_sql(
     query_ids: list[int],
     k: int = 10,
@@ -360,30 +389,13 @@ def duck_ivf_lloyd_sql(
     ids_sql = ", ".join(str(i) for i in query_ids)
 
     def dist2(v: str, c: str) -> str:
-        return (
-            f"(list_dot_product({v}, {v}) - 2.0 * list_dot_product({v}, {c})"
-            f" + list_dot_product({c}, {c}))"
-        )
+        return _duck_dist2(v, c)
 
     def assign(src_cents: str, name: str) -> str:
-        return (
-            f"{name} AS MATERIALIZED (SELECT id, v, cell FROM ("
-            f"SELECT e.id, e.v, c.cell, row_number() OVER ("
-            f"PARTITION BY e.id ORDER BY {dist2('e.v', 'c.centroid')} ASC,"
-            f" c.cell) AS rn FROM e CROSS JOIN {src_cents} c) WHERE rn = 1)"
-        )
+        return _duck_assign("e", src_cents, name)
 
     def update(src_assign: str, name: str) -> str:
-        return (
-            f"{name} AS MATERIALIZED (SELECT cell,"
-            f" list(m ORDER BY dim) AS centroid FROM ("
-            f"SELECT a.cell, d.i AS dim,"
-            f" CAST(sum(CAST(floor(a.v[d.i] * 10000000.0 + 0.5)"
-            f" / 10000000.0 AS DECIMAL(18,7))) AS DOUBLE) / count(*) AS m"
-            f" FROM {src_assign} a, LATERAL (SELECT"
-            f" unnest(generate_series(1, len(a.v))) AS i) d"
-            f" GROUP BY a.cell, d.i) GROUP BY cell)"
-        )
+        return _duck_update(src_assign, name)
 
     parts = [
         "e AS MATERIALIZED (SELECT vec_id AS id,"
@@ -874,6 +886,35 @@ def pq_fit_codebooks(
     ]
 
 
+def _rerank_shortlist(e, shortlist, query_ids: list[int], k: int):
+    """Shared ANN second stage: exact-cosine re-scoring of an ADC
+    shortlist.  ``e`` is the (id, v double array) corpus; ``shortlist``
+    is (query_id, neighbor_id).  Reads only |shortlist| full vectors
+    via broadcast joins; output (query_id, neighbor_id, cosine, rank),
+    1e-6 portable rounding, desc-cosine/asc-id tie-break."""
+    qv = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.join(
+        F.broadcast(shortlist), F.col("id") == F.col("neighbor_id")
+    ).join(F.broadcast(qv), "query_id")
+    rescored = cand.select(
+        "query_id",
+        "neighbor_id",
+        portable_round(cosine_similarity(F.col("qv"), F.col("v")), 6)
+        .cast("double")
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def pq_top_k(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -935,8 +976,10 @@ def pq_top_k(
             "hash-gate or sample the fit set upstream"
         )
     if not rows:
+        score_col = "adc_dist2" if rerank is None else "cosine"
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc_dist2 double, rank bigint"
+            [],
+            f"query_id long, neighbor_id long, {score_col} double, rank bigint",
         )
     dim = len(rows[0][1])
     sub = dim // num_subspaces
@@ -985,27 +1028,7 @@ def pq_top_k(
     shortlist = ranked.filter(F.col("rank") <= rerank).select(
         "query_id", "neighbor_id"
     )
-    qv = e.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
-    )
-    cand = e.join(
-        F.broadcast(shortlist), F.col("id") == F.col("neighbor_id")
-    ).join(F.broadcast(qv), "query_id")
-    rescored = cand.select(
-        "query_id",
-        "neighbor_id",
-        portable_round(cosine_similarity(F.col("qv"), F.col("v")), 6)
-        .cast("double")
-        .alias("cosine"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id"
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rerank_shortlist(e, shortlist, query_ids, k)
 
 
 def duck_pq_adc_sql(
@@ -1026,33 +1049,7 @@ def duck_pq_adc_sql(
     lookup table is an optimization producing the identical doubles."""
     ids_sql = ", ".join(str(i) for i in query_ids)
     sub = dim // num_subspaces
-
-    def dist2(v: str, c: str) -> str:
-        return (
-            f"(list_dot_product({v}, {v}) - 2.0 * list_dot_product({v}, {c})"
-            f" + list_dot_product({c}, {c}))"
-        )
-
-    def assign(src_e: str, src_cents: str, name: str) -> str:
-        return (
-            f"{name} AS MATERIALIZED (SELECT id, v, cell FROM ("
-            f"SELECT e.id, e.v, c.cell, row_number() OVER ("
-            f"PARTITION BY e.id ORDER BY {dist2('e.v', 'c.centroid')} ASC,"
-            f" c.cell) AS rn FROM {src_e} e CROSS JOIN {src_cents} c)"
-            f" WHERE rn = 1)"
-        )
-
-    def update(src_assign: str, name: str) -> str:
-        return (
-            f"{name} AS MATERIALIZED (SELECT cell,"
-            f" list(m ORDER BY dim) AS centroid FROM ("
-            f"SELECT a.cell, d.i AS dim,"
-            f" CAST(sum(CAST(floor(a.v[d.i] * 10000000.0 + 0.5)"
-            f" / 10000000.0 AS DECIMAL(18,7))) AS DOUBLE) / count(*) AS m"
-            f" FROM {src_assign} a, LATERAL (SELECT"
-            f" unnest(generate_series(1, len(a.v))) AS i) d"
-            f" GROUP BY a.cell, d.i) GROUP BY cell)"
-        )
+    dist2, assign, update = _duck_dist2, _duck_assign, _duck_update
 
     parts = [
         "e AS MATERIALIZED (SELECT vec_id AS id,"
@@ -1298,27 +1295,7 @@ def ivfpq_top_k(
         .filter(F.col("rank") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    qv = e.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
-    )
-    cand = e.join(
-        F.broadcast(shortlist), F.col("id") == F.col("neighbor_id")
-    ).join(F.broadcast(qv), "query_id")
-    rescored = cand.select(
-        "query_id",
-        "neighbor_id",
-        portable_round(cosine_similarity(F.col("qv"), F.col("v")), 6)
-        .cast("double")
-        .alias("cosine"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id"
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rerank_shortlist(e, shortlist, query_ids, k)
 
 
 def duck_ivfpq_sql(
@@ -1339,33 +1316,7 @@ def duck_ivfpq_sql(
     left-associated sum, shortlist, exact-cosine rerank."""
     ids_sql = ", ".join(str(i) for i in query_ids)
     sub = dim // num_subspaces
-
-    def dist2(v: str, c: str) -> str:
-        return (
-            f"(list_dot_product({v}, {v}) - 2.0 * list_dot_product({v}, {c})"
-            f" + list_dot_product({c}, {c}))"
-        )
-
-    def assign(src_e: str, src_cents: str, name: str) -> str:
-        return (
-            f"{name} AS MATERIALIZED (SELECT id, v, cell FROM ("
-            f"SELECT e.id, e.v, c.cell, row_number() OVER ("
-            f"PARTITION BY e.id ORDER BY {dist2('e.v', 'c.centroid')} ASC,"
-            f" c.cell) AS rn FROM {src_e} e CROSS JOIN {src_cents} c)"
-            f" WHERE rn = 1)"
-        )
-
-    def update(src_assign: str, name: str) -> str:
-        return (
-            f"{name} AS MATERIALIZED (SELECT cell,"
-            f" list(m ORDER BY dim) AS centroid FROM ("
-            f"SELECT a.cell, d.i AS dim,"
-            f" CAST(sum(CAST(floor(a.v[d.i] * 10000000.0 + 0.5)"
-            f" / 10000000.0 AS DECIMAL(18,7))) AS DOUBLE) / count(*) AS m"
-            f" FROM {src_assign} a, LATERAL (SELECT"
-            f" unnest(generate_series(1, len(a.v))) AS i) d"
-            f" GROUP BY a.cell, d.i) GROUP BY cell)"
-        )
+    dist2, assign, update = _duck_dist2, _duck_assign, _duck_update
 
     def lloyd_loop(src_e: str, prefix: str) -> list[str]:
         out = [

@@ -319,7 +319,13 @@ def clamped_running_sum(
     if cap_value is not None and cap_value < floor_value:
         raise ValueError("clamped_running_sum: cap_value < floor_value")
 
-    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    # In key_cols ORDER, not schema order: both impls emit key values
+    # positionally in key_cols order (groupBy's key tuple / the stream
+    # walk's zip), so a schema-ordered output schema would silently
+    # swap key columns whenever key_cols=['b','a'] on an (a, b, ...)
+    # frame.
+    by_name = {f.name: f for f in df.schema.fields}
+    key_fields = [by_name[k] for k in key_cols]
     out_schema = StructType(
         key_fields
         + [

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..functions import text as T
-from ..functions.numeric import dec
+from ..functions.numeric import dec, portable_round
 from ..operators.sampling import _MOD, duck_hash_gate, weighted_sample
 from ._util import cat, duck_tokens, duck_word_ngrams, fmt_ts, ts_lit
 from . import query
@@ -1149,13 +1149,16 @@ s AS (
 SELECT user_id, n_gaps,
   floor(sg / CAST(n_gaps AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
     AS mean_gap_s,
-  floor(sqrt((sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
-             / CAST(n_gaps AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+  floor(sqrt(greatest(CAST(0.0 AS DOUBLE),
+             (sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
+             / CAST(n_gaps AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
     AS std_gap_s,
-  floor((sqrt((sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
-              / CAST(n_gaps AS DOUBLE)) - sg / CAST(n_gaps AS DOUBLE))
-        / (sqrt((sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
-                / CAST(n_gaps AS DOUBLE)) + sg / CAST(n_gaps AS DOUBLE))
+  floor((sqrt(greatest(CAST(0.0 AS DOUBLE),
+              (sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
+              / CAST(n_gaps AS DOUBLE))) - sg / CAST(n_gaps AS DOUBLE))
+        / (sqrt(greatest(CAST(0.0 AS DOUBLE),
+                (sg2 - sg / CAST(n_gaps AS DOUBLE) * sg)
+                / CAST(n_gaps AS DOUBLE))) + sg / CAST(n_gaps AS DOUBLE))
         * 1000000.0 + 0.5) / 1000000.0 AS burstiness
 FROM s
 WHERE n_gaps >= 2
@@ -1191,19 +1194,23 @@ def q_interarrival_burstiness(spark, sf_dir):
     )
     n_d = F.col("n_gaps").cast("double")
     mean = F.col("sg") / n_d
-    std = F.sqrt((F.col("sg2") - F.col("sg") / n_d * F.col("sg")) / n_d)
-
-    def r6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # greatest(0, var): float cancellation on a near-constant gap
+    # series can push the variance expression a hair negative, where
+    # DuckDB's sqrt RAISES (Spark returns NaN) -- clamp in BOTH engines
+    # with the identical op so the doubles stay bit-equal.
+    var = F.greatest(
+        F.lit(0.0), (F.col("sg2") - F.col("sg") / n_d * F.col("sg")) / n_d
+    )
+    std = F.sqrt(var)
 
     return (
         s.filter(F.col("n_gaps") >= 2)
         .select(
             "user_id",
             "n_gaps",
-            r6(mean).alias("mean_gap_s"),
-            r6(std).alias("std_gap_s"),
-            r6((std - mean) / (std + mean)).alias("burstiness"),
+            portable_round(mean, 6).alias("mean_gap_s"),
+            portable_round(std, 6).alias("std_gap_s"),
+            portable_round((std - mean) / (std + mean), 6).alias("burstiness"),
         )
         .orderBy("user_id")
     )

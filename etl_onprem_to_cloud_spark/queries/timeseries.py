@@ -770,11 +770,15 @@ _LEDGER_CAP_M = 500_000  # credit ceiling, milli-units (500.0)
     "q_clamped_balance_users",
     oracle=f"""
 WITH RECURSIVE s AS (
+  -- coalesce(d, 0): the operator treats NULL deltas as state-unchanged
+  -- (adding 0 never clamps or caps, so the semantics coincide); without
+  -- it, DuckDB's NULL-ignoring least/greatest would silently RESET the
+  -- balance to the floor on a NULL value row.
   SELECT user_id,
     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-    CASE WHEN event_type IN ('purchase', 'error')
+    coalesce(CASE WHEN event_type IN ('purchase', 'error')
          THEN -CAST(floor(value * 1000) AS BIGINT)
-         ELSE CAST(floor(value * 1000) AS BIGINT) END AS d
+         ELSE CAST(floor(value * 1000) AS BIGINT) END, 0) AS d
   FROM events
 ),
 n AS (SELECT user_id, max(rn) AS n_rows FROM s GROUP BY user_id),

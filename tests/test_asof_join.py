@@ -194,7 +194,7 @@ def test_clamped_stream_grouped_identical(spark):
         for t in range(1, 60):
             rows.append((k, t, rng.choice([-7, -3, 0, 2, 5, 9, None])))
     df = spark.createDataFrame(rows, "k string, t int, d long").repartition(5)
-    for cap in (None, 6):
+    for cap, floor in ((None, 0), (None, 2), (6, 0), (6, -3)):
         got = {}
         for impl in ("stream", "grouped"):
             got[impl] = sorted(
@@ -208,12 +208,13 @@ def test_clamped_stream_grouped_identical(spark):
                         r.peak_balance,
                     )
                     for r in clamped_running_sum(
-                        df, ["k"], ["t"], "d", cap_value=cap, impl=impl
+                        df, ["k"], ["t"], "d", floor_value=floor,
+                        cap_value=cap, impl=impl
                     ).collect()
                 ),
                 key=lambda t: (t[0] is None, t),
             )
-        assert got["stream"] == got["grouped"], f"cap={cap}"
+        assert got["stream"] == got["grouped"], f"cap={cap} floor={floor}"
 
 
 def test_clamped_running_sum_two_sided_cap(spark):
@@ -245,9 +246,14 @@ def test_clamped_closed_form_matches_sequential_fold(spark):
             d = rng.choice([-5, -3, -1, 0, 1, 2, 3, None, -2, 4])
             rows.append((k, t, d))
     df = spark.createDataFrame(rows, "k string, t int, d long")
+    # impl="grouped" is the path that vectorizes the reflection closed
+    # form when uncapped -- the thing under test here (stream is the
+    # sequential walk and would just mirror the reference fold).
     got = {
         r.k: (r.final_balance, r.n_clamps, r.n_caps, r.peak_balance)
-        for r in clamped_running_sum(df, ["k"], ["t"], "d", floor_value=2).collect()
+        for r in clamped_running_sum(
+            df, ["k"], ["t"], "d", floor_value=2, impl="grouped"
+        ).collect()
     }
     # reference sequential fold
     want = {}
@@ -284,3 +290,21 @@ def test_clamped_running_sum_order_insensitive_input(spark):
         r2.n_clamps,
         r2.peak_balance,
     )
+
+
+def test_clamped_key_cols_order_differs_from_schema(spark):
+    """key_cols in a different order than the schema must not swap the
+    output key columns (both impls emit keys positionally in key_cols
+    order)."""
+    from etl_onprem_to_cloud_spark.operators.timeseries import clamped_running_sum
+
+    df = spark.createDataFrame(
+        [("x", 7, 1, 5), ("x", 7, 2, -9), ("y", 8, 1, 4)],
+        "a string, b int, t int, d long",
+    )
+    for impl in ("stream", "grouped"):
+        rows = clamped_running_sum(
+            df, ["b", "a"], ["t"], "d", impl=impl
+        ).collect()
+        got = {(r.b, r.a): (r.final_balance, r.n_clamps) for r in rows}
+        assert got == {(7, "x"): (0, 1), (8, "y"): (4, 0)}, impl
