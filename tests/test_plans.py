@@ -688,3 +688,33 @@ def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     assert shuffle_count(df) <= max_shuffles
     assert not has_python_udf(df)
     assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # streaks: the (user, day) distinct + island window + rollups
+    # share the user partitioning.
+    ("q_user_daily_streaks", 4),
+    # Markov: the lead-pair rollup is the only event-scale exchange;
+    # the 8 power iterations are driver-side over the bounded matrix.
+    ("q_markov_stationary_types", 2),
+    # burstiness / drawdown / CUSUM / clamped ledger: one user-keyed
+    # exchange (window or grouped fold) + the final order.
+    ("q_interarrival_burstiness", 3),
+    ("q_max_drawdown_users", 3),
+    ("q_cusum_value_drift", 3),
+    ("q_clamped_balance_users", 3),
+    # PQ / IVFPQ: encode and ADC are map-only (literal codebooks /
+    # broadcast tables); only the bounded top-k windows shuffle.
+    ("q_ann_pq_adc_topk", 3),
+    ("q_ann_ivfpq_topk", 4),
+    ("q_holt_linear_forecast", 2),
+    ("q_peak_concurrent_sessions", 3),
+    # seq patterns: per-(user,type) position rollup + the 2/3-length
+    # pattern joins.
+    ("q_seq_patterns_support", 9),
+])
+def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    assert "CartesianProduct" not in explain_str(df, "simple")
