@@ -105,6 +105,7 @@ from . import relational  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import mining  # noqa: E402,F401
 from . import learn  # noqa: E402,F401
+from . import finance  # noqa: E402,F401
 
 # --- Evidence-priority ordering -------------------------------------------
 # Policy (fixed after round-2 advice): order the registry purely by
@@ -186,6 +187,9 @@ _NEW_THIS_ROUND = (
     "q_cusum_value_drift",        # new: CUSUM drift via reflection form
     "q_ann_pq_adc_topk",          # new: PQ/ADC ANN with exact rerank
     "q_ann_ivfpq_topk",           # new: full IVFPQ (residual PQ + probes)
+    "q_proration_largest_remainder",  # new: Hamilton cent allocation
+    "q_fifo_cost_matching",       # new: FIFO lot matching closed form
+    "q_nb_calibration_bins",      # new: reliability bins + ECE + Brier
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -34,11 +34,11 @@ def _qln(col):
 
 _NB_GATE = duck_hash_gate("CAST(doc_id AS VARCHAR)", _NB_SALT)
 
-
-@query(
-    "q_nb_lang_classifier",
-    oracle=f"""
-WITH toks AS (
+# Shared CTE prefix: everything through the per-(test doc, class)
+# quantized log-posterior `scores` relation.  Both the confusion-matrix
+# query and the calibration query append their own tail, so the two
+# oracles can never drift from each other.
+_NB_SCORES_CTE = f"""toks AS (
   SELECT doc_id, unnest({duck_tokens('text')}) AS w FROM documents
 ),
 train_docs AS (
@@ -85,7 +85,13 @@ scores AS (
   FROM test_docs td
   CROSS JOIN prior pr
   LEFT JOIN term ON term.doc_id = td.doc_id AND term.c = pr.c
-),
+)"""
+
+
+@query(
+    "q_nb_lang_classifier",
+    oracle=f"""
+WITH {_NB_SCORES_CTE},
 pred AS (
   SELECT doc_id, true_lang, c AS pred_lang FROM (
     SELECT *, row_number() OVER (
@@ -116,6 +122,24 @@ def q_nb_lang_classifier(spark, sf_dir):
     100 TB it is the natural broadcast side after a df-cutoff) and
     reduces per (doc, class).  The 5-row class/prior/vocab relations
     ride along as broadcast crossJoins."""
+    scores = _nb_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("c").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _nb_scores(spark, sf_dir):
+    """The shared train+score plan: per (test doc, class) quantized
+    log-posterior `score` (BIGINT micro-units) with `true_lang`
+    alongside.  Spark twin of _NB_SCORES_CTE."""
     docs = cat(spark, sf_dir).documents
     gate = hash_gate(F.col("doc_id").cast("string"), _NB_SALT)
     base = docs.select("doc_id", "lang", tokens(F.lower("text")).alias("tk"))
@@ -162,7 +186,7 @@ def q_nb_lang_classifier(spark, sf_dir):
         )
     )
     term = likelihood.groupBy("doc_id", "c").agg(F.sum("t").alias("tok_score"))
-    scores = (
+    return (
         test.select("doc_id", F.col("lang").alias("true_lang"))
         .crossJoin(F.broadcast(prior))
         .join(term, ["doc_id", "c"], "left")
@@ -175,16 +199,192 @@ def q_nb_lang_classifier(spark, sf_dir):
             ),
         )
     )
+
+
+_CAL_BINS = 10
+
+
+@query(
+    "q_nb_calibration_bins",
+    oracle=f"""
+WITH {_NB_SCORES_CTE},
+top1 AS (
+  SELECT doc_id, true_lang, c AS pred_lang, score AS top_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+soft AS (
+  -- quantize EACH exp term to the 1e-6 grid before summing (the
+  -- q_temperature_mixture libm convention); deltas are <= 0 so every
+  -- term is in [0, 1e6] and the integer sum is exact.
+  SELECT s.doc_id, t.true_lang, t.pred_lang,
+    sum(CAST(floor(exp((s.score - t.top_score) / {_NB_P})
+      * {_NB_P} + 0.5) AS BIGINT)) AS denom
+  FROM scores s JOIN top1 t USING (doc_id)
+  GROUP BY s.doc_id, t.true_lang, t.pred_lang
+),
+conf AS (
+  -- p_top quantized ONCE to integer micro-units (1e12/denom is a
+  -- single correctly-rounded double division in both engines, then
+  -- the shared floor); all downstream sums are exact integers, so no
+  -- accumulation-order hazard exists anywhere in this query.
+  SELECT doc_id,
+    CAST(floor(1000000000000.0 / denom + 0.5) AS BIGINT) AS p_micro,
+    least(CAST(floor({_NB_P} / denom * {_CAL_BINS}) AS BIGINT),
+          {_CAL_BINS - 1}) AS bin,
+    CAST(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END AS BIGINT)
+      AS correct
+  FROM soft
+),
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(correct) AS BIGINT) AS n_correct,
+    CAST(sum(p_micro) AS BIGINT) AS conf_micro,
+    -- per-doc squared error in micro-units (d*d DIV 1e6): exact
+    -- integer ops, bounded by 1e6 per doc so the global sum holds to
+    -- ~9e12 docs.
+    CAST(sum((p_micro - correct * 1000000)
+             * (p_micro - correct * 1000000) // 1000000) AS BIGINT)
+      AS sq_micro
+  FROM conf GROUP BY bin
+),
+gtot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+    CAST(sum(abs(conf_micro - n_correct * 1000000)) AS BIGINT)
+      AS ece_micro,
+    CAST(sum(sq_micro) AS BIGINT) AS brier_micro
+  FROM bins
+)
+SELECT b.bin,
+  b.n_docs,
+  floor(CAST(b.conf_micro AS DOUBLE) / b.n_docs + 0.5) / 1000000.0
+    AS avg_confidence,
+  floor(CAST(b.n_correct AS DOUBLE) / b.n_docs * 1000000.0 + 0.5)
+    / 1000000.0 AS accuracy,
+  floor(CAST(t.ece_micro AS DOUBLE) / t.n + 0.5) / 1000000.0 AS ece,
+  floor(CAST(t.brier_micro AS DOUBLE) / t.n + 0.5) / 1000000.0
+    AS brier_top
+FROM bins b CROSS JOIN gtot t
+ORDER BY b.bin
+""",
+    tags=("learn", "eval", "calibration", "ring-c"),
+    description=(
+        "Reliability diagram for the Naive Bayes classifier: softmax "
+        "the quantized log-posteriors into a top-label confidence "
+        "(each exp term floor-quantized to the 1e-6 grid before the "
+        "exact integer sum -- the libm convention), bucket test docs "
+        f"into {_CAL_BINS} confidence bins, and report per-bin average "
+        "confidence vs empirical accuracy plus the global expected "
+        "calibration error and top-label Brier score.  The "
+        "trust-the-classifier gate that goes next to the confusion "
+        "matrix."
+    ),
+)
+def q_nb_calibration_bins(spark, sf_dir):
+    """Adds to the shared scoring plan one doc-keyed window (top-1),
+    one doc-keyed softmax reduction (same partitioning, reused
+    exchange) and a {_CAL_BINS}-row bin rollup; the broadcast ECE /
+    Brier scalars ride along as 1-row crossJoins.  Nothing new
+    shuffles at data scale beyond the scoring plan itself."""
+    scores = _nb_scores(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
-    pred = (
+    top1 = (
         scores.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("true_lang", F.col("c").alias("pred_lang"))
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("c").alias("pred_lang"),
+            F.col("score").alias("top_score"),
+        )
+    )
+    soft = (
+        scores.select("doc_id", "score")
+        .join(top1, "doc_id")
+        .groupBy("doc_id", "true_lang", "pred_lang")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.exp(
+                        (F.col("score") - F.col("top_score")) / F.lit(_NB_P)
+                    )
+                    * F.lit(_NB_P)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+            ).alias("denom")
+        )
+    )
+    conf = soft.select(
+        "doc_id",
+        F.floor(F.lit(1e12) / F.col("denom") + F.lit(0.5))
+        .cast("bigint")
+        .alias("p_micro"),
+        F.least(
+            F.floor(F.lit(_NB_P) / F.col("denom") * F.lit(_CAL_BINS)).cast(
+                "bigint"
+            ),
+            F.lit(_CAL_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.when(F.col("true_lang") == F.col("pred_lang"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("correct"),
+    )
+    bins = conf.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("correct").cast("bigint").alias("n_correct"),
+        F.sum("p_micro").cast("bigint").alias("conf_micro"),
+        F.sum(F.expr("(p_micro - correct * 1000000)"
+                     " * (p_micro - correct * 1000000) DIV 1000000"))
+        .cast("bigint")
+        .alias("sq_micro"),
+    )
+    tot = bins.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("conf_micro") - F.col("n_correct") * F.lit(1000000)))
+        .cast("bigint")
+        .alias("ece_micro"),
+        F.sum("sq_micro").cast("bigint").alias("brier_micro"),
     )
     return (
-        pred.groupBy("true_lang", "pred_lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .orderBy("true_lang", "pred_lang")
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            (
+                F.floor(
+                    F.col("conf_micro").cast("double") / F.col("n_docs")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("avg_confidence"),
+            (
+                F.floor(
+                    F.col("n_correct").cast("double")
+                    / F.col("n_docs")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("accuracy"),
+            (
+                F.floor(
+                    F.col("ece_micro").cast("double") / F.col("n") + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("ece"),
+            (
+                F.floor(
+                    F.col("brier_micro").cast("double") / F.col("n")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("brier_top"),
+        )
+        .orderBy("bin")
     )
 
 

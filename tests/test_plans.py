@@ -712,6 +712,16 @@ def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     # seq patterns: per-(user,type) position rollup + the 2/3-length
     # pattern joins.
     ("q_seq_patterns_support", 9),
+    # proration: lineitem-orders join + the orderkey-partitioned
+    # windows (one reused exchange) + the final single-row agg.
+    ("q_proration_largest_remainder", 3),
+    # FIFO: partkey cumsum window + demand rollup (shared key) + top-k.
+    ("q_fifo_cost_matching", 3),
+    # calibration: the NB scoring subtree (22 plan-text exchanges) is
+    # re-expanded under top1/softmax/bins, so the TEXT count triples;
+    # at runtime the identical scoring exchanges collapse to
+    # ReusedExchange (same relation, same keys).
+    ("q_nb_calibration_bins", 80),
 ])
 def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
