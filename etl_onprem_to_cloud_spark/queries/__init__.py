@@ -190,6 +190,7 @@ _NEW_THIS_ROUND = (
     "q_proration_largest_remainder",  # new: Hamilton cent allocation
     "q_fifo_cost_matching",       # new: FIFO lot matching closed form
     "q_nb_calibration_bins",      # new: reliability bins + ECE + Brier
+    "q_dsir_importance_resampling",  # new: hashed-ngram DSIR selection
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

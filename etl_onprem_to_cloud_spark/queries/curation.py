@@ -23,7 +23,7 @@ from pyspark.sql import Window, functions as F
 from ..functions.text import tokens
 from ..llm.similarity import brute_force_top_k
 from ..operators.sampling import duck_hash_gate, hash_gate
-from ._util import cat, duck_tokens
+from ._util import cat, duck_tokens, duck_word_ngrams
 from . import query
 
 CHUNK = 16  # tokens per dedup chunk (a "sentence" for the newline-free fixture)
@@ -1046,4 +1046,212 @@ def q_retrieval_rrf_fusion(spark, sf_dir):
             F.col("q_id").alias("query_doc"), "doc_id", "rrf_score", "rank"
         )
         .orderBy("query_doc", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, public paper:
+# "Data Selection for Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+
+_DSIR_B = 10_000        # hashed n-gram buckets (the paper's scalability trick)
+_DSIR_K = 100           # documents to select from the raw pool
+_DSIR_TARGET = "src0"   # the "curated domain sample" source
+_DSIR_P = 1_000_000.0   # fixed-point grid for the quantized log terms
+
+_DSIR_BUCKET_DUCK = (
+    "(CAST(concat('0x', substr(md5('dsir' || '|' || ng), 1, 15)) "
+    f"AS BIGINT) % {(1 << 31) - 1}) % {_DSIR_B}"
+)
+
+_DSIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {duck_tokens('text')} AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, source,
+    unnest(list_concat(toks, {duck_word_ngrams('toks', 2)})) AS ng
+  FROM t
+),
+fb AS (
+  SELECT doc_id, lang, source, {_DSIR_BUCKET_DUCK} AS b FROM feats
+),
+model AS (
+  SELECT b,
+    sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS c_t,
+    sum(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS c_q
+  FROM fb GROUP BY b
+),
+totals AS (
+  SELECT sum(c_t) AS tt, sum(c_q) AS qq FROM model
+),
+lr AS (
+  -- add-1-smoothed quantized log-ratio per bucket; each ln is
+  -- floor-quantized ONCE to the 1e-6 grid (the libm convention), so
+  -- per-document sums are exact integers.
+  SELECT m.b,
+    CAST(floor(ln(CAST(m.c_t + 1 AS DOUBLE)
+        / CAST(t.tt + {_DSIR_B} AS DOUBLE)) * {_DSIR_P} + 0.5) AS BIGINT)
+    - CAST(floor(ln(CAST(m.c_q + 1 AS DOUBLE)
+        / CAST(t.qq + {_DSIR_B} AS DOUBLE)) * {_DSIR_P} + 0.5) AS BIGINT)
+      AS lr_q
+  FROM model m CROSS JOIN totals t
+),
+docw AS (
+  SELECT fb.doc_id, any_value(fb.lang) AS lang,
+    sum(lr.lr_q) AS logw_q
+  FROM fb JOIN lr ON fb.b = lr.b
+  WHERE fb.source <> '{_DSIR_TARGET}'
+  GROUP BY fb.doc_id
+),
+keyed AS (
+  -- deterministic Gumbel top-k: g = -ln(-ln(u)) with u the md5
+  -- 16-bit slice mapped to the open unit interval; quantized once.
+  SELECT doc_id, lang, logw_q,
+    logw_q + CAST(floor(-ln(-ln(
+      (CAST(concat('0x', substr(md5('dsirg' || '|' || CAST(doc_id AS VARCHAR)), 1, 4))
+        AS BIGINT) + 0.5) / 65536.0)) * {_DSIR_P} + 0.5) AS BIGINT)
+      AS skey
+  FROM docw
+),
+sel AS (
+  SELECT doc_id, lang, logw_q FROM (
+    SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id) AS rn
+    FROM keyed
+  ) WHERE rn <= {_DSIR_K}
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_selected,
+  floor(CAST(sum(logw_q) AS DOUBLE) / count(*) + 0.5) / {_DSIR_P}
+    AS avg_logw
+FROM sel GROUP BY lang ORDER BY lang
+"""
+
+
+@query(
+    "q_dsir_importance_resampling",
+    oracle=_DSIR_ORACLE,
+    tags=("llm", "curation", "sampling", "dsir", "ring-c"),
+    description=(
+        "DSIR-style data selection (hashed n-gram importance "
+        "resampling, Xie et al. 2023): fit add-1-smoothed bag-of-"
+        f"hashed-ngram models ({_DSIR_B} md5 buckets, unigrams + "
+        f"bigrams) for the target domain ('{_DSIR_TARGET}') and the "
+        "raw pool, weight every raw document by its exact-integer sum "
+        "of quantized per-bucket log-ratios, add deterministic Gumbel "
+        "noise from the md5 16-bit slice (no rand(); rerun- and "
+        f"repartition-stable), and keep the top {_DSIR_K}.  Output = "
+        "language mix of the selected set with average log-importance "
+        "-- the domain-adaptation sampler for pretraining data."
+    ),
+)
+def q_dsir_importance_resampling(spark, sf_dir):
+    """Scale shape: the n-gram explode aggregates map-side into at
+    most {B} bucket groups per pool -- the model shuffle is O(B), not
+    O(corpus) -- and the scoring join broadcasts the B-row log-ratio
+    table against the doc-bucket stream, reducing per doc_id.  The
+    Gumbel top-k is a TakeOrdered over one row per raw doc.  Nothing
+    data-sized shuffles except the per-doc weight rollup, the same
+    single shuffle every per-doc rollup in the suite pays."""
+    docs = cat(spark, sf_dir).documents
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tokens(F.lower("text")).alias("toks"),
+    )
+    from ..functions.text import word_ngrams_from_tokens
+
+    feats = t.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.concat(F.col("toks"), word_ngrams_from_tokens(F.col("toks"), 2))
+        ).alias("ng"),
+    )
+    fb = feats.select(
+        "doc_id",
+        "lang",
+        "source",
+        (hash_gate(F.col("ng"), "dsir") % _DSIR_B).alias("b"),
+    )
+    model = fb.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
+        ).alias("c_t"),
+        F.sum(
+            F.when(F.col("source") != _DSIR_TARGET, 1).otherwise(0)
+        ).alias("c_q"),
+    )
+    totals = model.agg(
+        F.sum("c_t").alias("tt"), F.sum("c_q").alias("qq")
+    )
+
+    def qln(col):
+        return F.floor(F.log(col) * F.lit(_DSIR_P) + F.lit(0.5)).cast("bigint")
+
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            qln(
+                (F.col("c_t") + 1).cast("double")
+                / (F.col("tt") + F.lit(_DSIR_B)).cast("double")
+            )
+            - qln(
+                (F.col("c_q") + 1).cast("double")
+                / (F.col("qq") + F.lit(_DSIR_B)).cast("double")
+            )
+        ).alias("lr_q"),
+    )
+    docw = (
+        fb.filter(F.col("source") != _DSIR_TARGET)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.first("lang").alias("lang"), F.sum("lr_q").alias("logw_q"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("dsirg"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(65536.0)
+    keyed = docw.select(
+        "doc_id",
+        "lang",
+        "logw_q",
+        (
+            F.col("logw_q")
+            + F.floor(-F.log(-F.log(u)) * F.lit(_DSIR_P) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("skey"),
+    )
+    # TakeOrdered, not a global row_number window: the top-k never
+    # materializes a single-partition sort at any pool size.
+    sel = keyed.orderBy(F.desc("skey"), "doc_id").limit(_DSIR_K)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            (
+                F.floor(
+                    F.sum("logw_q").cast("double") / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(_DSIR_P)
+            ).alias("avg_logw"),
+        )
+        .orderBy("lang")
     )

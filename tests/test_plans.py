@@ -722,6 +722,9 @@ def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     # at runtime the identical scoring exchanges collapse to
     # ReusedExchange (same relation, same keys).
     ("q_nb_calibration_bins", 80),
+    # DSIR: O(B)-bucket model rollups (re-expanded per pool in plan
+    # text) + the per-doc weight rollup + the TakeOrdered top-k.
+    ("q_dsir_importance_resampling", 6),
 ])
 def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
