@@ -191,6 +191,7 @@ _NEW_THIS_ROUND = (
     "q_fifo_cost_matching",       # new: FIFO lot matching closed form
     "q_nb_calibration_bins",      # new: reliability bins + ECE + Brier
     "q_dsir_importance_resampling",  # new: hashed-ngram DSIR selection
+    "q_lpa_communities",          # new: label-propagation communities
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -3176,3 +3176,114 @@ def q_seq_patterns_support(spark, sf_dir):
         .orderBy(F.desc("support"), "pattern")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (synchronous, deterministic tiebreak)
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _duck_lpa_sql(rounds: int) -> str:
+    """Generated unrolled twin of the synchronous label-propagation
+    loop (the k-core/PageRank generator pattern).  Each round: every
+    node adopts the most frequent label among its neighbours, ties to
+    the SMALLEST label -- fully deterministic, no rand() ordering."""
+    parts = [
+        # min-support-2 edges: a single shared order makes the TPC-H
+        # co-purchase graph near-complete (LPA then collapses to one
+        # community); pairs co-bought in >= 2 orders leave the sparse
+        # repeat-signal graph where community structure is real.
+        "e0 AS MATERIALIZED ("
+        "SELECT least(a.l_partkey, b.l_partkey) AS x,"
+        " greatest(a.l_partkey, b.l_partkey) AS y"
+        " FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2 HAVING count(*) >= 2)",
+        "und AS MATERIALIZED (SELECT x AS node, y AS nb FROM e0"
+        " UNION ALL SELECT y, x FROM e0)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, nlbl AS lbl FROM ("
+            f"SELECT u.node, l.lbl AS nlbl, row_number() OVER ("
+            f"PARTITION BY u.node ORDER BY count(*) DESC, l.lbl) AS rn "
+            f"FROM und u JOIN l{i - 1} l ON l.node = u.nb "
+            f"GROUP BY u.node, l.lbl) WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l{rounds} GROUP BY lbl
+ORDER BY n_nodes DESC, community LIMIT 20"""
+    )
+
+
+@query(
+    "q_lpa_communities",
+    oracle=_duck_lpa_sql(_LPA_ROUNDS),
+    tags=("graph", "ring-c", "iterative", "community"),
+    description=(
+        "Community detection by synchronous label propagation on the "
+        f"part co-purchase graph, {_LPA_ROUNDS} unrolled rounds: every "
+        "node starts as its own label and repeatedly adopts the most "
+        "frequent label among its neighbours (ties to the smallest "
+        "label, so the run is deterministic without any rand() "
+        "ordering).  Output: the 20 largest communities with sizes -- "
+        "the near-linear community miner that complements the brand-"
+        "partition modularity score."
+    ),
+)
+def q_lpa_communities(spark, sf_dir):
+    """Each round is ONE shuffle on the node key: the (node, label)
+    vote count and the argmax window share the same partitioning, and
+    the neighbour join keys on the node side of the undirected edge
+    list.  Lineage is cut every other round (the k-core convention) so
+    the unrolled loop cannot stack exponential plan growth.  At 100 TB
+    LPA is THE community algorithm that survives -- no global modular
+    optimization, just per-node majority votes."""
+    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("x", "y")
+    )
+    und = edges.select(
+        F.col("x").alias("node"), F.col("y").alias("nb")
+    ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb")))
+    und = und.localCheckpoint(eager=True)
+    labels = und.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "nlbl")
+    for i in range(1, _LPA_ROUNDS + 1):
+        votes = (
+            und.join(
+                labels.select(F.col("node").alias("nb"), F.col("lbl").alias("nlbl")),
+                "nb",
+            )
+            .groupBy("node", "nlbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlbl").alias("lbl"))
+        )
+        if i % 2 == 0 and i < _LPA_ROUNDS:
+            labels = labels.localCheckpoint(eager=True)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )

@@ -725,6 +725,9 @@ def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     # DSIR: O(B)-bucket model rollups (re-expanded per pool in plan
     # text) + the per-doc weight rollup + the TakeOrdered top-k.
     ("q_dsir_importance_resampling", 6),
+    # LPA: edge build (order-key join + pair rollup) before the
+    # checkpoint cut, then ~2 node-keyed exchanges per visible round.
+    ("q_lpa_communities", 10),
 ])
 def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
