@@ -192,6 +192,7 @@ _NEW_THIS_ROUND = (
     "q_nb_calibration_bins",      # new: reliability bins + ECE + Brier
     "q_dsir_importance_resampling",  # new: hashed-ngram DSIR selection
     "q_lpa_communities",          # new: label-propagation communities
+    "q_holt_winters_additive",    # new: seasonal triple smoothing
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

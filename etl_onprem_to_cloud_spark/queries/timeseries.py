@@ -1054,3 +1054,195 @@ def q_cusum_value_drift(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal forecast (triple exponential smoothing)
+# --------------------------------------------------------------------------
+
+_HW_M = 7  # weekly seasonality over the daily series
+
+# All smoothing constants are 1/2, so every update is integer add +
+# floor(x / 2.0) in milli-unit BIGINT fixed point (exact below 2^52) --
+# the Holt convention extended with a 7-slot seasonal register.  The
+# recursive oracle must RESTATE l_new / s_pos inside the dependent
+# updates (SQL cannot reference a same-SELECT alias); the Spark fold
+# restates the identical expressions so both engines walk bit-identical
+# state sequences.
+_HW_SPOS = (
+    "(CASE (rec.t) % 7 WHEN 0 THEN rec.s0 WHEN 1 THEN rec.s1"
+    " WHEN 2 THEN rec.s2 WHEN 3 THEN rec.s3 WHEN 4 THEN rec.s4"
+    " WHEN 5 THEN rec.s5 ELSE rec.s6 END)"
+)
+_HW_LNEW = (
+    f"CAST(floor((i.n * 1000 - {_HW_SPOS} + rec.l + rec.bt) / 2.0)"
+    " AS BIGINT)"
+)
+_HW_SNEW = (
+    f"CAST(floor((i.n * 1000 - {_HW_LNEW} + {_HW_SPOS}) / 2.0) AS BIGINT)"
+)
+
+
+def _hw_scol(k: int) -> str:
+    return (
+        f"CASE WHEN (rec.t) % 7 = {k} THEN {_HW_SNEW} ELSE rec.s{k} END"
+    )
+
+
+_HW_ORACLE = f"""
+WITH RECURSIVE days AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+    count(*) AS n
+  FROM events GROUP BY d
+),
+idx AS (
+  SELECT d, n, row_number() OVER (ORDER BY d) AS rn FROM days
+),
+init AS (
+  SELECT CAST(sum(n * 1000) // 7 AS BIGINT) AS l0 FROM idx WHERE rn <= 7
+),
+rec AS (
+  SELECT 7 AS t, init.l0 AS l, CAST(0 AS BIGINT) AS bt,
+    {", ".join(
+      f"(SELECT CAST(n * 1000 - init.l0 AS BIGINT) FROM idx"
+      f" WHERE rn = {k + 1}) AS s{k}" for k in range(7)
+    )},
+    CAST(0 AS BIGINT) AS sae, 0 AS ne
+  FROM init
+  UNION ALL
+  SELECT rec.t + 1,
+    {_HW_LNEW},
+    CAST(floor(({_HW_LNEW} - rec.l + rec.bt) / 2.0) AS BIGINT),
+    {", ".join(_hw_scol(k) for k in range(7))},
+    rec.sae + abs(i.n * 1000 - (rec.l + rec.bt + {_HW_SPOS})),
+    rec.ne + 1
+  FROM rec JOIN idx i ON i.rn = rec.t + 1
+)
+SELECT CAST(t AS BIGINT) AS n_days,
+  l / 1000.0 AS level,
+  bt / 1000.0 AS trend,
+  (l + bt + (CASE (t) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+    WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END)) / 1000.0
+    AS forecast_1,
+  (l + 7 * bt + (CASE (t + 6) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1
+    WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5
+    ELSE s6 END)) / 1000.0 AS forecast_7,
+  floor(CAST(sae AS DOUBLE) / ne / 1000.0 * 1000000.0 + 0.5) / 1000000.0
+    AS mae_one_step
+FROM rec ORDER BY t DESC LIMIT 1
+"""
+
+
+@query(
+    "q_holt_winters_additive",
+    oracle=_HW_ORACLE,
+    tags=("timeseries", "forecast", "fixed-point", "ring-c"),
+    description=(
+        "Holt-Winters ADDITIVE triple exponential smoothing (alpha = "
+        "beta = gamma = 1/2, weekly period 7) over the daily event-"
+        "count series: final level/trend, the 7-slot seasonal "
+        "register, 1- and 7-day-ahead seasonal forecasts and the in-"
+        "sample one-step MAE -- the seasonality-aware upgrade of the "
+        "Holt linear forecast next to it.  Init: level = first-week "
+        "integer mean, trend = 0, seasonals = first-week deviations; "
+        "state in milli-unit BIGINT fixed point, every update integer "
+        "add + floor(x/2.0), so both engines walk bit-identical "
+        "sequences.  Needs >= 8 observed days."
+    ),
+)
+def q_holt_winters_additive(spark, sf_dir):
+    """Identical scale shape to the Holt fold: ONE shuffle for the
+    daily rollup, then the recursion folds over the calendar-sized
+    array in one row -- O(days) sequential state, never O(events).
+    The 7-slot register updates via F.transform on the state array
+    (position (t %% 7)); all dependent updates restate l_new exactly
+    as the oracle does."""
+    ev = cat(spark, sf_dir).events
+    days = (
+        ev.select(
+            F.floor(
+                F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    one = days.agg(
+        F.array_sort(F.collect_list(F.struct("d", "n"))).alias("arr")
+    )
+    first7 = F.slice(F.col("arr"), 1, 7)
+    l0 = F.expr(
+        "CAST(aggregate(slice(arr, 1, 7), 0L, (a, x) -> a + x.n * 1000L)"
+        " DIV 7 AS BIGINT)"
+    )
+    s_init = F.transform(
+        first7, lambda x: (x["n"].cast("bigint") * 1000 - F.col("l0"))
+    )
+    init = F.struct(
+        F.lit(7).cast("int").alias("t"),
+        F.col("l0").alias("l"),
+        F.lit(0).cast("bigint").alias("bt"),
+        F.col("s_init").alias("s"),
+        F.lit(0).cast("bigint").alias("sae"),
+        F.lit(0).cast("int").alias("ne"),
+    )
+
+    def step(acc, x):
+        y = x["n"].cast("bigint") * 1000
+        pos = acc["t"] % 7
+        spos = F.element_at(acc["s"], pos + 1)
+        l_new = F.floor((y - spos + acc["l"] + acc["bt"]) / F.lit(2.0)).cast(
+            "bigint"
+        )
+        s_new = F.floor((y - l_new + spos) / F.lit(2.0)).cast("bigint")
+        f1 = acc["l"] + acc["bt"] + spos
+        return F.struct(
+            (acc["t"] + F.lit(1)).alias("t"),
+            l_new.alias("l"),
+            F.floor((l_new - acc["l"] + acc["bt"]) / F.lit(2.0))
+            .cast("bigint")
+            .alias("bt"),
+            F.zip_with(
+                acc["s"],
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda v, i: F.when(i == pos, s_new).otherwise(v),
+            ).alias("s"),
+            (acc["sae"] + F.abs(y - f1)).alias("sae"),
+            (acc["ne"] + F.lit(1)).alias("ne"),
+        )
+
+    folded = (
+        one.withColumn("l0", l0)
+        .withColumn("s_init", s_init)
+        .select(
+            F.aggregate(
+                F.slice(
+                    F.col("arr"), 8, F.greatest(F.size("arr") - 7, F.lit(0))
+                ),
+                init,
+                step,
+            ).alias("st")
+        )
+    )
+    st = F.col("st")
+    s_at = lambda posc: F.element_at(st["s"], (posc % 7) + 1)  # noqa: E731
+    return folded.select(
+        st["t"].cast("bigint").alias("n_days"),
+        (st["l"] / F.lit(1000.0)).alias("level"),
+        (st["bt"] / F.lit(1000.0)).alias("trend"),
+        ((st["l"] + st["bt"] + s_at(st["t"])) / F.lit(1000.0)).alias(
+            "forecast_1"
+        ),
+        ((st["l"] + 7 * st["bt"] + s_at(st["t"] + 6)) / F.lit(1000.0)).alias(
+            "forecast_7"
+        ),
+        (
+            F.floor(
+                st["sae"].cast("double") / st["ne"] / F.lit(1000.0) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mae_one_step"),
+    )

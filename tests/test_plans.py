@@ -728,6 +728,9 @@ def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     # LPA: edge build (order-key join + pair rollup) before the
     # checkpoint cut, then ~2 node-keyed exchanges per visible round.
     ("q_lpa_communities", 10),
+    # Holt-Winters: the daily rollup is the only event-scale exchange
+    # (plus the single-row fold's trivial singleton).
+    ("q_holt_winters_additive", 2),
 ])
 def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
