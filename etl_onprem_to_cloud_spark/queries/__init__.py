@@ -193,6 +193,8 @@ _NEW_THIS_ROUND = (
     "q_dsir_importance_resampling",  # new: hashed-ngram DSIR selection
     "q_lpa_communities",          # new: label-propagation communities
     "q_holt_winters_additive",    # new: seasonal triple smoothing
+    "q_psi_value_drift",          # new: population stability index
+    "q_conformal_forecast_interval",  # new: split-conformal interval
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -3287,3 +3287,136 @@ def q_lpa_communities(spark, sf_dir):
         .orderBy(F.desc("n_nodes"), "community")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Population stability index (production-ML drift monitor)
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_SPLIT = 15  # reference = first 15 days, current = the rest
+
+
+@query(
+    "q_psi_value_drift",
+    oracle=f"""
+WITH v AS (
+  SELECT value,
+    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+  FROM events WHERE value IS NOT NULL
+),
+split AS (
+  SELECT min(d) + {_PSI_SPLIT} AS cut, min(value) AS mn, max(value) AS mx
+  FROM v
+),
+binned AS (
+  SELECT least(CAST(floor((v.value - s.mn)
+      / ((s.mx - s.mn) / {_PSI_BINS})) AS BIGINT),
+      {_PSI_BINS - 1}) AS bin,
+    CASE WHEN v.d < s.cut THEN 1 ELSE 0 END AS is_ref
+  FROM v CROSS JOIN split s
+),
+cnt AS (
+  SELECT bin,
+    CAST(sum(is_ref) AS BIGINT) AS n_ref,
+    CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc
+  FROM cnt
+),
+terms AS (
+  -- add-1 smoothed shares; each (p-q)*ln(p/q) contribution quantized
+  -- ONCE to the 1e-9 grid (the libm convention) before integer sums.
+  SELECT c.bin, c.n_ref, c.n_cur,
+    CAST(floor((CAST(c.n_ref + 1 AS DOUBLE) / (t.tr + {_PSI_BINS})
+        - CAST(c.n_cur + 1 AS DOUBLE) / (t.tc + {_PSI_BINS}))
+      * ln((CAST(c.n_ref + 1 AS DOUBLE) / (t.tr + {_PSI_BINS}))
+        / (CAST(c.n_cur + 1 AS DOUBLE) / (t.tc + {_PSI_BINS})))
+      * 1000000000.0 + 0.5) AS BIGINT) AS contrib_q
+  FROM cnt c CROSS JOIN tot t
+),
+g AS (SELECT CAST(sum(contrib_q) AS BIGINT) AS psi_q FROM terms)
+SELECT t.bin, t.n_ref, t.n_cur,
+  floor(CAST(t.contrib_q AS DOUBLE) / 1000.0 + 0.5) / 1000000.0
+    AS psi_contrib,
+  floor(CAST(g.psi_q AS DOUBLE) / 1000.0 + 0.5) / 1000000.0 AS psi
+FROM terms t CROSS JOIN g
+ORDER BY t.bin
+""",
+    tags=("stats", "drift", "monitoring", "ring-c"),
+    description=(
+        "Population stability index between the first "
+        f"{_PSI_SPLIT} days (reference) and the rest (current) of the "
+        f"event value stream: {_PSI_BINS} fixed-width bins over the "
+        "global range, add-1-smoothed shares, PSI = sum (p-q)*ln(p/q) "
+        "with every bin contribution quantized once to the 1e-9 grid "
+        "-- the production scorecard drift monitor that sits beside "
+        "the KS and chi-squared tests (PSI > 0.25 = retrain)."
+    ),
+)
+def q_psi_value_drift(spark, sf_dir):
+    """Scale shape: ONE data-sized shuffle (the bin rollup, map-side
+    combined into at most {bins} x 2 partials per task); the min/max/"
+    cut scalars broadcast back.  No sort, no window, no quantile pass
+    -- fixed-width binning is what makes PSI the monitor that runs on
+    every batch at 100 TB."""
+    ev = cat(spark, sf_dir).events
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "value",
+        F.floor(
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    split = v.agg(
+        (F.min("d") + F.lit(_PSI_SPLIT)).alias("cut"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    binned = v.crossJoin(F.broadcast(split)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / F.lit(_PSI_BINS))
+            ).cast("bigint"),
+            F.lit(_PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.when(F.col("d") < F.col("cut"), 1).otherwise(0).alias("is_ref"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + F.lit(_PSI_BINS))
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + F.lit(_PSI_BINS))
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.floor((p - q) * F.log(p / q) * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("contrib_q"),
+    )
+    g = terms.agg(F.sum("contrib_q").cast("bigint").alias("psi_q"))
+
+    def m3(c):
+        return F.floor(c.cast("double") / F.lit(1e3) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        terms.crossJoin(F.broadcast(g))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            m3(F.col("contrib_q")).alias("psi_contrib"),
+            m3(F.col("psi_q")).alias("psi"),
+        )
+        .orderBy("bin")
+    )

@@ -4,7 +4,7 @@ containment joins, and deterministic stratified sampling."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..functions.numeric import dec
 from ..operators.sampling import duck_hash_gate, stratified_sample
@@ -1245,4 +1245,155 @@ def q_holt_winters_additive(spark, sf_dir):
             )
             / F.lit(1e6)
         ).alias("mae_one_step"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval for the seasonal-naive forecaster
+# --------------------------------------------------------------------------
+
+_CONF_M = 7        # weekly seasonal-naive model: yhat_t = y_{t-7}
+_CONF_CAL_END = 22  # days 8..22 calibrate, 23.. test
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 90% target coverage
+
+
+@query(
+    "q_conformal_forecast_interval",
+    oracle=f"""
+WITH days AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY d
+),
+idx AS (
+  SELECT d, y, row_number() OVER (ORDER BY d) AS rn FROM days
+),
+pred AS (
+  SELECT cur.rn, cur.d, cur.y, prev.y AS yhat
+  FROM idx cur JOIN idx prev ON prev.rn = cur.rn - {_CONF_M}
+),
+cal AS (
+  SELECT abs(y - yhat) AS r, rn FROM pred
+  WHERE rn <= {_CONF_CAL_END}
+),
+qhat AS (
+  -- exact-rank conformal quantile: the ceil((n+1)*alpha)-th smallest
+  -- calibration residual (all integers, no interpolation).
+  SELECT r AS q FROM (
+    SELECT r, row_number() OVER (ORDER BY r, rn) AS k,
+      count(*) OVER () AS n
+    FROM cal
+  ) WHERE k = least(n,
+      CAST(ceil((n + 1) * {_CONF_ALPHA_NUM} / {_CONF_ALPHA_DEN}.0) AS BIGINT))
+),
+test AS (
+  SELECT p.rn, p.d, p.y, p.yhat,
+    p.yhat - q.q AS lo, p.yhat + q.q AS hi,
+    CASE WHEN p.y BETWEEN p.yhat - q.q AND p.yhat + q.q
+      THEN 1 ELSE 0 END AS covered
+  FROM pred p CROSS JOIN qhat q
+  WHERE p.rn > {_CONF_CAL_END}
+)
+SELECT d AS day, y, yhat, lo, hi, CAST(covered AS BIGINT) AS covered,
+  (SELECT CAST(sum(covered) AS BIGINT) FROM test) AS n_covered,
+  (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
+  (SELECT q FROM qhat) AS q_hat
+FROM test ORDER BY d
+""",
+    tags=("timeseries", "forecast", "conformal", "exact-integer", "ring-c"),
+    description=(
+        "Split-conformal 90% prediction interval for the weekly "
+        "seasonal-naive forecaster over daily event counts: calibrate "
+        f"on days 8..{_CONF_CAL_END} (absolute residuals, exact-rank "
+        "ceil((n+1)*0.9) quantile -- all integers, no interpolation, "
+        "no libm), then report each held-out day's forecast, interval "
+        "and coverage flag plus the global empirical coverage.  The "
+        "distribution-free uncertainty wrapper that belongs on every "
+        "production forecast."
+    ),
+)
+def q_conformal_forecast_interval(spark, sf_dir):
+    """One event-scale shuffle (the daily rollup); everything after
+    runs on the calendar-sized day relation, where the lag-7 join and
+    rank windows touch ~30 rows -- the Holt/seasonal convention.  At
+    100 TB only the rollup grows."""
+    ev = cat(spark, sf_dir).events
+    days = (
+        ev.select(
+            F.floor(
+                F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400))
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w = Window.orderBy("d")
+    idx = days.withColumn("rn", F.row_number().over(w))
+    cur = idx.select(
+        F.col("rn"), F.col("d"), F.col("y")
+    )
+    prev = idx.select(
+        (F.col("rn") + _CONF_M).alias("rn"), F.col("y").alias("yhat")
+    )
+    pred = cur.join(prev, "rn")
+    cal = pred.filter(F.col("rn") <= _CONF_CAL_END).select(
+        F.abs(F.col("y") - F.col("yhat")).alias("r"), "rn"
+    )
+    wq = Window.orderBy("r", "rn")
+    qhat = (
+        cal.withColumn("k", F.row_number().over(wq))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(
+            F.col("k")
+            == F.least(
+                F.col("n"),
+                F.ceil(
+                    (F.col("n") + 1)
+                    * _CONF_ALPHA_NUM
+                    / F.lit(float(_CONF_ALPHA_DEN))
+                ).cast("bigint"),
+            )
+        )
+        .select(F.col("r").alias("q"))
+    )
+    test = (
+        pred.filter(F.col("rn") > _CONF_CAL_END)
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "d",
+            "y",
+            "yhat",
+            (F.col("yhat") - F.col("q")).alias("lo"),
+            (F.col("yhat") + F.col("q")).alias("hi"),
+            F.when(
+                (F.col("y") >= F.col("yhat") - F.col("q"))
+                & (F.col("y") <= F.col("yhat") + F.col("q")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("covered"),
+            F.col("q"),
+        )
+    )
+    g = test.agg(
+        F.sum("covered").cast("bigint").alias("n_covered"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+    )
+    return (
+        test.crossJoin(F.broadcast(g))
+        .select(
+            F.col("d").alias("day"),
+            "y",
+            "yhat",
+            "lo",
+            "hi",
+            "covered",
+            "n_covered",
+            "n_test",
+            F.col("q").alias("q_hat"),
+        )
+        .orderBy("day")
     )
