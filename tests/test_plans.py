@@ -731,8 +731,9 @@ def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     # Holt-Winters: the daily rollup is the only event-scale exchange
     # (plus the single-row fold's trivial singleton).
     ("q_holt_winters_additive", 2),
-    # PSI: one bin rollup (map-side combined) + broadcast scalars.
-    ("q_psi_value_drift", 4),
+    # PSI: the bin rollup + the broadcast min/max/total scalars (the
+    # split aggregate and terms rollup each add a singleton exchange).
+    ("q_psi_value_drift", 5),
     # conformal: the daily rollup + calendar-sized windows/joins.
     ("q_conformal_forecast_interval", 8),
 ])
