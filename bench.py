@@ -181,6 +181,17 @@ HEADLINE = [
     "q_cusum_value_drift",
     "q_ann_pq_adc_topk",
     "q_ann_ivfpq_topk",
+    # r4 batch 6: exact-integer finance allocation, NB calibration,
+    # DSIR selection, LPA communities, seasonal/conformal forecasting,
+    # and the PSI drift monitor.
+    "q_proration_largest_remainder",
+    "q_fifo_cost_matching",
+    "q_nb_calibration_bins",
+    "q_dsir_importance_resampling",
+    "q_lpa_communities",
+    "q_holt_winters_additive",
+    "q_psi_value_drift",
+    "q_conformal_forecast_interval",
 ]
 
 

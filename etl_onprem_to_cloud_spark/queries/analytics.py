@@ -462,7 +462,10 @@ FROM b CROSS JOIN t
         "Population-stability-index drift monitor: order-value histogram "
         "before/after a pivot date, add-one-smoothed shares, per-bin PSI "
         "contribution (p-q)*ln(p/q).  One scan, one 8-row aggregate -- "
-        "the shape of a daily data-quality gate over a 100 TB feed."
+        "the shape of a daily data-quality gate over a 100 TB feed.  "
+        "Companion of q_psi_value_drift (mining.py): that variant "
+        "derives its bin edges from the data and emits the summed "
+        "retrain-gate PSI via 1e-9 fixed-point contributions."
     ),
 )
 def q_psi_price_drift(spark, sf_dir):

@@ -3350,10 +3350,13 @@ ORDER BY t.bin
         "Population stability index between the first "
         f"{_PSI_SPLIT} days (reference) and the rest (current) of the "
         f"event value stream: {_PSI_BINS} fixed-width bins over the "
-        "global range, add-1-smoothed shares, PSI = sum (p-q)*ln(p/q) "
-        "with every bin contribution quantized once to the 1e-9 grid "
-        "-- the production scorecard drift monitor that sits beside "
-        "the KS and chi-squared tests (PSI > 0.25 = retrain)."
+        "DATA-DERIVED global range, add-1-smoothed shares, and the "
+        "summed PSI = sum (p-q)*ln(p/q) with every bin contribution "
+        "quantized once to the 1e-9 grid then integer-summed.  "
+        "Companion of q_psi_price_drift (analytics.py), which bins on "
+        "FIXED dollar edges and reports per-bin contributions only -- "
+        "this variant derives its edges from the data and emits the "
+        "single retrain-gate number (PSI > 0.25 = retrain) exactly."
     ),
 )
 def q_psi_value_drift(spark, sf_dir):
