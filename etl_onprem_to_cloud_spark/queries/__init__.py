@@ -195,6 +195,8 @@ _NEW_THIS_ROUND = (
     "q_holt_winters_additive",    # new: seasonal triple smoothing
     "q_psi_value_drift",          # new: population stability index
     "q_conformal_forecast_interval",  # new: split-conformal interval
+    "q_bfs_hops_from_hubs",       # new: multi-source BFS hop rings
+    "q_neyman_allocation",        # new: minimum-variance strat. design
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

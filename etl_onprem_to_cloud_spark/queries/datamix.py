@@ -196,3 +196,142 @@ def q_resample_match_uniform_length(spark, sf_dir):
         F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
         F.round(F.col("rate"), 6).alias("rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation
+# --------------------------------------------------------------------------
+
+_NEYMAN_N = 100  # total sample budget
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS sx,
+    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+),
+w AS (
+  -- N_h * sigma_h = sqrt(N_h * sum(x^2) - sum(x)^2): the radicand is
+  -- an exact BIGINT, so ONE correctly-rounded sqrt (then a floor
+  -- quantization to micro-units) is the only inexact step -- no
+  -- order-dependent double accumulation anywhere.
+  SELECT source, n_docs,
+    CAST(floor(sqrt(CAST(greatest(n_docs * sxx - sx * sx, 0)
+      AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wq
+  FROM s
+),
+tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w),
+alloc AS (
+  SELECT w.source, w.n_docs, w.wq,
+    ({_NEYMAN_N} * w.wq) // t.wtot AS floor_n,
+    ({_NEYMAN_N} * w.wq) % t.wtot AS rem,
+    t.wtot
+  FROM w CROSS JOIN tot t
+),
+bumped AS (
+  SELECT source, n_docs, wq, wtot,
+    floor_n + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      <= {_NEYMAN_N} - sum(floor_n) OVER () THEN 1 ELSE 0 END AS n_alloc
+  FROM alloc
+)
+SELECT source, n_docs,
+  floor(CAST(wq AS DOUBLE) / n_docs / 1000000.0 * 1000000.0 + 0.5)
+    / 1000000.0 AS sigma_chars,
+  CAST(n_alloc AS BIGINT) AS n_alloc,
+  floor(CAST(n_alloc AS DOUBLE) / n_docs * 1000000.0 + 0.5) / 1000000.0
+    AS sampling_frac
+FROM bumped ORDER BY source
+""",
+    tags=("datamix", "sampling", "stats", "exact-integer", "ring-c"),
+    description=(
+        f"Neyman-optimal stratified sample allocation: split a budget "
+        f"of {_NEYMAN_N} sample documents across sources proportional "
+        "to N_h * sigma_h (document-length std), the minimum-variance "
+        "allocation for a stratified mean estimate.  N_h*sigma_h = "
+        "sqrt(N_h*sum(x^2) - sum(x)^2) keeps the radicand an exact "
+        "BIGINT; weights are micro-unit quantized and the budget is "
+        "settled by the same largest-remainder (Hamilton) rounding as "
+        "the cent proration -- allocations sum EXACTLY to the budget.  "
+        "The design step that runs before any stratified sampler."
+    ),
+)
+def q_neyman_allocation(spark, sf_dir):
+    """One shuffle (the per-source sufficient-statistics rollup, 20
+    groups, map-side combined); everything downstream runs on the
+    strata-sized relation.  Radicand magnitude: N_h * sum(x^2) -- with
+    doc lengths ~1e4 chars this holds exactly to ~1e10 docs per
+    stratum in BIGINT."""
+    docs = cat(spark, sf_dir).documents
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    w = s.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(
+                F.greatest(
+                    F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                    F.lit(0).cast("bigint"),
+                ).cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    tot = w.agg(F.sum("wq").cast("bigint").alias("wtot"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "wq",
+        F.expr(f"({_NEYMAN_N} * wq) DIV wtot").alias("floor_n"),
+        F.expr(f"({_NEYMAN_N} * wq) % wtot").alias("rem"),
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.desc("rem"), "source")
+    w_all = Window.partitionBy()
+    bumped = alloc.select(
+        "source",
+        "n_docs",
+        "wq",
+        (
+            F.col("floor_n")
+            + F.when(
+                F.row_number().over(w_rank)
+                <= F.lit(_NEYMAN_N) - F.sum("floor_n").over(w_all),
+                1,
+            ).otherwise(0)
+        ).alias("n_alloc"),
+    )
+    return bumped.select(
+        "source",
+        "n_docs",
+        (
+            F.floor(
+                F.col("wq").cast("double")
+                / F.col("n_docs")
+                / F.lit(1e6)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("sigma_chars"),
+        F.col("n_alloc").cast("bigint").alias("n_alloc"),
+        (
+            F.floor(
+                F.col("n_alloc").cast("double") / F.col("n_docs") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("sampling_frac"),
+    ).orderBy("source")

@@ -3423,3 +3423,115 @@ def q_psi_value_drift(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS hop distance (reachability rings)
+# --------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_SEEDS = 5  # the top-degree hub nodes
+
+
+def _duck_bfs_sql(rounds: int, seeds: int) -> str:
+    """Generated unrolled BFS twin (the k-core/LPA generator pattern):
+    frontier expansion as min-hop relaxation, seeds = the top-degree
+    hubs (count desc, node asc -- total order, no rand())."""
+    parts = [
+        f"e0 AS MATERIALIZED ({_COPURCHASE_CTE})",
+        "und AS MATERIALIZED (SELECT x AS node, y AS nb FROM e0"
+        " UNION ALL SELECT y, x FROM e0)",
+        "deg AS (SELECT node, count(*) AS d FROM und GROUP BY node)",
+        f"seeds AS (SELECT node FROM (SELECT node, row_number() OVER ("
+        f"ORDER BY d DESC, node) AS rn FROM deg) WHERE rn <= {seeds})",
+        "h0 AS MATERIALIZED (SELECT node, 0 AS hop FROM seeds)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"h{i} AS MATERIALIZED ("
+            f"SELECT node, min(hop) AS hop FROM ("
+            f"SELECT node, hop FROM h{i - 1}"
+            f" UNION ALL "
+            f"SELECT u.nb AS node, h.hop + 1 AS hop"
+            f" FROM h{i - 1} h JOIN und u ON u.node = h.node"
+            f") GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+FROM h{rounds} GROUP BY hop
+UNION ALL
+SELECT -1 AS hop,
+  (SELECT CAST(count(*) AS BIGINT) FROM deg)
+  - (SELECT CAST(count(*) AS BIGINT) FROM h{rounds})
+ORDER BY hop"""
+    )
+
+
+@query(
+    "q_bfs_hops_from_hubs",
+    oracle=_duck_bfs_sql(_BFS_ROUNDS, _BFS_SEEDS),
+    tags=("graph", "ring-c", "iterative", "bfs"),
+    description=(
+        f"Multi-source BFS from the {_BFS_SEEDS} highest-degree hub "
+        f"nodes of the part co-purchase graph, {_BFS_ROUNDS} unrolled "
+        "rounds of min-hop frontier relaxation: output = nodes per "
+        "hop ring (hop -1 = still unreached) -- the reachability "
+        "profile that sizes how much of the graph the hubs cover, "
+        "next to the k-core and label-propagation miners on the same "
+        "edge list."
+    ),
+)
+def q_bfs_hops_from_hubs(spark, sf_dir):
+    """Each round is one node-keyed shuffle (the min-hop rollup); the
+    frontier join keys on the same node column, so AQE reuses the
+    partitioning round to round.  Relaxation carries ALL labelled
+    nodes forward (hop set only ever grows), so rounds are idempotent
+    past the diameter -- the fixed unrolling stays deterministic.
+    Lineage is cut every other round (the k-core convention)."""
+    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .distinct()
+    )
+    und = edges.select(
+        F.col("x").alias("node"), F.col("y").alias("nb")
+    ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb")))
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    seeds = (
+        deg.orderBy(F.desc("d"), "node")
+        .limit(_BFS_SEEDS)
+        .select("node")
+    )
+    hops = seeds.select("node", F.lit(0).alias("hop"))
+    for i in range(1, _BFS_ROUNDS + 1):
+        expanded = hops.unionAll(
+            hops.join(und, "node").select(
+                F.col("nb").alias("node"), (F.col("hop") + 1).alias("hop")
+            )
+        )
+        hops = expanded.groupBy("node").agg(F.min("hop").alias("hop"))
+        if i % 2 == 0 and i < _BFS_ROUNDS:
+            hops = hops.localCheckpoint(eager=True)
+    rings = hops.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    n_all = deg.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    n_hit = hops.agg(F.count(F.lit(1)).cast("bigint").alias("nh"))
+    unreached = (
+        n_all.crossJoin(F.broadcast(n_hit))
+        .select(
+            F.lit(-1).cast("int").alias("hop"),
+            (F.col("na") - F.col("nh")).alias("n_nodes"),
+        )
+    )
+    return rings.select(
+        F.col("hop").cast("int").alias("hop"), "n_nodes"
+    ).unionAll(unreached).orderBy("hop")

@@ -736,6 +736,12 @@ def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     ("q_psi_value_drift", 5),
     # conformal: the daily rollup + calendar-sized windows/joins.
     ("q_conformal_forecast_interval", 8),
+    # BFS: plan TEXT re-expands the frontier subtree under each
+    # union branch past the checkpoint cut (runtime collapses the
+    # identical node-keyed exchanges to ReusedExchange).
+    ("q_bfs_hops_from_hubs", 20),
+    # Neyman: one 20-group stats rollup + strata-sized windows.
+    ("q_neyman_allocation", 5),
 ])
 def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
