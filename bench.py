@@ -192,6 +192,12 @@ HEADLINE = [
     "q_holt_winters_additive",
     "q_psi_value_drift",
     "q_conformal_forecast_interval",
+    # r4 batches 7-8: hub BFS rings, Neyman allocation, the mix-shift
+    # bridge and the migration checksum gate.
+    "q_bfs_hops_from_hubs",
+    "q_neyman_allocation",
+    "q_mix_shift_decomposition",
+    "q_migration_checksums",
 ]
 
 

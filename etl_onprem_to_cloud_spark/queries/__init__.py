@@ -197,6 +197,8 @@ _NEW_THIS_ROUND = (
     "q_conformal_forecast_interval",  # new: split-conformal interval
     "q_bfs_hops_from_hubs",       # new: multi-source BFS hop rings
     "q_neyman_allocation",        # new: minimum-variance strat. design
+    "q_mix_shift_decomposition",  # new: rate/mix/interaction bridge
+    "q_migration_checksums",      # new: order-independent load checksums
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

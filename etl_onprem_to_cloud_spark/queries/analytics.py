@@ -1217,3 +1217,156 @@ def q_interarrival_burstiness(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Mix-shift decomposition (rate vs mix vs interaction)
+# --------------------------------------------------------------------------
+
+_MIX_PIVOT = "1996-01-01 00:00:00"
+
+
+@query(
+    "q_mix_shift_decomposition",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority AS seg,
+    CASE WHEN o_orderdate < TIMESTAMP '{_MIX_PIVOT}' THEN 0 ELSE 1 END
+      AS period,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT period, CAST(sum(n) AS BIGINT) AS nt FROM s GROUP BY period
+),
+w AS (
+  SELECT s.seg,
+    max(CASE WHEN s.period = 0 THEN CAST(s.n AS DOUBLE) / t.nt END)
+      AS w0,
+    max(CASE WHEN s.period = 1 THEN CAST(s.n AS DOUBLE) / t.nt END)
+      AS w1,
+    max(CASE WHEN s.period = 0 THEN s.rev / s.n END) AS aov0,
+    max(CASE WHEN s.period = 1 THEN s.rev / s.n END) AS aov1
+  FROM s JOIN t ON t.period = s.period
+  GROUP BY s.seg
+),
+q AS (
+  -- every effect term quantized ONCE to the 1e-6 grid (micro-dollars
+  -- of AOV) then integer-summed: no order-dependent double
+  -- accumulation across segments.
+  SELECT seg, w0, w1, aov0, aov1,
+    CAST(floor((w1 - w0) * aov0 * 1000000.0 + 0.5) AS BIGINT) AS mix_q,
+    CAST(floor(w0 * (aov1 - aov0) * 1000000.0 + 0.5) AS BIGINT) AS rate_q,
+    CAST(floor((w1 - w0) * (aov1 - aov0) * 1000000.0 + 0.5) AS BIGINT)
+      AS inter_q
+  FROM w
+),
+g AS (
+  SELECT CAST(sum(mix_q) AS BIGINT) AS gm, CAST(sum(rate_q) AS BIGINT) AS gr,
+    CAST(sum(inter_q) AS BIGINT) AS gi
+  FROM q
+)
+SELECT q.seg,
+  floor(q.w0 * 1000000.0 + 0.5) / 1000000.0 AS share_base,
+  floor(q.w1 * 1000000.0 + 0.5) / 1000000.0 AS share_cur,
+  floor(q.aov0 * 100.0 + 0.5) / 100.0 AS aov_base,
+  floor(q.aov1 * 100.0 + 0.5) / 100.0 AS aov_cur,
+  q.mix_q / 1000000.0 AS mix_effect,
+  q.rate_q / 1000000.0 AS rate_effect,
+  q.inter_q / 1000000.0 AS interaction,
+  g.gm / 1000000.0 AS total_mix,
+  g.gr / 1000000.0 AS total_rate,
+  g.gi / 1000000.0 AS total_interaction
+FROM q CROSS JOIN g
+ORDER BY q.seg
+""",
+    tags=("analytics", "bi", "decomposition", "ring-b"),
+    description=(
+        "Mix-shift decomposition of the average-order-value change "
+        "across the 1996 pivot: per order priority, the AOV delta "
+        "splits into MIX (share shift at base rates), RATE (AOV "
+        "change at base shares) and the interaction residual -- the "
+        "three-way bridge that explains WHY a blended KPI moved, "
+        "identical to the Laspeyres index machinery one row up.  Every "
+        "effect term is quantized once to micro-dollars then integer-"
+        "summed, so segment totals reconcile exactly across engines."
+    ),
+)
+def q_mix_shift_decomposition(spark, sf_dir):
+    """One shuffle: the (segment, period) rollup (10 groups); the
+    period totals broadcast back and everything downstream is
+    segment-sized.  The decomposition never touches row data again --
+    the 100 TB cost is one aggregation pass."""
+    orders = cat(spark, sf_dir).orders
+    pivot = ts_lit(orders, "o_orderdate", _MIX_PIVOT)
+    s = orders.groupBy(
+        F.col("o_orderpriority").alias("seg"),
+        F.when(F.col("o_orderdate") < pivot, 0).otherwise(1).alias("period"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev"),
+    )
+    t = s.groupBy("period").agg(F.sum("n").cast("bigint").alias("nt"))
+    j = s.join(F.broadcast(t), "period")
+    w = j.groupBy("seg").agg(
+        F.max(
+            F.when(F.col("period") == 0, F.col("n").cast("double") / F.col("nt"))
+        ).alias("w0"),
+        F.max(
+            F.when(F.col("period") == 1, F.col("n").cast("double") / F.col("nt"))
+        ).alias("w1"),
+        F.max(
+            F.when(F.col("period") == 0, F.col("rev") / F.col("n"))
+        ).alias("aov0"),
+        F.max(
+            F.when(F.col("period") == 1, F.col("rev") / F.col("n"))
+        ).alias("aov1"),
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    q = w.select(
+        "seg",
+        "w0",
+        "w1",
+        "aov0",
+        "aov1",
+        q6((F.col("w1") - F.col("w0")) * F.col("aov0")).alias("mix_q"),
+        q6(F.col("w0") * (F.col("aov1") - F.col("aov0"))).alias("rate_q"),
+        q6(
+            (F.col("w1") - F.col("w0")) * (F.col("aov1") - F.col("aov0"))
+        ).alias("inter_q"),
+    )
+    g = q.agg(
+        F.sum("mix_q").cast("bigint").alias("gm"),
+        F.sum("rate_q").cast("bigint").alias("gr"),
+        F.sum("inter_q").cast("bigint").alias("gi"),
+    )
+
+    def pr6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def pr2(c):
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+    return (
+        q.crossJoin(F.broadcast(g))
+        .select(
+            "seg",
+            pr6(F.col("w0")).alias("share_base"),
+            pr6(F.col("w1")).alias("share_cur"),
+            pr2(F.col("aov0")).alias("aov_base"),
+            pr2(F.col("aov1")).alias("aov_cur"),
+            (F.col("mix_q") / F.lit(1e6)).alias("mix_effect"),
+            (F.col("rate_q") / F.lit(1e6)).alias("rate_effect"),
+            (F.col("inter_q") / F.lit(1e6)).alias("interaction"),
+            (F.col("gm") / F.lit(1e6)).alias("total_mix"),
+            (F.col("gr") / F.lit(1e6)).alias("total_rate"),
+            (F.col("gi") / F.lit(1e6)).alias("total_interaction"),
+        )
+        .orderBy("seg")
+    )

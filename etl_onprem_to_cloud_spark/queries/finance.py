@@ -162,7 +162,7 @@ WITH receipts AS (
   FROM lineitem WHERE l_returnflag <> 'R'
 ),
 demand AS (
-  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS d
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
   FROM lineitem WHERE l_returnflag = 'R'
   GROUP BY l_partkey
 ),

@@ -324,3 +324,130 @@ def q_freshness_report(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Migration-validation table checksums (on-prem -> cloud parity gate)
+# --------------------------------------------------------------------------
+
+# Row fingerprint: md5 over a canonical pipe-joined projection, 31-bit
+# slice summed as BIGINT.  The sum is ORDER-INDEPENDENT (addition
+# commutes), so any partitioning/layout of either copy produces the
+# identical checksum -- exactly what a source-vs-target load check
+# needs.  Exact to ~4e9 rows per table (sum < 2^31 * n); beyond that,
+# sum the slices modulo a 61-bit prime on both sides.
+# Doubles and timestamps are canonicalized to integers FIRST (cents /
+# epoch seconds) because engines disagree on shortest-roundtrip double
+# printing; NULL becomes a sentinel distinct from any real value.
+
+
+def _cksum_duck(table: str, cols: str) -> str:
+    return (
+        f"SELECT '{table}' AS table_name,"
+        f" CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(sum(CAST(concat('0x', substr(md5({cols}), 1, 7)) AS BIGINT))"
+        f" AS BIGINT) AS checksum"
+        f" FROM {table}"
+    )
+
+
+_CK_ORDERS_DUCK = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+    " coalesce(o_orderstatus, '<null>'),"
+    " CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),"
+    " CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) AS VARCHAR),"
+    " coalesce(o_orderpriority, '<null>'))"
+)
+_CK_CUSTOMER_DUCK = (
+    "concat_ws('|', CAST(c_custkey AS VARCHAR), coalesce(c_name, '<null>'),"
+    " CAST(c_nationkey AS VARCHAR),"
+    " CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR),"
+    " coalesce(c_mktsegment, '<null>'))"
+)
+_CK_NATION_DUCK = (
+    "concat_ws('|', CAST(n_nationkey AS VARCHAR), coalesce(n_name, '<null>'),"
+    " CAST(n_regionkey AS VARCHAR))"
+)
+
+
+@query(
+    "q_migration_checksums",
+    oracle=(
+        _cksum_duck("orders", _CK_ORDERS_DUCK)
+        + " UNION ALL "
+        + _cksum_duck("customer", _CK_CUSTOMER_DUCK)
+        + " UNION ALL "
+        + _cksum_duck("nation", _CK_NATION_DUCK)
+        + " ORDER BY table_name"
+    ),
+    tags=("maintenance", "migration", "integrity", "ring-b"),
+    description=(
+        "Migration-validation checksums for the orders/customer/nation "
+        "loads: per table, row count plus an ORDER-INDEPENDENT content "
+        "checksum (sum of 31-bit md5 slices over a canonical projection "
+        "-- doubles as integer cents, timestamps as epoch seconds, "
+        "NULL as a sentinel), so the on-prem source and the cloud "
+        "target can be compared without sorting either side.  The "
+        "reconciliation gate the reference's CSV->parquet load "
+        "(/root/reference/etl/load.py) ships without."
+    ),
+)
+def q_migration_checksums(spark, sf_dir):
+    """One scan + one 1-row aggregate per table, map-side combined;
+    nothing shuffles but three partial-sum rows per task.  The
+    checksum is layout-invariant by construction (commutative sum),
+    which is the property the repartition/rerun-stability tests
+    assert for the hash-gate family."""
+    c = cat(spark, sf_dir)
+
+    def ck(df, table, cols):
+        canon = F.concat_ws("|", *cols)
+        slice31 = F.conv(
+            F.substring(F.md5(canon.cast("binary")), 1, 7), 16, 10
+        ).cast("bigint")
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(slice31).cast("bigint").alias("checksum"),
+        ).select(F.lit(table).alias("table_name"), "n_rows", "checksum")
+
+    def cents(col):
+        return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint").cast("string")
+
+    def nul(col):
+        return F.coalesce(F.col(col), F.lit("<null>"))
+
+    orders = ck(
+        c.orders,
+        "orders",
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            nul("o_orderstatus"),
+            cents("o_totalprice"),
+            F.floor(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+            .cast("bigint")
+            .cast("string"),
+            nul("o_orderpriority"),
+        ],
+    )
+    customer = ck(
+        c.customer,
+        "customer",
+        [
+            F.col("c_custkey").cast("string"),
+            nul("c_name"),
+            F.col("c_nationkey").cast("string"),
+            cents("c_acctbal"),
+            nul("c_mktsegment"),
+        ],
+    )
+    nation = ck(
+        c.nation,
+        "nation",
+        [
+            F.col("n_nationkey").cast("string"),
+            nul("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ],
+    )
+    return orders.unionAll(customer).unionAll(nation).orderBy("table_name")

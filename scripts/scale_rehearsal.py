@@ -166,6 +166,13 @@ REHEARSAL = [
     "q_cusum_value_drift",
     "q_ann_pq_adc_topk",
     "q_ann_ivfpq_topk",
+    # round-4 batch 6/7 heavies
+    "q_proration_largest_remainder",
+    "q_fifo_cost_matching",
+    "q_nb_calibration_bins",
+    "q_dsir_importance_resampling",
+    "q_lpa_communities",
+    "q_bfs_hops_from_hubs",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
