@@ -198,6 +198,13 @@ HEADLINE = [
     "q_neyman_allocation",
     "q_mix_shift_decomposition",
     "q_migration_checksums",
+    # r4 batch 9: CDC diff, link prediction, OOF target encoding,
+    # Theil-Sen robust trend, l-diversity.
+    "q_snapshot_diff_cdc",
+    "q_adamic_adar_linkpred",
+    "q_target_encoding_oof",
+    "q_theilsen_daily_trend",
+    "q_l_diversity_audit",
 ]
 
 

@@ -17,12 +17,21 @@ Usage::
     m["nodes"]                      # per-node [(name, {metric: value})]
 
 The helper drives the DataFrame's OWN query execution
-(``executedPlan().execute().count()`` -- a Python-side ``df.count()``
+(``executedPlan().executeCollect()`` -- a Python-side ``df.count()``
 would build a different aggregate plan whose metrics say nothing about
 ``df``), then walks the AQE FINAL plan (the tree actually run,
 including inside materialized query stages).  Values are summed across
 a node's SQLMetrics by metric *name*, so Spark-version metric renames
 degrade to missing keys, not errors.
+
+``executeCollect`` (not ``execute().count()``): counting the plan's
+raw RDD runs OUTSIDE the SQL execution path and measured up to ~3x
+slower on compute-heavy final stages (the round-4 rehearsal's one
+SUPER-LINEAR flag, q_nb_calibration_bins 31s -> ~4s at sf1, was
+entirely this harness artifact).  ``executeCollect`` is the same
+adaptive SQL path ``df.collect()`` uses; results stay in the driver
+JVM (never shipped to Python), so callers must pass bounded-output
+plans -- which every report/top-k query here is.
 """
 
 from __future__ import annotations
@@ -62,12 +71,14 @@ def _walk(jnode):
 
 def execution_metrics(df: DataFrame, execute: bool = True) -> dict:
     """Collect SQLMetrics from ``df``'s executed plan.  With
-    ``execute=True`` (default) the plan is run JVM-side first (results
-    stay distributed -- nothing ships to Python); pass False when an
-    action on this exact DataFrame already ran."""
+    ``execute=True`` (default) the plan is run first via the adaptive
+    SQL path (``executeCollect``; rows stay in the driver JVM, never
+    shipped to Python -- see module docstring for why not
+    ``execute().count()``); pass False when an action on this exact
+    DataFrame already ran."""
     jplan = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
     if execute:
-        jplan.execute().count()
+        jplan.executeCollect()
     totals = {
         "shuffle_bytes_written": 0,
         "shuffle_records_written": 0,

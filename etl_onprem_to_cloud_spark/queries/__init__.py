@@ -199,6 +199,11 @@ _NEW_THIS_ROUND = (
     "q_neyman_allocation",        # new: minimum-variance strat. design
     "q_mix_shift_decomposition",  # new: rate/mix/interaction bridge
     "q_migration_checksums",      # new: order-independent load checksums
+    "q_snapshot_diff_cdc",        # new: I/U/D/N fingerprint diff
+    "q_adamic_adar_linkpred",     # new: common-neighbour link scores
+    "q_target_encoding_oof",      # new: leakage-safe target encoding
+    "q_theilsen_daily_trend",     # new: median-of-slopes robust trend
+    "q_l_diversity_audit",        # new: sensitive-diversity privacy audit
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -451,3 +451,149 @@ def q_migration_checksums(spark, sf_dir):
         ],
     )
     return orders.unionAll(customer).unionAll(nation).orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff (insert/update/delete classification between loads)
+# --------------------------------------------------------------------------
+
+# Two deterministic "snapshot versions" derived from the orders
+# fixture: the OLD load misses keys with orderkey % 97 = 3 (rows later
+# inserted), the NEW load misses keys with orderkey % 89 = 5 (rows
+# deleted since), and every orderkey % 7 = 0 row had its total bumped
+# by exactly 100 cents between loads (an update).  The diff operator
+# itself is version-agnostic: full outer join on the key, compare one
+# md5 row fingerprint per side (never column-by-column on wide rows),
+# classify I/U/D/N.
+
+_CDC_CANON = (
+    "concat_ws('|', CAST(o_custkey AS VARCHAR),"
+    " coalesce(o_orderstatus, '<null>'), CAST(cents AS VARCHAR),"
+    " coalesce(o_orderpriority, '<null>'))"
+)
+
+_CDC_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents0
+  FROM orders
+),
+old AS (
+  SELECT o_orderkey, cents0 AS cents,
+    md5({_CDC_CANON.replace("cents", "cents0")}) AS fp
+  FROM (SELECT *, cents0 AS cents FROM base WHERE o_orderkey % 97 <> 3)
+),
+new AS (
+  SELECT o_orderkey, cents,
+    md5({_CDC_CANON}) AS fp
+  FROM (
+    SELECT *, cents0 + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END
+      AS cents
+    FROM base WHERE o_orderkey % 89 <> 5
+  )
+),
+d AS (
+  SELECT
+    CASE
+      WHEN o.o_orderkey IS NULL THEN 'I'
+      WHEN n.o_orderkey IS NULL THEN 'D'
+      WHEN o.fp <> n.fp THEN 'U'
+      ELSE 'N'
+    END AS action,
+    coalesce(o.o_orderkey, n.o_orderkey) AS k,
+    coalesce(n.cents, 0) - coalesce(o.cents, 0) AS delta
+  FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+)
+SELECT action,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(k) AS BIGINT) AS key_checksum,
+  CAST(sum(CASE WHEN action = 'U' THEN delta ELSE 0 END) AS BIGINT)
+    AS cents_delta
+FROM d GROUP BY action ORDER BY action
+"""
+
+
+@query(
+    "q_snapshot_diff_cdc",
+    oracle=_CDC_ORACLE,
+    tags=("maintenance", "migration", "cdc", "ring-b"),
+    description=(
+        "CDC snapshot diff between two loads of the orders table "
+        "(derived deterministic versions: late inserts, deletions, "
+        "and a 100-cent price bump on every seventh key): full outer "
+        "join on the key comparing ONE md5 row fingerprint per side, "
+        "rows classified insert/update/delete/unchanged with per-"
+        "action counts, a key checksum, and the summed update delta "
+        "in cents -- the change-capture companion of the "
+        "q_migration_checksums reconciliation gate (together they "
+        "answer 'did the load drift' and 'exactly WHAT drifted')."
+    ),
+)
+def q_snapshot_diff_cdc(spark, sf_dir):
+    """One co-partitioned full-outer join on the key -- both sides
+    shuffle once on o_orderkey and nothing else moves: the fingerprint
+    collapses arbitrarily wide rows to 32 bytes BEFORE the shuffle, so
+    the exchange cost is key+hash, not row width.  The per-action
+    rollup is a 4-group aggregate with map-side combine."""
+    base = cat(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents0"),
+    )
+
+    def fingerprint(df):
+        canon = F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<null>")),
+            F.col("cents").cast("string"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<null>")),
+        )
+        return df.select("o_orderkey", "cents", F.md5(canon.cast("binary")).alias("fp"))
+
+    old = fingerprint(
+        base.filter(F.col("o_orderkey") % 97 != 3).withColumn(
+            "cents", F.col("cents0")
+        )
+    )
+    new = fingerprint(
+        base.filter(F.col("o_orderkey") % 89 != 5).withColumn(
+            "cents",
+            F.col("cents0")
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100)).otherwise(F.lit(0)),
+        )
+    )
+    o = old.select(
+        F.col("o_orderkey").alias("ko"), F.col("cents").alias("co"),
+        F.col("fp").alias("fo"),
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("kn"), F.col("cents").alias("cn"),
+        F.col("fp").alias("fn"),
+    )
+    d = o.join(n, o.ko == n.kn, "full_outer").select(
+        F.when(F.col("ko").isNull(), F.lit("I"))
+        .when(F.col("kn").isNull(), F.lit("D"))
+        .when(F.col("fo") != F.col("fn"), F.lit("U"))
+        .otherwise(F.lit("N"))
+        .alias("action"),
+        F.coalesce(F.col("ko"), F.col("kn")).alias("k"),
+        (F.coalesce(F.col("cn"), F.lit(0)) - F.coalesce(F.col("co"), F.lit(0))).alias(
+            "delta"
+        ),
+    )
+    return (
+        d.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+            F.sum(F.when(F.col("action") == "U", F.col("delta")).otherwise(0))
+            .cast("bigint")
+            .alias("cents_delta"),
+        )
+        .orderBy("action")
+    )

@@ -3547,3 +3547,243 @@ def q_bfs_hops_from_hubs(spark, sf_dir):
     return rings.select(
         F.col("hop").cast("int").alias("hop"), "n_nodes"
     ).unionAll(unreached).orderBy("hop")
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (who will be co-purchased next)
+# --------------------------------------------------------------------------
+
+_AA_HUB_CAP = 200  # max common-neighbour degree considered (wedge bound)
+
+_AA_ORACLE = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT least(a.l_partkey, b.l_partkey) AS x,
+    greatest(a.l_partkey, b.l_partkey) AS y
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS MATERIALIZED (
+  SELECT x AS node, y AS nb FROM e0 UNION ALL SELECT y, x FROM e0
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY node),
+term AS (
+  -- 1/ln(deg) quantized ONCE per node to the 1e-9 grid (the libm
+  -- convention: ln is not correctly rounded, so quantize before any
+  -- accumulation), then integer-summed.
+  SELECT node,
+    CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)
+      AS aa_q
+  FROM deg WHERE d BETWEEN 2 AND {_AA_HUB_CAP}
+),
+wedge AS (
+  SELECT u1.nb AS x, u2.nb AS z, t.aa_q
+  FROM und u1
+  JOIN und u2 ON u2.node = u1.node AND u1.nb < u2.nb
+  JOIN term t ON t.node = u1.node
+),
+cand AS (
+  SELECT x, z, CAST(count(*) AS BIGINT) AS n_common,
+    CAST(sum(aa_q) AS BIGINT) AS score_q
+  FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.x = w.x AND e0.y = w.z)
+  GROUP BY x, z
+)
+SELECT x AS part_a, z AS part_b, n_common,
+  score_q / 1000000000.0 AS aa_score
+FROM cand
+ORDER BY score_q DESC, part_a, part_b LIMIT 20
+"""
+
+
+@query(
+    "q_adamic_adar_linkpred",
+    oracle=_AA_ORACLE,
+    tags=("graph", "link-prediction", "ring-c"),
+    description=(
+        "Adamic-Adar link prediction on the min-support-2 co-purchase "
+        "graph: for every 2-hop pair not already linked, score = sum "
+        "over common neighbours of 1/ln(degree) -- frequent neighbours "
+        "count for less -- and report the top-20 predicted next links. "
+        "Per-neighbour terms are quantized once to the 1e-9 grid and "
+        "integer-summed (the libm ln convention); common neighbours "
+        f"above degree {_AA_HUB_CAP} are excluded, which bounds the "
+        "wedge enumeration AND barely moves scores (a hub's term is "
+        "~1/ln(big) of a single strong tie)."
+    ),
+)
+def q_adamic_adar_linkpred(spark, sf_dir):
+    """Wedge enumeration is the one data-scale join: und x und on the
+    common-neighbour key, bounded by sum(deg^2) over nodes UNDER the
+    hub cap -- the cap turns the worst case from O(max_deg^2) per hub
+    into a constant, the standard triangle/wedge discipline (same
+    bound the q_triangle_clustering query relies on).  The anti-join
+    against existing edges and the (x, z) rollup share the pair key.
+    TakeOrdered(20) ends the plan; nothing global sorts."""
+    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("x", "y")
+    )
+    und = edges.select(F.col("x").alias("node"), F.col("y").alias("nb")).unionAll(
+        edges.select(F.col("y").alias("node"), F.col("x").alias("nb"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    term = deg.filter(
+        (F.col("d") >= 2) & (F.col("d") <= _AA_HUB_CAP)
+    ).select(
+        "node",
+        F.floor(F.lit(1e9) / F.log(F.col("d").cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("aa_q"),
+    )
+    u1 = und.select("node", F.col("nb").alias("wx"))
+    u2 = und.select("node", F.col("nb").alias("wz"))
+    wedge = (
+        u1.join(u2, "node")
+        .filter(F.col("wx") < F.col("wz"))
+        .join(term, "node")
+        .select("wx", "wz", "aa_q")
+    )
+    existing = edges.select(F.col("x").alias("wx"), F.col("y").alias("wz"))
+    cand = (
+        wedge.join(existing, ["wx", "wz"], "left_anti")
+        .groupBy("wx", "wz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("aa_q").cast("bigint").alias("score_q"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("wx").alias("part_a"),
+            F.col("wz").alias("part_b"),
+            "n_common",
+            (F.col("score_q") / F.lit(1e9)).alias("aa_score"),
+            "score_q",
+        )
+        .orderBy(F.desc("score_q"), "part_a", "part_b")
+        .limit(20)
+        .drop("score_q")
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+_TS_ORACLE = """
+WITH d AS (
+  SELECT CAST(floor(floor(epoch(date_trunc('day', o_orderdate)))
+                    / 86400.0) AS BIGINT) AS x,
+    CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+pr AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM d a JOIN d b ON b.x > a.x
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr),
+ms AS (
+  SELECT slope FROM (
+    SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM pr
+  ) CROSS JOIN ns WHERE rn = (n_pairs + 1) // 2
+),
+resid AS (SELECT d.y - ms.slope * d.x AS r FROM d CROSS JOIN ms),
+mi AS (
+  SELECT r FROM (
+    SELECT r, row_number() OVER (ORDER BY r) AS rn FROM resid
+  ) CROSS JOIN nd WHERE rn = (n_days + 1) // 2
+)
+SELECT nd.n_days, ns.n_pairs,
+  floor(ms.slope * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day,
+  floor(mi.r * 1000000.0 + 0.5) / 1000000.0 AS intercept
+FROM nd CROSS JOIN ns CROSS JOIN ms CROSS JOIN mi
+"""
+
+
+@query(
+    "q_theilsen_daily_trend",
+    oracle=_TS_ORACLE,
+    tags=("mining", "regression", "robust", "ring-c"),
+    description=(
+        "Theil-Sen robust trend of the daily order-count series: the "
+        "estimator is the MEDIAN of all pairwise slopes (y_j-y_i)/"
+        "(x_j-x_i) -- up to ~29% contaminated days cannot move it, "
+        "unlike the OLS fit one module up -- plus the median-residual "
+        "intercept.  Medians are exact lower-median rank selections; "
+        "every slope is one correctly-rounded IEEE division of exact "
+        "integers, so both engines build the identical multiset."
+    ),
+)
+def q_theilsen_daily_trend(spark, sf_dir):
+    """The pair blow-up runs on the AGGREGATED daily series, which is
+    TIME-bounded (~2.6k days for the fixture's range) no matter how
+    many orders feed it -- so the non-equi self-join (~3.4M pairs) and
+    the rank-selection sort are constant-size by construction, not
+    data-scaled; the only data-scale work is the one groupBy(day)
+    pass.  The global-order window rides on that bounded relation
+    (same justification as the oracle's)."""
+    orders = cat(spark, sf_dir).orders
+    d = (
+        orders.groupBy(
+            F.floor(
+                F.floor(
+                    F.unix_timestamp(F.date_trunc("day", F.col("o_orderdate")))
+                ) / F.lit(86400.0)
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pr = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope")
+        )
+    )
+    ns = pr.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    w = Window.orderBy("slope")
+    ms = (
+        pr.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(ns))
+        .filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / F.lit(2)))
+        .select("slope", "n_pairs")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    resid = d.crossJoin(F.broadcast(ms)).select(
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r")
+    )
+    wr = Window.orderBy("r")
+    mi = (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("rn") == F.floor((F.col("n_days") + 1) / F.lit(2)))
+        .select("r", "n_days")
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        mi.crossJoin(F.broadcast(ms))
+        .select(
+            "n_days",
+            "n_pairs",
+            q6(F.col("slope")).alias("slope_per_day"),
+            q6(F.col("r")).alias("intercept"),
+        )
+    )

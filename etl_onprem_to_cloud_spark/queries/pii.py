@@ -203,3 +203,72 @@ def q_k_anonymity_audit(spark, sf_dir):
             / F.lit(1e6)
         ).alias("frac_rows_at_risk"),
     )
+
+
+@query(
+    "q_l_diversity_audit",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey,
+    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+    CAST(count(*) AS BIGINT) AS group_size,
+    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+  FROM customer
+  GROUP BY c_nationkey, acctbal_band
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(min(l_distinct) AS BIGINT) AS l_diversity,
+  CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_groups_below_3,
+  CAST(sum(CASE WHEN l_distinct < 3 THEN group_size ELSE 0 END) AS BIGINT)
+    AS n_rows_below_3,
+  floor(CAST(sum(CASE WHEN l_distinct < 3 THEN group_size ELSE 0 END)
+             AS DOUBLE) / sum(group_size) * 1000000.0 + 0.5)
+    / 1000000.0 AS frac_rows_at_risk
+FROM g
+""",
+    tags=("pii", "privacy", "compliance", "l-diversity"),
+    description=(
+        "l-diversity audit over the (nation, account-balance band) "
+        "quasi-identifier groups with market segment as the sensitive "
+        "attribute: the dataset's l (fewest distinct sensitive values "
+        "in any group), groups and rows below l=3, and the at-risk row "
+        "fraction.  k-anonymity's sibling check -- a group can be "
+        "large (k-safe) yet expose its members' segment because every "
+        "row shares one sensitive value; this catches exactly that."
+    ),
+)
+def q_l_diversity_audit(spark, sf_dir):
+    """Same cost envelope as the k-anonymity audit: one shuffle on the
+    QI key (count_distinct over the sensitive column is a partial-agg
+    set union per group, bounded by |segments|=5), then a 1-row
+    reduce."""
+    c = cat(spark, sf_dir).customer
+    g = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("acctbal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.count_distinct("c_mktsegment").cast("bigint").alias("l_distinct"),
+    )
+    below = F.col("l_distinct") < 3
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("l_distinct").cast("bigint").alias("l_diversity"),
+        F.sum(below.cast("int")).cast("bigint").alias("n_groups_below_3"),
+        F.sum(F.when(below, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_below_3"),
+        (
+            F.floor(
+                F.sum(F.when(below, F.col("group_size")).otherwise(0))
+                .cast("double")
+                / F.sum("group_size")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("frac_rows_at_risk"),
+    )

@@ -173,6 +173,10 @@ REHEARSAL = [
     "q_dsir_importance_resampling",
     "q_lpa_communities",
     "q_bfs_hops_from_hubs",
+    # round-4 batch 8
+    "q_neyman_allocation",
+    "q_mix_shift_decomposition",
+    "q_migration_checksums",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
