@@ -205,6 +205,11 @@ HEADLINE = [
     "q_target_encoding_oof",
     "q_theilsen_daily_trend",
     "q_l_diversity_audit",
+    # r4 batch 10: isotonic recalibration, exact ROC-AUC, weighted
+    # Bellman-Ford.
+    "q_isotonic_recalibration",
+    "q_nb_roc_auc",
+    "q_bellman_ford_cheapest",
 ]
 
 

@@ -204,6 +204,9 @@ _NEW_THIS_ROUND = (
     "q_target_encoding_oof",      # new: leakage-safe target encoding
     "q_theilsen_daily_trend",     # new: median-of-slopes robust trend
     "q_l_diversity_audit",        # new: sensitive-diversity privacy audit
+    "q_isotonic_recalibration",   # new: PAV via the minimax closed form
+    "q_nb_roc_auc",               # new: exact rank-statistic ROC-AUC
+    "q_bellman_ford_cheapest",    # new: weighted cheapest-path relaxation
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -203,11 +203,11 @@ def _nb_scores(spark, sf_dir):
 
 _CAL_BINS = 10
 
-
-@query(
-    "q_nb_calibration_bins",
-    oracle=f"""
-WITH {_NB_SCORES_CTE},
+# Shared tail on top of _NB_SCORES_CTE: per test doc the softmaxed
+# top-label confidence in integer micro-units, its confidence bin and
+# correctness flag.  Both the reliability-bin query and the isotonic
+# recalibration query build on this, so their oracles cannot drift.
+_NB_CONF_CTE = f"""{_NB_SCORES_CTE},
 top1 AS (
   SELECT doc_id, true_lang, c AS pred_lang, score AS top_score FROM (
     SELECT *, row_number() OVER (
@@ -237,7 +237,64 @@ conf AS (
     CAST(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END AS BIGINT)
       AS correct
   FROM soft
-),
+)"""
+
+
+def _nb_confidence(spark, sf_dir):
+    """Per test doc: softmaxed top-label confidence (integer
+    micro-units), confidence bin and correctness flag -- the Spark
+    twin of _NB_CONF_CTE, shared by the reliability-bin and isotonic
+    recalibration queries.
+
+    ONE doc-keyed aggregation (not a window + re-join): the per-class
+    score set is |classes|-bounded (~5), so collecting it per doc is
+    constant-size and the expensive scoring subtree is consumed ONCE
+    (the window+join form re-executed it and was the round-4
+    rehearsal's only super-linear flag -- 19.9s / exponent 1.01 at
+    sf1).  min(struct(-score, c)) replays the (score DESC, c)
+    tie-break exactly; the softmax denominator is the per-term-
+    quantized integer sum folded over the tiny array."""
+    scores = _nb_scores(spark, sf_dir)
+    per_doc = scores.groupBy("doc_id", "true_lang").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("top"),
+        F.collect_list("score").alias("ss"),
+    )
+    soft = per_doc.select(
+        "doc_id",
+        "true_lang",
+        F.col("top.c").alias("pred_lang"),
+        F.aggregate(
+            "ss",
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc
+            + F.floor(
+                F.exp((s + F.col("top.ns")) / F.lit(_NB_P)) * F.lit(_NB_P)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("denom"),
+    )
+    return soft.select(
+        "doc_id",
+        F.floor(F.lit(1e12) / F.col("denom") + F.lit(0.5))
+        .cast("bigint")
+        .alias("p_micro"),
+        F.least(
+            F.floor(F.lit(_NB_P) / F.col("denom") * F.lit(_CAL_BINS)).cast(
+                "bigint"
+            ),
+            F.lit(_CAL_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.when(F.col("true_lang") == F.col("pred_lang"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("correct"),
+    )
+
+
+@query(
+    "q_nb_calibration_bins",
+    oracle=f"""
+WITH {_NB_CONF_CTE},
 bins AS (
   SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
     CAST(sum(correct) AS BIGINT) AS n_correct,
@@ -283,55 +340,11 @@ ORDER BY b.bin
     ),
 )
 def q_nb_calibration_bins(spark, sf_dir):
-    """Adds to the shared scoring plan one doc-keyed window (top-1),
-    one doc-keyed softmax reduction (same partitioning, reused
-    exchange) and a {_CAL_BINS}-row bin rollup; the broadcast ECE /
-    Brier scalars ride along as 1-row crossJoins.  Nothing new
-    shuffles at data scale beyond the scoring plan itself."""
-    scores = _nb_scores(spark, sf_dir)
-    # ONE doc-keyed aggregation replaces the former window + re-join:
-    # the per-class score set is |classes|-bounded (~5), so collecting
-    # it per doc is constant-size and the expensive scoring subtree is
-    # consumed ONCE instead of twice (the window+join form re-executed
-    # it and was the round-4 rehearsal's only super-linear flag --
-    # 19.9s / exponent 1.01 at sf1).  min(struct(-score, c)) replays
-    # the window's (score DESC, c) tie-break exactly; the softmax
-    # denominator is the same per-term-quantized integer sum, folded
-    # over the tiny array instead of re-aggregated across rows.
-    per_doc = scores.groupBy("doc_id", "true_lang").agg(
-        F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("top"),
-        F.collect_list("score").alias("ss"),
-    )
-    soft = per_doc.select(
-        "doc_id",
-        "true_lang",
-        F.col("top.c").alias("pred_lang"),
-        F.aggregate(
-            "ss",
-            F.lit(0).cast("bigint"),
-            lambda acc, s: acc
-            + F.floor(
-                F.exp((s + F.col("top.ns")) / F.lit(_NB_P)) * F.lit(_NB_P)
-                + F.lit(0.5)
-            ).cast("bigint"),
-        ).alias("denom"),
-    )
-    conf = soft.select(
-        "doc_id",
-        F.floor(F.lit(1e12) / F.col("denom") + F.lit(0.5))
-        .cast("bigint")
-        .alias("p_micro"),
-        F.least(
-            F.floor(F.lit(_NB_P) / F.col("denom") * F.lit(_CAL_BINS)).cast(
-                "bigint"
-            ),
-            F.lit(_CAL_BINS - 1).cast("bigint"),
-        ).alias("bin"),
-        F.when(F.col("true_lang") == F.col("pred_lang"), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("correct"),
-    )
+    """One doc-keyed aggregation on top of the shared scoring plan
+    (see _nb_confidence), a {_CAL_BINS}-row bin rollup, and broadcast
+    ECE / Brier scalars riding as 1-row crossJoins.  Nothing shuffles
+    at data scale beyond the scoring plan itself."""
+    conf = _nb_confidence(spark, sf_dir)
     bins = conf.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("correct").cast("bigint").alias("n_correct"),
@@ -743,4 +756,227 @@ def q_target_encoding_oof(spark, sf_dir):
             ).alias("infold_mean_dollars"),
         )
         .orderBy("priority", "fold")
+    )
+
+
+# --------------------------------------------------------------------------
+# Isotonic recalibration (PAV fixpoint via the minimax closed form)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_isotonic_recalibration",
+    oracle=f"""
+WITH {_NB_CONF_CTE},
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(correct) AS BIGINT) AS n_correct
+  FROM conf GROUP BY bin
+),
+rng AS (
+  SELECT i.bin AS lo, j.bin AS hi,
+    CAST(sum(m.n_correct) AS DOUBLE) / CAST(sum(m.n_docs) AS DOUBLE) AS a
+  FROM bins i JOIN bins j ON j.bin >= i.bin
+  JOIN bins m ON m.bin BETWEEN i.bin AND j.bin
+  GROUP BY i.bin, j.bin
+),
+tki AS (
+  SELECT k.bin AS bin, r.lo, min(r.a) AS t
+  FROM bins k JOIN rng r ON r.lo <= k.bin AND r.hi >= k.bin
+  GROUP BY k.bin, r.lo
+),
+iso AS (SELECT bin, max(t) AS iso_a FROM tki GROUP BY bin)
+SELECT b.bin, b.n_docs,
+  floor(CAST(b.n_correct AS DOUBLE) / b.n_docs * 1000000.0 + 0.5)
+    / 1000000.0 AS accuracy,
+  floor(iso.iso_a * 1000000.0 + 0.5) / 1000000.0 AS iso_accuracy
+FROM bins b JOIN iso USING (bin) ORDER BY b.bin
+""",
+    tags=("learn", "eval", "calibration", "isotonic", "ring-c"),
+    description=(
+        "Isotonic recalibration of the NB confidence bins: the "
+        "weighted pool-adjacent-violators fit computed through its "
+        "minimax closed form iso(k) = max over i<=k of min over j>=k "
+        "of avg(accuracy over bins i..j) -- no sequential pooling "
+        "loop, just range averages over the bounded bin relation, so "
+        "the PAV fixpoint is reached in one declarative expression.  "
+        "Output: per bin the raw vs isotonic (monotone) accuracy -- "
+        "the mapping a score-thresholding consumer applies to turn "
+        "raw confidences into calibrated probabilities."
+    ),
+)
+def q_isotonic_recalibration(spark, sf_dir):
+    """The data-scale work is the shared confidence plan; bins is 10
+    rows and is checkpointed eagerly because FIVE tiny consumers
+    (three range legs, the k leg, the output leg) would otherwise
+    each re-execute the whole scoring subtree (the exchange-reuse
+    lesson).  Every range average is an exact-integer ratio evaluated
+    once; min/max over identical doubles is engine-portable."""
+    conf = _nb_confidence(spark, sf_dir)
+    bins = (
+        conf.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("correct").cast("bigint").alias("n_correct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    i = bins.select(F.col("bin").alias("lo"))
+    j = bins.select(F.col("bin").alias("hi"))
+    m = bins.select(F.col("bin").alias("mb"), "n_docs", "n_correct")
+    rng = (
+        i.join(F.broadcast(j), F.col("hi") >= F.col("lo"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("lo")) & (F.col("mb") <= F.col("hi")),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            (
+                F.sum("n_correct").cast("double")
+                / F.sum("n_docs").cast("double")
+            ).alias("a")
+        )
+    )
+    k = bins.select(F.col("bin").alias("kb"))
+    tki = (
+        k.join(
+            F.broadcast(rng),
+            (F.col("lo") <= F.col("kb")) & (F.col("hi") >= F.col("kb")),
+        )
+        .groupBy("kb", "lo")
+        .agg(F.min("a").alias("t"))
+    )
+    iso = tki.groupBy("kb").agg(F.max("t").alias("iso_a"))
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        bins.join(iso, bins.bin == iso.kb)
+        .select(
+            "bin",
+            "n_docs",
+            q6(F.col("n_correct").cast("double") / F.col("n_docs")).alias(
+                "accuracy"
+            ),
+            q6(F.col("iso_a")).alias("iso_accuracy"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROC-AUC via the exact rank statistic (average ranks for ties)
+# --------------------------------------------------------------------------
+
+_AUC_TARGET = "en"
+_AUC_BLOCK = 1 << 20  # score micro-units per prefix-sum block
+
+
+@query(
+    "q_nb_roc_auc",
+    oracle=f"""
+WITH {_NB_SCORES_CTE},
+b AS (
+  SELECT CAST(CASE WHEN true_lang = '{_AUC_TARGET}' THEN 1 ELSE 0 END
+    AS BIGINT) AS pos, score
+  FROM scores WHERE c = '{_AUC_TARGET}'
+),
+grp AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(pos) AS BIGINT) AS npos
+  FROM b GROUP BY score
+),
+r AS (
+  SELECT cnt, npos,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cumb
+  FROM grp
+),
+s AS (
+  SELECT CAST(sum(npos * (2 * cumb + cnt + 1)) AS BIGINT) AS r2,
+    CAST(sum(npos) AS BIGINT) AS np,
+    CAST(sum(cnt - npos) AS BIGINT) AS nn
+  FROM r
+)
+SELECT np AS n_pos, nn AS n_neg,
+  floor(CAST(r2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn)
+        * 1000000.0 + 0.5) / 1000000.0 AS auc
+FROM s
+""",
+    tags=("learn", "eval", "auc", "ranking", "ring-c"),
+    description=(
+        "ROC-AUC of the NB classifier's '"
+        + _AUC_TARGET
+        + "'-vs-rest score, computed EXACTLY through the rank-sum "
+        "identity AUC = (R_pos - np(np+1)/2) / (np*nn) with average "
+        "ranks for ties -- doubled ranks keep every intermediate an "
+        "exact integer (2*avg_rank of a tied score group = "
+        "2*cum_before + cnt + 1), so the only float op is the final "
+        "division.  Exact to ~2e9 scored docs before the doubled "
+        "rank-sum leaves the BIGINT range."
+    ),
+)
+def q_nb_roc_auc(spark, sf_dir):
+    """Rank statistics need a GLOBAL cumulative count, computed here
+    with the two-level prefix-sum pattern (the peak-concurrency
+    convention): a within-block running sum partitioned by score
+    block + a block-total carry-in joined back broadcast -- never a
+    single-partition window over the distinct-score relation.  Data-
+    scale cost: the scoring plan + one score-keyed rollup."""
+    scores = _nb_scores(spark, sf_dir)
+    b = scores.filter(F.col("c") == _AUC_TARGET).select(
+        F.when(F.col("true_lang") == _AUC_TARGET, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("pos"),
+        "score",
+    )
+    grp = b.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    grp = grp.withColumn(
+        "blk", F.floor(F.col("score") / F.lit(float(_AUC_BLOCK))).cast("bigint")
+    )
+    wl = (
+        Window.partitionBy("blk")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = grp.withColumn("loc", F.coalesce(F.sum("cnt").over(wl), F.lit(0)))
+    btot = grp.groupBy("blk").agg(F.sum("cnt").alias("bc"))
+    wb = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = btot.select(
+        "blk", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("carry")
+    )
+    r = loc.join(F.broadcast(carry), "blk").select(
+        "cnt", "npos", (F.col("carry") + F.col("loc")).cast("bigint").alias("cumb")
+    )
+    s = r.agg(
+        F.sum(
+            F.col("npos") * (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.sum("npos").cast("bigint").alias("np"),
+        F.sum(F.col("cnt") - F.col("npos")).cast("bigint").alias("nn"),
+    )
+    return s.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (
+            F.floor(
+                (F.col("r2") - F.col("np") * (F.col("np") + 1)).cast("double")
+                / (F.lit(2.0) * F.col("np") * F.col("nn"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("auc"),
     )

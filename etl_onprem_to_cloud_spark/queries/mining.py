@@ -3553,20 +3553,37 @@ def q_bfs_hops_from_hubs(spark, sf_dir):
 # Adamic-Adar link prediction (who will be co-purchased next)
 # --------------------------------------------------------------------------
 
-_AA_HUB_CAP = 200  # max common-neighbour degree considered (wedge bound)
+# Top-K strongest ties retained per node (by co-purchase count desc,
+# neighbour asc).  A fact-scaled graph over a FIXED catalog densifies
+# toward complete as volume grows (measured on the derived sf1: avg
+# support-2 degree 120 over the 20k-part catalog, 148M wedges, 24 GB
+# of hash-agg spill); retaining each node's K strongest ties bounds
+# every wedge fan-out at K regardless of volume -- the standard
+# kNN-graph sparsification for link prediction.  At sf0.1 max degree
+# is 10 < K, so retention changes nothing there.
+_AA_TOP_K = 32
 
 _AA_ORACLE = f"""
 WITH e0 AS MATERIALIZED (
   SELECT least(a.l_partkey, b.l_partkey) AS x,
-    greatest(a.l_partkey, b.l_partkey) AS y
+    greatest(a.l_partkey, b.l_partkey) AS y,
+    CAST(count(*) AS BIGINT) AS cnt
   FROM lineitem a JOIN lineitem b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 und AS MATERIALIZED (
-  SELECT x AS node, y AS nb FROM e0 UNION ALL SELECT y, x FROM e0
+  SELECT x AS node, y AS nb, cnt FROM e0
+  UNION ALL SELECT y, x, cnt FROM e0
 ),
-deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY node),
+undk AS MATERIALIZED (
+  SELECT node, nb FROM (
+    SELECT node, nb, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, nb) AS rk
+    FROM und
+  ) WHERE rk <= {_AA_TOP_K}
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM undk GROUP BY node),
 term AS (
   -- 1/ln(deg) quantized ONCE per node to the 1e-9 grid (the libm
   -- convention: ln is not correctly rounded, so quantize before any
@@ -3574,12 +3591,12 @@ term AS (
   SELECT node,
     CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)
       AS aa_q
-  FROM deg WHERE d BETWEEN 2 AND {_AA_HUB_CAP}
+  FROM deg WHERE d >= 2
 ),
 wedge AS (
   SELECT u1.nb AS x, u2.nb AS z, t.aa_q
-  FROM und u1
-  JOIN und u2 ON u2.node = u1.node AND u1.nb < u2.nb
+  FROM undk u1
+  JOIN undk u2 ON u2.node = u1.node AND u1.nb < u2.nb
   JOIN term t ON t.node = u1.node
 ),
 cand AS (
@@ -3601,25 +3618,31 @@ ORDER BY score_q DESC, part_a, part_b LIMIT 20
     oracle=_AA_ORACLE,
     tags=("graph", "link-prediction", "ring-c"),
     description=(
-        "Adamic-Adar link prediction on the min-support-2 co-purchase "
-        "graph: for every 2-hop pair not already linked, score = sum "
-        "over common neighbours of 1/ln(degree) -- frequent neighbours "
-        "count for less -- and report the top-20 predicted next links. "
-        "Per-neighbour terms are quantized once to the 1e-9 grid and "
-        "integer-summed (the libm ln convention); common neighbours "
-        f"above degree {_AA_HUB_CAP} are excluded, which bounds the "
-        "wedge enumeration AND barely moves scores (a hub's term is "
-        "~1/ln(big) of a single strong tie)."
+        "Adamic-Adar link prediction on the kNN-sparsified co-purchase "
+        "graph: support-2 edges, each node keeping its "
+        f"{_AA_TOP_K} strongest ties (count desc, neighbour asc -- "
+        "deterministic); for every 2-hop pair not already linked, "
+        "score = sum over common neighbours of 1/ln(retained degree), "
+        "top-20 predicted links.  Per-neighbour terms are quantized "
+        "once to the 1e-9 grid and integer-summed (the libm ln "
+        "convention).  The top-K retention is the load-bearing scale "
+        "decision: a fact-scaled graph over a fixed catalog densifies "
+        "toward complete, and K bounds every wedge fan-out no matter "
+        "the volume."
     ),
 )
 def q_adamic_adar_linkpred(spark, sf_dir):
-    """Wedge enumeration is the one data-scale join: und x und on the
-    common-neighbour key, bounded by sum(deg^2) over nodes UNDER the
-    hub cap -- the cap turns the worst case from O(max_deg^2) per hub
-    into a constant, the standard triangle/wedge discipline (same
-    bound the q_triangle_clustering query relies on).  The anti-join
-    against existing edges and the (x, z) rollup share the pair key.
-    TakeOrdered(20) ends the plan; nothing global sorts."""
+    """Wedge enumeration -- the one quadratic-risk join -- runs on the
+    top-K retained neighbour lists, so it is <= n*K^2/2 rows by
+    construction (the rehearsal measured the unsparsified form at 148M
+    wedges / 24 GB spill on the densified sf1 graph; retained-K keeps
+    it linear in nodes).  The edge list is checkpointed ONCE: five
+    consumers through five different projections defeat exchange
+    reuse, and before the cut the lineitem self-join re-executed per
+    consumer (the TextRank/LPA/BFS static-relation lesson).  The
+    retention window, degree count and wedge join all share the node
+    key; the anti-join against existing edges and the (x, z) rollup
+    share the pair key.  TakeOrdered(20) ends the plan."""
     li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
@@ -3627,28 +3650,31 @@ def q_adamic_adar_linkpred(spark, sf_dir):
         a.join(b, "o")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .filter(F.col("cnt") >= 2)
-        .select("x", "y")
-    )
-    und = edges.select(F.col("x").alias("node"), F.col("y").alias("nb")).unionAll(
-        edges.select(F.col("y").alias("node"), F.col("x").alias("nb"))
-    )
-    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    term = deg.filter(
-        (F.col("d") >= 2) & (F.col("d") <= _AA_HUB_CAP)
-    ).select(
+    ).localCheckpoint(eager=True)
+    und = edges.select(
+        F.col("x").alias("node"), F.col("y").alias("nb"), "cnt"
+    ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb"), "cnt"))
+    wk = Window.partitionBy("node").orderBy(F.desc("cnt"), "nb")
+    undk = (
+        und.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _AA_TOP_K)
+        .select("node", "nb")
+    ).localCheckpoint(eager=True)
+    deg = undk.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    term = deg.filter(F.col("d") >= 2).select(
         "node",
         F.floor(F.lit(1e9) / F.log(F.col("d").cast("double")) + F.lit(0.5))
         .cast("bigint")
         .alias("aa_q"),
     )
-    u1 = und.select("node", F.col("nb").alias("wx"))
-    u2 = und.select("node", F.col("nb").alias("wz"))
+    capped = undk.join(term, "node")
+    u1 = capped.select("node", F.col("nb").alias("wx"), "aa_q")
+    u2 = undk.select("node", F.col("nb").alias("wz"))
     wedge = (
         u1.join(u2, "node")
         .filter(F.col("wx") < F.col("wz"))
-        .join(term, "node")
         .select("wx", "wz", "aa_q")
     )
     existing = edges.select(F.col("x").alias("wx"), F.col("y").alias("wz"))
@@ -3787,3 +3813,118 @@ def q_theilsen_daily_trend(spark, sf_dir):
             q6(F.col("r")).alias("intercept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted cheapest path (Bellman-Ford relaxation from the top hub)
+# --------------------------------------------------------------------------
+
+_BF_ROUNDS = 4
+
+
+def _duck_bf_sql(rounds: int) -> str:
+    """Generated unrolled Bellman-Ford twin (the BFS generator
+    pattern, weighted): edge cost = 1000000 // support (stronger ties
+    are cheaper), source = the single top-degree hub, full min-dist
+    relaxation per round."""
+    parts = [
+        "e0 AS MATERIALIZED ("
+        "SELECT least(a.l_partkey, b.l_partkey) AS x,"
+        " greatest(a.l_partkey, b.l_partkey) AS y,"
+        " CAST(1000000 // count(*) AS BIGINT) AS w"
+        " FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2 HAVING count(*) >= 2)",
+        "und AS MATERIALIZED (SELECT x AS node, y AS nb, w FROM e0"
+        " UNION ALL SELECT y, x, w FROM e0)",
+        "deg AS (SELECT node, count(*) AS d FROM und GROUP BY node)",
+        "src AS (SELECT node FROM (SELECT node, row_number() OVER ("
+        "ORDER BY d DESC, node) AS rn FROM deg) WHERE rn = 1)",
+        "d0 AS MATERIALIZED ("
+        "SELECT node, CAST(0 AS BIGINT) AS dist FROM src)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED ("
+            f"SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1}"
+            f" UNION ALL "
+            f"SELECT u.nb AS node, d.dist + u.w AS dist"
+            f" FROM d{i - 1} d JOIN und u ON u.node = d.node"
+            f") GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, dist FROM d{rounds}
+ORDER BY dist, node LIMIT 20"""
+    )
+
+
+@query(
+    "q_bellman_ford_cheapest",
+    oracle=_duck_bf_sql(_BF_ROUNDS),
+    tags=("graph", "ring-c", "iterative", "shortest-path"),
+    description=(
+        "Weighted cheapest paths from the top-degree hub of the part "
+        "co-purchase graph by Bellman-Ford relaxation, "
+        f"{_BF_ROUNDS} unrolled rounds: edge cost = 1000000 // "
+        "co-purchase support (all integer -- strong ties are cheap to "
+        "traverse), output = the 20 cheapest-to-reach parts.  The "
+        "weighted sibling of the BFS hop rings: rings count EDGES to "
+        "a node, this prices the PATH, and the two disagree exactly "
+        "where a 2-hop strong-tie route undercuts a weak direct edge."
+    ),
+)
+def q_bellman_ford_cheapest(spark, sf_dir):
+    """Each round is one node-keyed min rollup, and only the nodes
+    IMPROVED last round expand (a node's proposals depend only on its
+    dist, so re-expanding unchanged nodes re-proposes already-applied
+    candidates -- the BFS frontier argument, weighted).  Lineage is
+    cut every round; edge list checkpointed once (five-consumer
+    exchange-reuse lesson).  At 100 TB this is THE shortest-path
+    shape that survives: no priority queue, just k scans of a
+    node-partitioned relation."""
+    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .agg(F.expr("CAST(1000000 DIV count(1) AS BIGINT)").alias("w"))
+        # support >= 2 <=> w <= 500000 (w is 1e6 DIV support): the
+        # HAVING clause without carrying the raw count through.
+        .filter(F.col("w") <= 500000)
+    ).localCheckpoint(eager=True)
+    und = edges.select(
+        F.col("x").alias("node"), F.col("y").alias("nb"), "w"
+    ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb"), "w"))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    src = (
+        deg.orderBy(F.desc("d"), "node")
+        .limit(1)
+        .select("node")
+    )
+    dist = src.select("node", F.lit(0).cast("bigint").alias("dist"))
+    frontier = dist
+    for i in range(1, _BF_ROUNDS + 1):
+        cand = frontier.join(und, "node").select(
+            F.col("nb").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        new = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            new.join(
+                dist.select("node", F.col("dist").alias("od")), "node", "left"
+            )
+            .filter(F.col("od").isNull() | (F.col("dist") < F.col("od")))
+            .select("node", "dist")
+        )
+        dist = new
+    return dist.orderBy("dist", "node").limit(20)

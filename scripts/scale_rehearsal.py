@@ -177,6 +177,16 @@ REHEARSAL = [
     "q_neyman_allocation",
     "q_mix_shift_decomposition",
     "q_migration_checksums",
+    # round-4 batch 9
+    "q_snapshot_diff_cdc",
+    "q_adamic_adar_linkpred",
+    "q_target_encoding_oof",
+    "q_theilsen_daily_trend",
+    "q_l_diversity_audit",
+    # round-4 batch 10
+    "q_isotonic_recalibration",
+    "q_nb_roc_auc",
+    "q_bellman_ford_cheapest",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

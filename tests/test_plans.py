@@ -748,3 +748,46 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     assert shuffle_count(df) <= max_shuffles
     assert not has_python_udf(df)
     assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # mix shift: the (segment, period) rollup re-expands in plan TEXT
+    # under the w/q/g branches (runtime: ReusedExchange); the grand
+    # totals ride as 1-row broadcasts (BNLJ by design, not cartesian).
+    ("q_mix_shift_decomposition", 10),
+    # checksums: three map-side-combined single-row aggregates
+    # unioned -- NOTHING shuffles but the partial-sum rows.
+    ("q_migration_checksums", 1),
+    # CDC: both snapshot sides hash once on the join key + the 4-group
+    # action rollup.
+    ("q_snapshot_diff_cdc", 5),
+    # Adamic-Adar: the checkpointed edge list truncates plan text at
+    # the RDD scans; visible exchanges are the retention window, the
+    # degree rollup, the wedge join and the pair rollup.
+    ("q_adamic_adar_linkpred", 6),
+    # target encoding: ONE fact-scale exchange (the category-fold
+    # rollup); category totals and the global mean re-expand the tiny
+    # rollup in text and broadcast back.
+    ("q_target_encoding_oof", 6),
+    # Theil-Sen: the day rollup is the only data-scale exchange; the
+    # pair join + rank selections run on the time-bounded series
+    # (plan text re-expands that rollup under a/b/resid branches).
+    ("q_theilsen_daily_trend", 11),
+    # l-diversity: QI rollup + 1-row reduce.
+    ("q_l_diversity_audit", 2),
+    # isotonic: the shared confidence plan + the checkpointed 10-row
+    # bin relation; all range/minimax joins are explicit broadcasts.
+    ("q_isotonic_recalibration", 6),
+    # ROC-AUC: the NB scoring subtree re-expands in plan TEXT under
+    # the loc/btot prefix-sum branches (runtime ReusedExchange); real
+    # additions are the score rollup + block window + carry join.
+    ("q_nb_roc_auc", 24),
+    # Bellman-Ford: rounds run behind eager checkpoints; the visible
+    # plan is the final TakeOrdered over the last round's RDD scan.
+    ("q_bellman_ford_cheapest", 2),
+])
+def test_r04_batch89_plan_shape(name, max_shuffles, spark, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= max_shuffles
+    assert not has_python_udf(df)
+    assert "CartesianProduct" not in explain_str(df, "simple")
