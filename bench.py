@@ -210,6 +210,12 @@ HEADLINE = [
     "q_isotonic_recalibration",
     "q_nb_roc_auc",
     "q_bellman_ford_cheapest",
+    # r4 batch 11: intermittent-demand forecast, STL-lite anomalies,
+    # DSAR footprint, Hill tail exponent.
+    "q_croston_intermittent",
+    "q_stl_anomaly_days",
+    "q_subject_access_report",
+    "q_degree_powerlaw_alpha",
 ]
 
 

@@ -207,6 +207,10 @@ _NEW_THIS_ROUND = (
     "q_isotonic_recalibration",   # new: PAV via the minimax closed form
     "q_nb_roc_auc",               # new: exact rank-statistic ROC-AUC
     "q_bellman_ford_cheapest",    # new: weighted cheapest-path relaxation
+    "q_croston_intermittent",     # new: intermittent-demand forecast
+    "q_stl_anomaly_days",         # new: decompose-then-flag anomaly scan
+    "q_subject_access_report",    # new: DSAR per-table footprint
+    "q_degree_powerlaw_alpha",    # new: Hill tail-exponent estimate
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -3928,3 +3928,95 @@ def q_bellman_ford_cheapest(spark, sf_dir):
         )
         dist = new
     return dist.orderBy("dist", "node").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Degree power-law exponent (Hill maximum-likelihood estimator)
+# --------------------------------------------------------------------------
+
+_HILL_ORACLE = """
+WITH e0 AS MATERIALIZED (
+  SELECT least(a.l_partkey, b.l_partkey) AS x,
+    greatest(a.l_partkey, b.l_partkey) AS y
+  FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS (SELECT x AS node, y AS nb FROM e0 UNION ALL SELECT y, x FROM e0),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY node),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(ln(CAST(d AS DOUBLE) / 2.0) * 1000000000.0 + 0.5)
+      AS BIGINT)) AS BIGINT) AS lsum_q,
+    CAST(max(d) AS BIGINT) AS max_degree
+  FROM deg WHERE d >= 2
+)
+SELECT n AS n_tail, max_degree,
+  floor((1.0 + CAST(n AS DOUBLE) * 1000000000.0 / lsum_q) * 1000000.0
+        + 0.5) / 1000000.0 AS alpha_hill
+FROM t
+"""
+
+
+@query(
+    "q_degree_powerlaw_alpha",
+    oracle=_HILL_ORACLE,
+    tags=("graph", "stats", "ring-c"),
+    description=(
+        "Hill maximum-likelihood estimate of the power-law exponent "
+        "of the co-purchase degree distribution: alpha = 1 + n / "
+        "sum(ln(d/d_min)) over the tail d >= d_min = 2, each ln term "
+        "quantized once to the 1e-9 grid then integer-summed (the "
+        "libm convention).  THE one-number diagnostic that decides "
+        "whether hub-aware plans (salting, degree caps, top-K "
+        "sparsification) are needed on this graph: alpha < 2 means "
+        "unbounded-mean degrees, 2-3 the classic scale-free regime."
+    ),
+)
+def q_degree_powerlaw_alpha(spark, sf_dir):
+    """One lineitem self-join + pair rollup (the shared co-purchase
+    build), a node-keyed degree count, and a single-row reduce; the
+    ln terms ride inside the aggregate projection, so nothing beyond
+    the standard graph build moves at data scale."""
+    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("x", "y")
+    ).localCheckpoint(eager=True)
+    und = edges.select(F.col("x").alias("node")).unionAll(
+        edges.select(F.col("y").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    t = deg.filter(F.col("d") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.floor(
+                F.log(F.col("d").cast("double") / F.lit(2.0)) * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("lsum_q"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+    return t.select(
+        F.col("n").alias("n_tail"),
+        "max_degree",
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    + F.col("n").cast("double") * F.lit(1e9) / F.col("lsum_q")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("alpha_hill"),
+    )

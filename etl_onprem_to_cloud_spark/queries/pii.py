@@ -272,3 +272,88 @@ def q_l_diversity_audit(spark, sf_dir):
             / F.lit(1e6)
         ).alias("frac_rows_at_risk"),
     )
+
+
+@query(
+    "q_subject_access_report",
+    oracle="""
+WITH subj AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 11
+),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders JOIN subj ON o_custkey = k
+)
+SELECT 'customer' AS table_name,
+  CAST(count(*) AS BIGINT) AS n_subjects,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM subj
+UNION ALL
+SELECT 'events',
+  CAST(count(DISTINCT user_id) AS BIGINT),
+  CAST(count(*) AS BIGINT)
+FROM events JOIN subj ON user_id = k
+UNION ALL
+SELECT 'lineitem',
+  CAST(count(DISTINCT o.o_custkey) AS BIGINT),
+  CAST(count(*) AS BIGINT)
+FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders',
+  CAST(count(DISTINCT o_custkey) AS BIGINT),
+  CAST(count(*) AS BIGINT)
+FROM o
+ORDER BY table_name
+""",
+    tags=("pii", "privacy", "compliance", "gdpr"),
+    description=(
+        "Subject-access / right-to-be-forgotten impact report: for a "
+        "deterministic data-subject cohort (custkey % 97 = 11), the "
+        "row footprint across every table that stores them -- direct "
+        "rows (customer), keyed facts (orders, events) and "
+        "second-hop facts reachable only through a join (lineitem "
+        "via the subjects' orders).  The per-table scope estimate a "
+        "DSAR or deletion run needs BEFORE touching data, rounding "
+        "out the privacy ring (PII scan/redaction, k-anonymity, "
+        "l-diversity)."
+    ),
+)
+def q_subject_access_report(spark, sf_dir):
+    """The subject cohort broadcasts everywhere (it is tiny by
+    construction -- a deletion batch, not a segment), so everyleg is
+    a broadcast semi/inner join + map-side-combined count: no fact
+    table shuffles.  The lineitem leg routes through the subjects'
+    orders, demonstrating the transitive-reach scan a real erasure
+    run must do."""
+    c = cat(spark, sf_dir)
+    subj = c.customer.filter(F.col("c_custkey") % 97 == 11).select(
+        F.col("c_custkey").alias("k")
+    )
+    o = c.orders.join(
+        F.broadcast(subj), F.col("o_custkey") == F.col("k")
+    ).select("o_orderkey", "o_custkey")
+
+    def leg(df, table, subj_col):
+        return df.agg(
+            F.count_distinct(subj_col).cast("bigint").alias("n_subjects"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).select(F.lit(table).alias("table_name"), "n_subjects", "n_rows")
+
+    cust = subj.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit("customer").alias("table_name"),
+        F.col("n").alias("n_subjects"),
+        F.col("n").alias("n_rows"),
+    )
+    ev = leg(
+        c.events.join(F.broadcast(subj), F.col("user_id") == F.col("k")),
+        "events",
+        "user_id",
+    )
+    li = leg(
+        c.lineitem.join(
+            F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+        ),
+        "lineitem",
+        "o_custkey",
+    )
+    orders = leg(o, "orders", "o_custkey")
+    return cust.unionAll(ev).unionAll(li).unionAll(orders).orderBy("table_name")

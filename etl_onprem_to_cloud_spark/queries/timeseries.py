@@ -1397,3 +1397,315 @@ def q_conformal_forecast_interval(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Croston intermittent-demand forecast (size / interval smoothing)
+# --------------------------------------------------------------------------
+
+# z' and p' updates with alpha = 1/2 in milli-unit BIGINT fixed point
+# (the Holt machinery's intermittent-demand sibling): demand SIZE and
+# demand INTERVAL are smoothed separately and only on days the part
+# actually sold -- the regime where ordinary exponential smoothing
+# collapses toward zero between sales.  SBA = Croston * (1 - alpha/2),
+# the Syntetos-Boylan bias correction.
+
+_CROSTON_ZNEW = "CAST(floor((i.q * 1000 + rec.z) / 2.0) AS BIGINT)"
+_CROSTON_PNEW = "CAST(floor(((i.d - rec.pd) * 1000 + rec.p) / 2.0) AS BIGINT)"
+
+_CROSTON_ORACLE = f"""
+WITH RECURSIVE top AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey
+  ORDER BY sum(CAST(l_quantity AS BIGINT)) DESC, l_partkey LIMIT 1
+),
+days AS (
+  SELECT CAST(floor(floor(epoch(l_shipdate)) / 86400) AS BIGINT) AS d,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN top USING (l_partkey)
+  GROUP BY d
+),
+idx AS (SELECT d, q, row_number() OVER (ORDER BY d) AS rn FROM days),
+rec AS (
+  SELECT 1 AS t,
+    CAST(a.q * 1000 AS BIGINT) AS z,
+    CAST(1000 AS BIGINT) AS p,
+    a.d AS pd
+  FROM idx a WHERE a.rn = 1
+  UNION ALL
+  SELECT rec.t + 1,
+    {_CROSTON_ZNEW},
+    {_CROSTON_PNEW},
+    i.d
+  FROM rec JOIN idx i ON i.rn = rec.t + 1
+)
+SELECT CAST(t AS BIGINT) AS n_demand_days,
+  z / 1000.0 AS demand_size,
+  p / 1000.0 AS mean_interval,
+  floor(CAST(z AS DOUBLE) / p * 1000000.0 + 0.5) / 1000000.0
+    AS croston_forecast,
+  floor(CAST(z AS DOUBLE) / p * 0.75 * 1000000.0 + 0.5) / 1000000.0
+    AS sba_forecast
+FROM rec ORDER BY t DESC LIMIT 1
+"""
+
+
+@query(
+    "q_croston_intermittent",
+    oracle=_CROSTON_ORACLE,
+    tags=("timeseries", "forecast", "fixed-point", "intermittent", "ring-c"),
+    description=(
+        "Croston intermittent-demand forecast for the top-selling "
+        "part's daily quantity series: demand SIZE and demand "
+        "INTERVAL smoothed separately (alpha = 1/2, milli-unit BIGINT "
+        "fixed point) over only the days the part sold, forecast = "
+        "size/interval per day, plus the Syntetos-Boylan corrected "
+        "SBA = 0.75 * Croston.  The sparse-demand regime where Holt/"
+        "Holt-Winters decay toward zero between sales -- completing "
+        "the forecasting family (naive, trend, seasonal, conformal, "
+        "intermittent)."
+    ),
+)
+def q_croston_intermittent(spark, sf_dir):
+    """Distributed work: the part rollup for the top pick (one
+    shuffle) and the per-day demand rollup filtered to that part (the
+    broadcast top-1 join pushes the filter to the scan side); the
+    recursion folds over the nonzero-demand-days array in ONE row --
+    the Holt convention.  State updates are integer add + "
+    "floor(x/2.0), exact below 2^52, so both engines walk identical
+    integer sequences."""
+    li = cat(spark, sf_dir).lineitem.select(
+        "l_partkey",
+        "l_shipdate",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("qty").alias("tq"))
+        .orderBy(F.desc("tq"), "l_partkey")
+        .limit(1)
+        .select("l_partkey")
+    )
+    days = (
+        li.join(F.broadcast(top), "l_partkey")
+        .groupBy(
+            F.floor(
+                F.floor(
+                    F.unix_timestamp(F.col("l_shipdate").cast("timestamp"))
+                ) / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.sum("qty").cast("bigint").alias("q"))
+    )
+    one = days.agg(
+        F.array_sort(F.collect_list(F.struct("d", "q"))).alias("arr")
+    )
+    first = F.element_at(F.col("arr"), 1)
+    init = F.struct(
+        (first["q"].cast("bigint") * 1000).alias("z"),
+        F.lit(1000).cast("bigint").alias("p"),
+        first["d"].cast("bigint").alias("pd"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            F.floor((x["q"].cast("bigint") * 1000 + acc["z"]) / F.lit(2.0))
+            .cast("bigint")
+            .alias("z"),
+            F.floor(
+                ((x["d"] - acc["pd"]).cast("bigint") * 1000 + acc["p"])
+                / F.lit(2.0)
+            )
+            .cast("bigint")
+            .alias("p"),
+            x["d"].cast("bigint").alias("pd"),
+        )
+
+    folded = one.select(
+        F.size("arr").cast("bigint").alias("n_demand_days"),
+        F.aggregate(
+            F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("st"),
+    )
+    st = F.col("st")
+
+    def pr6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return folded.select(
+        "n_demand_days",
+        (st["z"] / F.lit(1000.0)).alias("demand_size"),
+        (st["p"] / F.lit(1000.0)).alias("mean_interval"),
+        pr6(st["z"].cast("double") / st["p"]).alias("croston_forecast"),
+        pr6(st["z"].cast("double") / st["p"] * F.lit(0.75)).alias(
+            "sba_forecast"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# STL-lite decomposition + robust anomaly days (trend / seasonal / MAD)
+# --------------------------------------------------------------------------
+
+_STL_ORACLE = """
+WITH days AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY d
+),
+nbr AS (
+  SELECT days.d + off.o AS c, days.y
+  FROM days CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS o) off
+),
+tr AS (
+  SELECT c AS d, CAST((sum(y) * 1000) // 7 AS BIGINT) AS trend_milli
+  FROM nbr GROUP BY c HAVING count(*) = 7
+),
+r AS (
+  SELECT days.d, days.y, tr.trend_milli,
+    days.y * 1000 - tr.trend_milli AS resid
+  FROM days JOIN tr USING (d)
+),
+s AS (
+  SELECT d % 7 AS dow,
+    CAST(floor(CAST(sum(resid) AS DOUBLE) / count(*)) AS BIGINT) AS sdow
+  FROM r GROUP BY dow
+),
+adj AS (
+  SELECT r.d, r.y, r.trend_milli, r.resid - s.sdow AS a
+  FROM r JOIN s ON s.dow = r.d % 7
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM adj),
+med AS (
+  SELECT a AS m FROM (
+    SELECT a, row_number() OVER (ORDER BY a) AS rn FROM adj
+  ) CROSS JOIN n1 WHERE rn = (n + 1) // 2
+),
+dev AS (SELECT adj.*, abs(a - med.m) AS ad FROM adj CROSS JOIN med),
+mad AS (
+  SELECT ad AS md FROM (
+    SELECT ad, row_number() OVER (ORDER BY ad) AS rn FROM dev
+  ) CROSS JOIN n1 WHERE rn = (n + 1) // 2
+)
+SELECT d AS day_index, y AS n_events,
+  trend_milli / 1000.0 AS trend,
+  (a - med.m) / 1000.0 AS seasonal_adj_dev,
+  CAST(CASE WHEN 10000 * ad > 3 * 14826 * mad.md THEN 1 ELSE 0 END
+    AS BIGINT) AS is_anomaly
+FROM dev CROSS JOIN med CROSS JOIN mad
+ORDER BY ad DESC, d LIMIT 10
+"""
+
+
+@query(
+    "q_stl_anomaly_days",
+    oracle=_STL_ORACLE,
+    tags=("timeseries", "anomaly", "decomposition", "robust", "ring-c"),
+    description=(
+        "STL-lite anomaly detection on the daily event-count series: "
+        "trend = 7-day centered moving average matched by CLOCK TIME "
+        "(offset fan-out + full-window gate, never a row-offset "
+        "frame), seasonal = day-of-week mean of the detrended "
+        "residual, then robust flagging of the seasonally-adjusted "
+        "deviation against 3 x 1.4826 x MAD (exact lower-median rank "
+        "selections, all-integer comparison).  Output: the 10 most "
+        "deviant days with their decomposition -- decompose-then-"
+        "flag, the anomaly scan that survives trends and weekly "
+        "cycles that would drown a raw z-score."
+    ),
+)
+def q_stl_anomaly_days(spark, sf_dir):
+    """One data-scale shuffle (the day rollup); every later step --
+    offset fan-out (x7), day-of-week means, median/MAD rank picks --
+    runs on the calendar-bounded day relation, constant-size at any
+    volume (the Theil-Sen justification for its bounded global
+    windows).  Integer milli-units end to end; the only doubles are
+    display divisions and the shared floor(sum/count) seasonal mean."""
+    ev = cat(spark, sf_dir).events
+    days = (
+        ev.select(
+            F.floor(
+                F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+                / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        # The day rollup is the ONLY event-scale pass, but seven
+        # bounded consumers (trend fan-out, join-back, seasonal means,
+        # median/MAD picks, output) would each re-run the full scan --
+        # checkpoint the calendar-sized relation once (the isotonic
+        # bins lesson).
+        .localCheckpoint(eager=True)
+    )
+    off = F.array([F.lit(o) for o in range(-3, 4)])
+    nbr = days.select(
+        F.explode(off).alias("o"), "d", "y"
+    ).select((F.col("d") + F.col("o")).alias("c"), "y")
+    tr = (
+        nbr.groupBy(F.col("c").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.expr("CAST((sum(y) * 1000) DIV 7 AS BIGINT)").alias("trend_milli"),
+        )
+        .filter(F.col("k") == 7)
+        .drop("k")
+    )
+    r = days.join(tr, "d").select(
+        "d", "y", "trend_milli",
+        (F.col("y") * 1000 - F.col("trend_milli")).alias("resid"),
+    )
+    s = r.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.floor(F.sum("resid").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("sdow")
+    )
+    adj = (
+        r.join(F.broadcast(s), (F.col("d") % 7) == F.col("dow"))
+        .select("d", "y", "trend_milli", (F.col("resid") - F.col("sdow")).alias("a"))
+    )
+    n1 = adj.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wa = Window.orderBy("a")
+    med = (
+        adj.withColumn("rn", F.row_number().over(wa))
+        .crossJoin(F.broadcast(n1))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2)))
+        .select(F.col("a").alias("m"))
+    )
+    dev = adj.crossJoin(F.broadcast(med)).withColumn(
+        "ad", F.abs(F.col("a") - F.col("m"))
+    )
+    wd = Window.orderBy("ad")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .crossJoin(F.broadcast(n1))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2)))
+        .select(F.col("ad").alias("md"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("d").alias("day_index"),
+            F.col("y").alias("n_events"),
+            (F.col("trend_milli") / F.lit(1000.0)).alias("trend"),
+            ((F.col("a") - F.col("m")) / F.lit(1000.0)).alias(
+                "seasonal_adj_dev"
+            ),
+            F.when(
+                F.lit(10000) * F.col("ad") > F.lit(3 * 14826) * F.col("md"), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_anomaly"),
+            "ad",
+        )
+        .orderBy(F.desc("ad"), "day_index")
+        .limit(10)
+        .drop("ad")
+    )

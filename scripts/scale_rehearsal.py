@@ -187,6 +187,11 @@ REHEARSAL = [
     "q_isotonic_recalibration",
     "q_nb_roc_auc",
     "q_bellman_ford_cheapest",
+    # round-4 batch 11
+    "q_croston_intermittent",
+    "q_stl_anomaly_days",
+    "q_subject_access_report",
+    "q_degree_powerlaw_alpha",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -785,6 +785,18 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     # Bellman-Ford: rounds run behind eager checkpoints; the visible
     # plan is the final TakeOrdered over the last round's RDD scan.
     ("q_bellman_ford_cheapest", 2),
+    # Croston: top-part rollup + the filtered day rollup; the fold is
+    # a single-row array aggregate.
+    ("q_croston_intermittent", 4),
+    # STL: the event-scale day rollup is checkpointed once; the
+    # calendar-sized trend/seasonal/median branches re-expand in plan
+    # text over the RDD scan only.
+    ("q_stl_anomaly_days", 22),
+    # DSAR: four broadcast-joined count legs, no fact shuffle.
+    ("q_subject_access_report", 5),
+    # Hill alpha: the pair rollup behind a checkpoint + degree rollup
+    # + 1-row reduce.
+    ("q_degree_powerlaw_alpha", 2),
 ])
 def test_r04_batch89_plan_shape(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
