@@ -216,6 +216,9 @@ HEADLINE = [
     "q_stl_anomaly_days",
     "q_subject_access_report",
     "q_degree_powerlaw_alpha",
+    # r4 batch 12: sortless exact percentiles, Fellegi-Sunter linkage.
+    "q_exact_price_percentiles",
+    "q_fellegi_sunter_linkage",
 ]
 
 

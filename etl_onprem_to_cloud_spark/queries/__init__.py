@@ -211,6 +211,8 @@ _NEW_THIS_ROUND = (
     "q_stl_anomaly_days",         # new: decompose-then-flag anomaly scan
     "q_subject_access_report",    # new: DSAR per-table footprint
     "q_degree_powerlaw_alpha",    # new: Hill tail-exponent estimate
+    "q_exact_price_percentiles",  # new: sortless exact global quantiles
+    "q_fellegi_sunter_linkage",   # new: probabilistic m/u linkage
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -1370,3 +1370,123 @@ def q_mix_shift_decomposition(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact global percentiles without a global sort (two-level histogram)
+# --------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+k AS (
+  SELECT n, (n + 1) // 2 AS k50, (9 * n + 9) // 10 AS k90,
+    (99 * n + 99) // 100 AS k99
+  FROM n1
+),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+SELECT k.n AS n_rows,
+  (SELECT cents FROM r WHERE rn = k.k50) / 100.0 AS p50,
+  (SELECT cents FROM r WHERE rn = k.k90) / 100.0 AS p90,
+  (SELECT cents FROM r WHERE rn = k.k99) / 100.0 AS p99
+FROM k
+"""
+
+
+@query(
+    "q_exact_price_percentiles",
+    oracle=_PCT_ORACLE,
+    tags=("analytics", "percentile", "exact", "ring-b"),
+    description=(
+        "EXACT p50/p90/p99 of the line-item price (rank k = "
+        "ceil(p*n), integer rank arithmetic) computed WITHOUT any "
+        "global sort: a $100-bucket histogram locates each target "
+        "rank's bucket, then a second cents-level histogram inside "
+        "only the hit buckets resolves the exact value -- both "
+        "histograms are DOMAIN-bounded (~1.1k buckets; <= 10k cent "
+        "values per bucket), so nothing row-scale ever sorts or "
+        "single-partitions.  The exact twin of the approx-percentile "
+        "family, and the pattern that makes exact quantiles viable "
+        "at 100 TB."
+    ),
+)
+def q_exact_price_percentiles(spark, sf_dir):
+    """Two aggregation passes over the fact table (level-1 histogram,
+    level-2 filtered histogram) + windows over domain-bounded
+    relations only.  The oracle uses the plain global-sort rank
+    (single-node DuckDB can afford it); the Spark side is the
+    scale shape, both reaching the identical rank-k values."""
+    li = cat(spark, sf_dir).lineitem
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    ).localCheckpoint(eager=True)
+    h1 = cents.groupBy(
+        F.expr("cents DIV 10000").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    h = h1.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint")
+    )
+    n1 = h1.agg(F.sum("cnt").cast("bigint").alias("n"))
+    targets = n1.select(
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("lbl"),
+                    F.expr("(n + 1) DIV 2").alias("k"),
+                ),
+                F.struct(
+                    F.lit("p90").alias("lbl"),
+                    F.expr("(9 * n + 9) DIV 10").alias("k"),
+                ),
+                F.struct(
+                    F.lit("p99").alias("lbl"),
+                    F.expr("(99 * n + 99) DIV 100").alias("k"),
+                ),
+            )
+        ).alias("t"),
+    ).select("n", F.col("t.lbl").alias("lbl"), F.col("t.k").alias("k"))
+    tb = h.join(
+        F.broadcast(targets),
+        (F.col("cumb") < F.col("k")) & (F.col("cumb") + F.col("cnt") >= F.col("k")),
+    ).select("lbl", "k", "b", "cumb")
+    h2 = (
+        cents.join(F.broadcast(tb), F.expr("cents DIV 10000") == F.col("b"))
+        .groupBy("lbl", "k", "cumb", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt2"))
+    )
+    w2 = (
+        Window.partitionBy("lbl")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    picked = (
+        h2.withColumn(
+            "cum2",
+            F.col("cumb")
+            + F.coalesce(F.sum("cnt2").over(w2), F.lit(0)).cast("bigint"),
+        )
+        .filter(
+            (F.col("cum2") < F.col("k"))
+            & (F.col("cum2") + F.col("cnt2") >= F.col("k"))
+        )
+        .select("lbl", "cents")
+    )
+    return (
+        picked.groupBy()
+        .pivot("lbl", ["p50", "p90", "p99"])
+        .agg(F.max("cents"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("n").alias("n_rows"),
+            (F.col("p50") / F.lit(100.0)).alias("p50"),
+            (F.col("p90") / F.lit(100.0)).alias("p90"),
+            (F.col("p99") / F.lit(100.0)).alias("p99"),
+        )
+    )

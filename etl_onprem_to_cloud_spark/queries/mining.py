@@ -4020,3 +4020,179 @@ def q_degree_powerlaw_alpha(spark, sf_dir):
             / F.lit(1e6)
         ).alias("alpha_hill"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (m/u log-weights)
+# --------------------------------------------------------------------------
+
+# Assumed conditional-match agreement rates (the textbook constants a
+# linkage run starts from before EM refinement); u rates are estimated
+# EXACTLY from the data's value frequencies: u_f = sum_v n_v(n_v-1) /
+# (N(N-1)) -- the probability two random records agree on field f --
+# with one pseudo-agreement and one pseudo-disagreement (Laplace) so a
+# field that is all-distinct (u=0) or constant (u=1) in a small block
+# sample cannot blow up the log weights.
+_FS_M = {"f1": 0.95, "f2": 0.90, "f3": 0.85}
+
+_FS_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey AS k, p_brand AS blk1, p_size AS blk2, p_type AS f1,
+    split_part(p_name, ' ', 1) AS f2,
+    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) // 10000 AS f3
+  FROM part
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+u1 AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS s
+       FROM (SELECT count(*) AS c FROM p GROUP BY f1)),
+u2 AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS s
+       FROM (SELECT count(*) AS c FROM p GROUP BY f2)),
+u3 AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS s
+       FROM (SELECT count(*) AS c FROM p GROUP BY f3)),
+w AS (
+  SELECT
+    CAST(floor(log2({_FS_M['f1']} / ((CAST(u1.s AS DOUBLE) + 1.0)
+      / (n * (n - 1.0) + 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS wa1,
+    CAST(floor(log2({1 - _FS_M['f1']:.2f} / (1.0 - (CAST(u1.s AS DOUBLE) + 1.0)
+      / (n * (n - 1.0) + 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS wd1,
+    CAST(floor(log2({_FS_M['f2']} / ((CAST(u2.s AS DOUBLE) + 1.0)
+      / (n * (n - 1.0) + 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS wa2,
+    CAST(floor(log2({1 - _FS_M['f2']:.2f} / (1.0 - (CAST(u2.s AS DOUBLE) + 1.0)
+      / (n * (n - 1.0) + 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS wd2,
+    CAST(floor(log2({_FS_M['f3']} / ((CAST(u3.s AS DOUBLE) + 1.0)
+      / (n * (n - 1.0) + 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS wa3,
+    CAST(floor(log2({1 - _FS_M['f3']:.2f} / (1.0 - (CAST(u3.s AS DOUBLE) + 1.0)
+      / (n * (n - 1.0) + 2.0))) * 1000000.0 + 0.5) AS BIGINT) AS wd3
+  FROM u1, u2, u3, n1
+),
+pairs AS (
+  SELECT a.k AS part_a, b.k AS part_b,
+    (CASE WHEN a.f1 = b.f1 THEN w.wa1 ELSE w.wd1 END
+     + CASE WHEN a.f2 = b.f2 THEN w.wa2 ELSE w.wd2 END
+     + CASE WHEN a.f3 = b.f3 THEN w.wa3 ELSE w.wd3 END) AS score_q,
+    concat(CASE WHEN a.f1 = b.f1 THEN 'T' ELSE '-' END,
+           CASE WHEN a.f2 = b.f2 THEN 'N' ELSE '-' END,
+           CASE WHEN a.f3 = b.f3 THEN 'P' ELSE '-' END) AS pattern
+  FROM p a JOIN p b ON a.blk1 = b.blk1 AND a.blk2 = b.blk2 AND a.k < b.k
+  CROSS JOIN w
+)
+SELECT part_a, part_b, pattern,
+  score_q / 1000000.0 AS fs_score
+FROM pairs ORDER BY score_q DESC, part_a, part_b LIMIT 15
+"""
+
+
+@query(
+    "q_fellegi_sunter_linkage",
+    oracle=_FS_ORACLE,
+    tags=("mining", "entity-resolution", "linkage", "ring-c"),
+    description=(
+        "Fellegi-Sunter probabilistic record linkage over the part "
+        "catalog: candidate pairs blocked on (brand, size), scored by "
+        "the classic log2(m/u) agreement weights on type / first name "
+        "token / price band -- u rates estimated EXACTLY from value "
+        "frequencies (sum n_v(n_v-1) / N(N-1)), m rates the textbook "
+        "priors, each weight quantized once to the 1e-6 grid then "
+        "integer-summed per pair.  Output: the 15 highest-weight "
+        "candidate links with their agreement pattern -- the "
+        "probabilistic upgrade of the deterministic ER closure."
+    ),
+)
+def q_fellegi_sunter_linkage(spark, sf_dir):
+    """The part relation is a dimension: the blocked self-join is
+    catalog-sized (max block 7 rows here), the three u-rate rollups
+    are value-histogram aggregates, and the six weight scalars ride
+    as a broadcast 1-row crossJoin.  No fact table is touched --
+    linkage scoring cost tracks the CATALOG, not the data volume."""
+    p = cat(spark, sf_dir).part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("blk1"),
+        F.col("p_size").alias("blk2"),
+        F.col("p_type").alias("f1"),
+        F.expr("split_part(p_name, ' ', 1)").alias("f2"),
+        F.expr(
+            "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DIV 10000"
+        ).alias("f3"),
+    ).localCheckpoint(eager=True)
+    n1 = p.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def u_of(field):
+        return (
+            p.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1))
+                .cast("bigint")
+                .alias(f"s_{field}")
+            )
+        )
+
+    scal = (
+        u_of("f1")
+        .crossJoin(F.broadcast(u_of("f2")))
+        .crossJoin(F.broadcast(u_of("f3")))
+        .crossJoin(F.broadcast(n1))
+    )
+
+    def w_cols():
+        out = []
+        for i, f in enumerate(["f1", "f2", "f3"], start=1):
+            m = _FS_M[f]
+            u = (F.col(f"s_{f}").cast("double") + F.lit(1.0)) / (
+                F.col("n") * (F.col("n") - F.lit(1.0)) + F.lit(2.0)
+            )
+            out.append(
+                F.floor(F.log2(F.lit(m) / u) * F.lit(1e6) + F.lit(0.5))
+                .cast("bigint")
+                .alias(f"wa{i}")
+            )
+            out.append(
+                F.floor(
+                    F.log2(F.lit(round(1 - m, 2)) / (F.lit(1.0) - u))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias(f"wd{i}")
+            )
+        return out
+
+    w = scal.select(*w_cols())
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_blk1") == F.col("b_blk1"))
+            & (F.col("a_blk2") == F.col("b_blk2"))
+            & (F.col("a_k") < F.col("b_k")),
+        )
+        .crossJoin(F.broadcast(w))
+    )
+
+    def ag(i, f, tag):
+        same = F.col(f"a_{f}") == F.col(f"b_{f}")
+        return (
+            F.when(same, F.col(f"wa{i}")).otherwise(F.col(f"wd{i}")),
+            F.when(same, F.lit(tag)).otherwise(F.lit("-")),
+        )
+
+    s1, t1 = ag(1, "f1", "T")
+    s2, t2 = ag(2, "f2", "N")
+    s3, t3 = ag(3, "f3", "P")
+    return (
+        pairs.select(
+            F.col("a_k").alias("part_a"),
+            F.col("b_k").alias("part_b"),
+            F.concat(t1, t2, t3).alias("pattern"),
+            (s1 + s2 + s3).alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), "part_a", "part_b")
+        .limit(15)
+        .select(
+            "part_a",
+            "part_b",
+            "pattern",
+            (F.col("score_q") / F.lit(1e6)).alias("fs_score"),
+        )
+    )

@@ -192,6 +192,9 @@ REHEARSAL = [
     "q_stl_anomaly_days",
     "q_subject_access_report",
     "q_degree_powerlaw_alpha",
+    # round-4 batch 12
+    "q_exact_price_percentiles",
+    "q_fellegi_sunter_linkage",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -797,6 +797,12 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     # Hill alpha: the pair rollup behind a checkpoint + degree rollup
     # + 1-row reduce.
     ("q_degree_powerlaw_alpha", 2),
+    # exact percentiles: two fact-scale histogram passes + windows on
+    # the domain-bounded bucket relations + the 3-row pivot.
+    ("q_exact_price_percentiles", 6),
+    # Fellegi-Sunter: catalog-sized blocked self-join + three value
+    # histograms + broadcast scalar weights.
+    ("q_fellegi_sunter_linkage", 4),
 ])
 def test_r04_batch89_plan_shape(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
