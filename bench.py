@@ -219,6 +219,11 @@ HEADLINE = [
     # r4 batch 12: sortless exact percentiles, Fellegi-Sunter linkage.
     "q_exact_price_percentiles",
     "q_fellegi_sunter_linkage",
+    # r4 batch 13: absorbing-chain attribution.
+    "q_markov_removal_attribution",
+    # r4 batch 14: CUPED readout, forecast backtest curve.
+    "q_cuped_ab_readout",
+    "q_forecast_backtest_horizons",
 ]
 
 

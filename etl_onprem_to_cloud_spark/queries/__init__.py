@@ -213,6 +213,9 @@ _NEW_THIS_ROUND = (
     "q_degree_powerlaw_alpha",    # new: Hill tail-exponent estimate
     "q_exact_price_percentiles",  # new: sortless exact global quantiles
     "q_fellegi_sunter_linkage",   # new: probabilistic m/u linkage
+    "q_markov_removal_attribution",  # new: absorbing-chain channel credit
+    "q_cuped_ab_readout",         # new: variance-reduced A/B readout
+    "q_forecast_backtest_horizons",  # new: rolling-origin MAE curve
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

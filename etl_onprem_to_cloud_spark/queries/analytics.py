@@ -1490,3 +1490,237 @@ def q_exact_price_percentiles(spark, sf_dir):
             (F.col("p99") / F.lit(100.0)).alias("p99"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain channel credit)
+# --------------------------------------------------------------------------
+
+_RE_ITERS = 12
+_RE_SCALE = 1_000_000
+_RE_CHANNELS = ("click", "error", "signup", "view")
+_RE_CONV = "purchase"
+
+_RE_JOURNEY_CTES = f"""ev2 AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fp AS (
+  SELECT user_id, min(rn) AS frn FROM ev2
+  WHERE event_type = '{_RE_CONV}' GROUP BY user_id
+),
+kept AS (
+  SELECT e.user_id, e.event_type, e.rn, fp.frn
+  FROM ev2 e LEFT JOIN fp USING (user_id)
+  WHERE fp.frn IS NULL OR e.rn < fp.frn
+),
+tr_raw AS (
+  SELECT 'START' AS cur, event_type AS nxt FROM kept WHERE rn = 1
+  UNION ALL
+  SELECT 'START', 'CONV' FROM fp WHERE frn = 1
+  UNION ALL
+  SELECT a.event_type, b.event_type
+  FROM kept a JOIN kept b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT k.event_type,
+    CASE WHEN k.frn IS NOT NULL THEN 'CONV' ELSE 'DROP' END
+  FROM kept k JOIN (
+    SELECT user_id, max(rn) AS mrn FROM kept GROUP BY user_id
+  ) m ON k.user_id = m.user_id AND k.rn = m.mrn
+),
+t AS MATERIALIZED (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c FROM tr_raw
+  GROUP BY cur, nxt
+),
+r AS MATERIALIZED (SELECT cur, CAST(sum(c) AS BIGINT) AS rtot FROM t
+  GROUP BY cur),
+tr AS MATERIALIZED (SELECT t.cur, t.nxt, t.c, r.rtot
+  FROM t JOIN r ON r.cur = t.cur)"""
+
+
+def _duck_removal_sql(iters: int = _RE_ITERS) -> str:
+    """Generated unrolled twin of the absorbing-chain loop: one value
+    chain for the full graph plus one per removed channel (redirecting
+    transitions INTO the channel to 0-value, the removal-effect
+    convention -- row sums unchanged).  All BIGINT `//` arithmetic,
+    AS MATERIALIZED stages (the duck_pagerank_sql convention)."""
+    s = _RE_SCALE
+    parts = [_RE_JOURNEY_CTES]
+
+    def chain(tag: str, removed: str | None) -> None:
+        dead = f" WHEN tr.nxt = '{removed}' THEN 0" if removed else ""
+        parts.append(
+            f"v_{tag}_0 AS (SELECT cur AS state, CAST(0 AS BIGINT) AS v"
+            f" FROM r)"
+        )
+        for k in range(1, iters + 1):
+            parts.append(
+                f"v_{tag}_{k} AS MATERIALIZED ("
+                f"SELECT tr.cur AS state, CAST(sum((tr.c * CASE"
+                f" WHEN tr.nxt = 'CONV' THEN {s}"
+                f" WHEN tr.nxt = 'DROP' THEN 0{dead}"
+                f" ELSE coalesce(p.v, 0) END) // tr.rtot) AS BIGINT) AS v"
+                f" FROM tr LEFT JOIN v_{tag}_{k - 1} p ON p.state = tr.nxt"
+                f" GROUP BY tr.cur)"
+            )
+
+    chain("base", None)
+    for ch in _RE_CHANNELS:
+        chain(ch, ch)
+    bx = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, v FROM v_{ch}_{iters}"
+        f" WHERE state = 'START'"
+        for ch in _RE_CHANNELS
+    )
+    parts.append(
+        f"b AS (SELECT v FROM v_base_{iters} WHERE state = 'START')"
+    )
+    parts.append(f"bx AS ({bx})")
+    parts.append(
+        f"re AS (SELECT channel,"
+        f" CAST(((b.v - bx.v) * {s}) // b.v AS BIGINT) AS re_q"
+        f" FROM bx CROSS JOIN b)"
+    )
+    parts.append("sre AS (SELECT CAST(sum(re_q) AS BIGINT) AS sq FROM re)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT re.channel, re.re_q / {s}.0 AS removal_effect,
+  CAST((re.re_q * {s}) // sre.sq AS BIGINT) / {s}.0 AS attribution_share,
+  b.v / {s}.0 AS base_conversion
+FROM re CROSS JOIN sre CROSS JOIN b
+ORDER BY re.channel"""
+    )
+
+
+@query(
+    "q_markov_removal_attribution",
+    oracle=_duck_removal_sql(),
+    tags=("events", "markov", "attribution", "iterative", "ring-b"),
+    description=(
+        "Markov removal-effect attribution: user journeys (events "
+        "before the first purchase, START-prefixed, absorbed by CONV "
+        "or DROP) build a first-order chain; each channel's credit is "
+        "how much the START-to-conversion probability falls when "
+        "transitions into that channel are redirected to DROP -- the "
+        f"data-driven multi-touch model, vs the positional heuristic "
+        f"next door.  {_RE_ITERS} absorbing-chain value iterations "
+        "per graph variant, micro-unit BIGINT floor arithmetic, so "
+        "both engines walk identical integer vectors."
+    ),
+)
+def q_markov_removal_attribution(spark, sf_dir):
+    """Event-scale work: the per-user journey windows and ONE
+    transition rollup (states are the event-type vocabulary, bounded);
+    the 5 value chains (base + one per channel) iterate driver-side
+    over the guarded-collect matrix -- the q_markov_stationary_types
+    convention that replaced a rehearsal-flagged exponent-2.13
+    broadcast unroll.  Python `//` on nonnegative ints = the oracle's
+    BIGINT `//`."""
+    ev = cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev2 = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fp = (
+        ev2.filter(F.col("event_type") == _RE_CONV)
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("frn"))
+    )
+    kept = (
+        ev2.join(fp, "user_id", "left")
+        .filter(F.col("frn").isNull() | (F.col("rn") < F.col("frn")))
+        .localCheckpoint(eager=True)
+    )
+    start1 = kept.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("cur"), F.col("event_type").alias("nxt")
+    )
+    start_conv = fp.filter(F.col("frn") == 1).select(
+        F.lit("START").alias("cur"), F.lit("CONV").alias("nxt")
+    )
+    a = kept.select("user_id", F.col("rn").alias("ra"), F.col("event_type").alias("cur"))
+    bnext = kept.select(
+        "user_id", F.col("rn").alias("rb"), F.col("event_type").alias("nxt")
+    )
+    mids = a.join(
+        bnext, (a.user_id == bnext.user_id) & (F.col("rb") == F.col("ra") + 1)
+    ).select("cur", "nxt")
+    lastk = (
+        kept.join(
+            kept.groupBy("user_id").agg(F.max("rn").alias("mrn")), "user_id"
+        )
+        .filter(F.col("rn") == F.col("mrn"))
+        .select(
+            F.col("event_type").alias("cur"),
+            F.when(F.col("frn").isNotNull(), F.lit("CONV"))
+            .otherwise(F.lit("DROP"))
+            .alias("nxt"),
+        )
+    )
+    t = (
+        start1.unionAll(start_conv)
+        .unionAll(mids)
+        .unionAll(lastk)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    )
+    if len(t) > 10_000:
+        raise ValueError(
+            "q_markov_removal_attribution: transition matrix has "
+            f"{len(t)} entries; bounded-collect guard assumes <= 10k"
+        )
+    c = {(row["cur"], row["nxt"]): int(row["c"]) for row in t}
+    states = sorted({i for i, _ in c})
+    extra = {
+        j for _, j in c if j not in ("CONV", "DROP") and j not in states
+    } | {s for s in states if s not in ("START", *_RE_CHANNELS)}
+    if extra:
+        raise ValueError(
+            f"q_markov_removal_attribution: unexpected states {extra}; "
+            f"the generated oracle enumerates channels {_RE_CHANNELS}"
+        )
+    rtot = {}
+    for (i, _j), cij in c.items():
+        rtot[i] = rtot.get(i, 0) + cij
+
+    def value_chain(removed):
+        v = {s: 0 for s in states}
+        for _ in range(_RE_ITERS):
+            new = {}
+            for s in states:
+                acc = 0
+                for (i, j), cij in c.items():
+                    if i != s:
+                        continue
+                    if j == "CONV":
+                        val = _RE_SCALE
+                    elif j == "DROP" or j == removed:
+                        val = 0
+                    else:
+                        val = v.get(j, 0)
+                    acc += (cij * val) // rtot[s]
+                new[s] = acc
+            v = new
+        return v["START"]
+
+    b = value_chain(None)
+    res = [(ch, value_chain(ch)) for ch in _RE_CHANNELS]
+    re_q = {ch: ((b - bx) * _RE_SCALE) // b for ch, bx in res}
+    sq = sum(re_q.values())
+    rows = [
+        (
+            ch,
+            re_q[ch] / float(_RE_SCALE),
+            ((re_q[ch] * _RE_SCALE) // sq) / float(_RE_SCALE),
+            b / float(_RE_SCALE),
+        )
+        for ch in sorted(_RE_CHANNELS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, removal_effect double, attribution_share double,"
+        " base_conversion double",
+    ).orderBy("channel")

@@ -22,6 +22,7 @@ from pyspark.sql import Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.numeric import dec, portable_round
+from ..operators.sampling import duck_hash_gate, hash_gate
 from ..pinned import pin
 from ..functions.text import tokens
 from ..operators.graph import duck_pagerank_sql, pagerank_fixed_point
@@ -4196,3 +4197,196 @@ def q_fellegi_sunter_linkage(spark, sf_dir):
             (F.col("score_q") / F.lit(1e6)).alias("fs_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout (pre-period covariate adjustment)
+# --------------------------------------------------------------------------
+
+_CUPED_PIVOT = 1705363200  # 2024-01-16 00:00:00 UTC (events midpoint)
+_CUPED_GATE = duck_hash_gate("CAST(user_id AS VARCHAR)", "cuped")
+
+# Per-user pre(x)/post(y) value totals as exact micro-unit BIGINTs;
+# all second moments accumulate as DECIMAL(19,0)xDECIMAL(19,0) ->
+# DECIMAL(38,0) products (exact in both engines; BIGINT would overflow
+# at x_q^2 ~ 4e20), so every sufficient statistic is order-free.
+
+
+def _cuped_moments(arm_pred: str) -> str:
+    c = f"CASE WHEN {arm_pred} THEN" if arm_pred else "CASE WHEN TRUE THEN"
+    return f"""
+    CAST(count({c} 1 END) AS BIGINT) AS n{{t}},
+    CAST(coalesce(sum({c} x END), 0) AS BIGINT) AS sx{{t}},
+    CAST(coalesce(sum({c} y END), 0) AS BIGINT) AS sy{{t}},
+    CAST(coalesce(sum({c} CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+      END), 0) AS DECIMAL(38,0)) AS sxy{{t}},
+    CAST(coalesce(sum({c} CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+      END), 0) AS DECIMAL(38,0)) AS sxx{{t}},
+    CAST(coalesce(sum({c} CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+      END), 0) AS DECIMAL(38,0)) AS syy{{t}}"""
+
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+    CAST({_CUPED_GATE} % 2 AS INTEGER) AS arm,
+    CAST(coalesce(sum(CASE WHEN floor(epoch(ts)) < {_CUPED_PIVOT}
+      THEN CAST(value AS DECIMAL(18,6)) END), 0) * 1000000 AS BIGINT) AS x,
+    CAST(coalesce(sum(CASE WHEN floor(epoch(ts)) >= {_CUPED_PIVOT}
+      THEN CAST(value AS DECIMAL(18,6)) END), 0) * 1000000 AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT
+    {_cuped_moments("").format(t="")},
+    {_cuped_moments("arm = 0").format(t="0")},
+    {_cuped_moments("arm = 1").format(t="1")}
+  FROM u
+),
+d AS (
+  SELECT *,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS theta,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)) AS rho2
+  FROM s
+)
+SELECT arm, n_users, mean_y, mean_y_cuped, theta, rho2 FROM (
+  SELECT 0 AS arm, n0 AS n_users,
+    floor(CAST(sy0 AS DOUBLE) / n0 / 1000000.0 * 1000000.0 + 0.5)
+      / 1000000.0 AS mean_y,
+    floor((CAST(sy0 AS DOUBLE) / n0 - theta
+           * (CAST(sx0 AS DOUBLE) / n0 - CAST(sx AS DOUBLE) / n))
+          / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_y_cuped,
+    floor(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+    floor(rho2 * 1000000.0 + 0.5) / 1000000.0 AS rho2
+  FROM d
+  UNION ALL
+  SELECT 1, n1,
+    floor(CAST(sy1 AS DOUBLE) / n1 / 1000000.0 * 1000000.0 + 0.5)
+      / 1000000.0,
+    floor((CAST(sy1 AS DOUBLE) / n1 - theta
+           * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx AS DOUBLE) / n))
+          / 1000000.0 * 1000000.0 + 0.5) / 1000000.0,
+    floor(theta * 1000000.0 + 0.5) / 1000000.0,
+    floor(rho2 * 1000000.0 + 0.5) / 1000000.0
+  FROM d
+) ORDER BY arm
+"""
+
+
+@query(
+    "q_cuped_ab_readout",
+    oracle=_CUPED_ORACLE,
+    tags=("stats", "experimentation", "cuped", "ring-c"),
+    description=(
+        "CUPED variance-reduced A/B readout: per user, pre-period "
+        "(before Jan 16) event value is the covariate and post-period "
+        "value the metric; arms split by md5 hash gate; theta = "
+        "cov(x,y)/var(x) from POOLED exact sufficient statistics "
+        "(micro-unit BIGINT totals, DECIMAL(38,0) second moments -- "
+        "order-free), adjusted arm mean = mean_y - theta*(mean_x - "
+        "global mean_x), plus rho^2 = the theoretical variance-"
+        "reduction factor.  The experimentation-platform readout that "
+        "typically cuts required sample sizes 30-50%."
+    ),
+)
+def q_cuped_ab_readout(spark, sf_dir):
+    """TWO aggregation passes total (per-user rollup, then one global
+    conditional-moment reduce) and nothing else -- the t-test's
+    fixed-structure-expression discipline extended with a unit-level
+    first stage.  Every sufficient statistic is an exact integer or
+    DECIMAL(38,0); the theta/rho2 doubles are identical expressions
+    in both engines."""
+    ev = cat(spark, sf_dir).events
+    piv = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))) < F.lit(
+        _CUPED_PIVOT
+    )
+    u = ev.groupBy("user_id").agg(
+        (hash_gate(F.col("user_id").cast("string"), "cuped") % 2)
+        .cast("int")
+        .alias("arm"),
+        (
+            F.coalesce(F.sum(F.when(piv, dec("value"))), F.lit(0))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("x"),
+        (
+            F.coalesce(F.sum(F.when(~piv, dec("value"))), F.lit(0))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def moments(pred, t):
+        cond = pred if pred is not None else F.lit(True)
+        xd = F.col("x").cast("decimal(19,0)")
+        yd = F.col("y").cast("decimal(19,0)")
+        z = F.lit(0)
+        return [
+            F.count(F.when(cond, 1)).cast("bigint").alias(f"n{t}"),
+            F.coalesce(F.sum(F.when(cond, F.col("x"))), z)
+            .cast("bigint")
+            .alias(f"sx{t}"),
+            F.coalesce(F.sum(F.when(cond, F.col("y"))), z)
+            .cast("bigint")
+            .alias(f"sy{t}"),
+            F.coalesce(F.sum(F.when(cond, xd * yd)), z)
+            .cast("decimal(38,0)")
+            .alias(f"sxy{t}"),
+            F.coalesce(F.sum(F.when(cond, xd * xd)), z)
+            .cast("decimal(38,0)")
+            .alias(f"sxx{t}"),
+            F.coalesce(F.sum(F.when(cond, yd * yd)), z)
+            .cast("decimal(38,0)")
+            .alias(f"syy{t}"),
+        ]
+
+    s = u.agg(
+        *(
+            moments(None, "")
+            + moments(F.col("arm") == 0, "0")
+            + moments(F.col("arm") == 1, "1")
+        )
+    )
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    covn = F.col("sxy").cast("double") - sxd * F.col("sy") / F.col("n")
+    varxn = F.col("sxx").cast("double") - sxd * F.col("sx") / F.col("n")
+    varyn = F.col("syy").cast("double") - syd * F.col("sy") / F.col("n")
+    d = s.select(
+        "*",
+        (covn / varxn).alias("theta"),
+        (covn * covn / (varxn * varyn)).alias("rho2"),
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    def arm_row(t, arm):
+        return d.select(
+            F.lit(arm).cast("int").alias("arm"),
+            F.col(f"n{t}").alias("n_users"),
+            q6(
+                F.col(f"sy{t}").cast("double") / F.col(f"n{t}") / F.lit(1e6)
+            ).alias("mean_y"),
+            q6(
+                (
+                    F.col(f"sy{t}").cast("double") / F.col(f"n{t}")
+                    - F.col("theta")
+                    * (
+                        F.col(f"sx{t}").cast("double") / F.col(f"n{t}")
+                        - F.col("sx").cast("double") / F.col("n")
+                    )
+                )
+                / F.lit(1e6)
+            ).alias("mean_y_cuped"),
+            q6(F.col("theta")).alias("theta"),
+            q6(F.col("rho2")).alias("rho2"),
+        )
+
+    return arm_row("0", 0).unionAll(arm_row("1", 1)).orderBy("arm")

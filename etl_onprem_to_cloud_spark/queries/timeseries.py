@@ -1709,3 +1709,111 @@ def q_stl_anomaly_days(spark, sf_dir):
         .limit(10)
         .drop("ad")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling-origin forecast backtest (MAE by horizon)
+# --------------------------------------------------------------------------
+
+_BT_ORACLE = """
+WITH days AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY d
+),
+h AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS h),
+p AS (
+  SELECT h.h, a.y AS actual, b.y AS pred_naive, c.y AS pred_seasonal
+  FROM days a
+  CROSS JOIN h
+  JOIN days b ON b.d = a.d - h.h
+  JOIN days c ON c.d = a.d - 7
+)
+SELECT h AS horizon, CAST(count(*) AS BIGINT) AS n_pairs,
+  floor(CAST(sum(abs(actual - pred_naive)) AS DOUBLE) / count(*)
+        * 1000000.0 + 0.5) / 1000000.0 AS mae_naive,
+  floor(CAST(sum(abs(actual - pred_seasonal)) AS DOUBLE) / count(*)
+        * 1000000.0 + 0.5) / 1000000.0 AS mae_seasonal,
+  floor(CAST(sum(abs(actual - pred_seasonal)) AS DOUBLE)
+        / sum(abs(actual - pred_naive)) * 1000000.0 + 0.5) / 1000000.0
+    AS rel_mae
+FROM p GROUP BY h ORDER BY h
+"""
+
+
+@query(
+    "q_forecast_backtest_horizons",
+    oracle=_BT_ORACLE,
+    tags=("timeseries", "forecast", "backtest", "eval", "ring-c"),
+    description=(
+        "Rolling-origin forecast backtest of the daily event-count "
+        "series: for every origin day and horizon h = 1..7, compare "
+        "the last-value forecast (y at d-h) and the same-weekday "
+        "seasonal forecast (y at d-7) against the actual, on the SAME "
+        "pair set per horizon -- MAE by horizon plus the relative MAE "
+        "(seasonal/naive: < 1 where weekly structure beats recency).  "
+        "The evaluation harness the forecasting family (naive, Holt, "
+        "Holt-Winters, Croston, conformal) gets graded by."
+    ),
+)
+def q_forecast_backtest_horizons(spark, sf_dir):
+    """One event-scale shuffle (the day rollup, checkpointed once for
+    its three join legs); the horizon fan-out and the clock-time
+    offset joins run on the calendar-bounded series -- the
+    q_seasonal_naive_mase convention widened to a horizon curve.
+    All error sums are exact integers; doubles appear only in the
+    final per-horizon divisions."""
+    ev = cat(spark, sf_dir).events
+    days = (
+        ev.select(
+            F.floor(
+                F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+                / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    hs = F.array([F.lit(i) for i in range(1, 8)])
+    a = days.select("d", F.col("y").alias("actual")).select(
+        "*", F.explode(hs).alias("h")
+    )
+    b = days.select(
+        F.col("d").alias("db"), F.col("y").alias("pred_naive")
+    )
+    c = days.select(
+        F.col("d").alias("dc"), F.col("y").alias("pred_seasonal")
+    )
+    p = a.join(b, F.col("db") == F.col("d") - F.col("h")).join(
+        c, F.col("dc") == F.col("d") - 7
+    )
+
+    def q6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    g = p.groupBy(F.col("h").alias("horizon")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.abs(F.col("actual") - F.col("pred_naive")))
+        .cast("bigint")
+        .alias("ae_n"),
+        F.sum(F.abs(F.col("actual") - F.col("pred_seasonal")))
+        .cast("bigint")
+        .alias("ae_s"),
+    )
+    return (
+        g.select(
+            "horizon",
+            "n_pairs",
+            q6(F.col("ae_n").cast("double") / F.col("n_pairs")).alias(
+                "mae_naive"
+            ),
+            q6(F.col("ae_s").cast("double") / F.col("n_pairs")).alias(
+                "mae_seasonal"
+            ),
+            q6(F.col("ae_s").cast("double") / F.col("ae_n")).alias("rel_mae"),
+        )
+        .orderBy("horizon")
+    )

@@ -195,6 +195,11 @@ REHEARSAL = [
     # round-4 batch 12
     "q_exact_price_percentiles",
     "q_fellegi_sunter_linkage",
+    # round-4 batch 13
+    "q_markov_removal_attribution",
+    # round-4 batch 14
+    "q_cuped_ab_readout",
+    "q_forecast_backtest_horizons",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -803,6 +803,15 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     # Fellegi-Sunter: catalog-sized blocked self-join + three value
     # histograms + broadcast scalar weights.
     ("q_fellegi_sunter_linkage", 4),
+    # removal attribution: journeys + transition rollup collect; the
+    # 5 value chains are driver-side over the bounded matrix, so the
+    # returned frame is a createDataFrame sort.
+    ("q_markov_removal_attribution", 1),
+    # CUPED: per-user rollup + one global conditional-moment reduce.
+    ("q_cuped_ab_readout", 3),
+    # backtest: the checkpointed day rollup + horizon joins on the
+    # calendar-bounded series + the 7-group reduce.
+    ("q_forecast_backtest_horizons", 3),
 ])
 def test_r04_batch89_plan_shape(name, max_shuffles, spark, sf_dir):
     df = QUERIES[name].fn(spark, sf_dir)
