@@ -124,3 +124,36 @@ def duck_pagerank_sql(
         + ",\n".join(parts)
         + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iterations}"
     )
+
+
+def copurchase_edges(lineitem, min_support: int = 2, weight: bool = False):
+    """Support-thresholded part co-purchase edge list (x < y), the
+    shared substrate of the graph queries (LPA / k-core / BFS /
+    Adamic-Adar / Bellman-Ford / Hill alpha).
+
+    Checkpointed EAGERLY before returning: the edge list is always
+    consumed through several different projections (und directions,
+    degree rollups, anti-join legs), which defeats exchange reuse and
+    re-executed the lineitem self-join once PER CONSUMER before the
+    cut -- the round-4 rehearsal measured 24 GB of spill from exactly
+    that in the first Adamic-Adar cut.  With ``weight=True`` the edge
+    carries ``w = 1000000 DIV support`` (integer, strong ties cheap --
+    the Bellman-Ford cost) instead of being support-filtered only.
+    """
+    from pyspark.sql import functions as F
+
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    base = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= min_support)
+    )
+    if weight:
+        base = base.select(
+            "x", "y", F.expr("CAST(1000000 DIV cnt AS BIGINT)").alias("w")
+        )
+    return base.localCheckpoint(eager=True)

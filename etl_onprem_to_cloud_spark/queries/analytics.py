@@ -1424,7 +1424,11 @@ def q_exact_price_percentiles(spark, sf_dir):
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("bigint")
         .alias("cents")
-    ).localCheckpoint(eager=True)
+    )
+    # NOT checkpointed: cents is FACT-scale (one row per lineitem);
+    # the two histogram passes re-scan the single pushed-down parquet
+    # column instead, which is cheaper than materializing ~8B x n into
+    # executor memory/disk (checkpoints are for bounded relations).
     h1 = cents.groupBy(
         F.expr("cents DIV 10000").alias("b")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -1707,9 +1711,22 @@ def q_markov_removal_attribution(spark, sf_dir):
         return v["START"]
 
     b = value_chain(None)
+    if b == 0:
+        # The oracle's `// b.v` would emit NULL rows here; a chain
+        # with zero reachable conversion mass has no attribution to
+        # split, so fail loudly instead of returning NULLs.
+        raise ValueError(
+            "q_markov_removal_attribution: base conversion value is 0 "
+            "(no conversion mass within the iteration horizon)"
+        )
     res = [(ch, value_chain(ch)) for ch in _RE_CHANNELS]
     re_q = {ch: ((b - bx) * _RE_SCALE) // b for ch, bx in res}
     sq = sum(re_q.values())
+    if sq == 0:
+        raise ValueError(
+            "q_markov_removal_attribution: all removal effects floor "
+            "to 0; attribution shares are undefined"
+        )
     rows = [
         (
             ch,

@@ -330,12 +330,13 @@ def q_freshness_report(spark, sf_dir):
 # Migration-validation table checksums (on-prem -> cloud parity gate)
 # --------------------------------------------------------------------------
 
-# Row fingerprint: md5 over a canonical pipe-joined projection, 31-bit
-# slice summed as BIGINT.  The sum is ORDER-INDEPENDENT (addition
-# commutes), so any partitioning/layout of either copy produces the
-# identical checksum -- exactly what a source-vs-target load check
-# needs.  Exact to ~4e9 rows per table (sum < 2^31 * n); beyond that,
-# sum the slices modulo a 61-bit prime on both sides.
+# Row fingerprint: md5 over a canonical pipe-joined projection, 28-bit
+# slice (7 hex chars) summed as BIGINT.  The sum is ORDER-INDEPENDENT
+# (addition commutes), so any partitioning/layout of either copy
+# produces the identical checksum -- exactly what a source-vs-target
+# load check needs.  Exact to ~2^35 (~3.4e10) rows per table
+# (sum < 2^28 * n < 2^63); beyond that, sum the slices modulo a
+# 61-bit prime on both sides.
 # Doubles and timestamps are canonicalized to integers FIRST (cents /
 # epoch seconds) because engines disagree on shortest-roundtrip double
 # printing; NULL becomes a sentinel distinct from any real value.
@@ -384,7 +385,7 @@ _CK_NATION_DUCK = (
     description=(
         "Migration-validation checksums for the orders/customer/nation "
         "loads: per table, row count plus an ORDER-INDEPENDENT content "
-        "checksum (sum of 31-bit md5 slices over a canonical projection "
+        "checksum (sum of 28-bit md5 slices over a canonical projection "
         "-- doubles as integer cents, timestamps as epoch seconds, "
         "NULL as a sentinel), so the on-prem source and the cloud "
         "target can be compared without sorting either side.  The "

@@ -25,7 +25,11 @@ from ..functions.numeric import dec, portable_round
 from ..operators.sampling import duck_hash_gate, hash_gate
 from ..pinned import pin
 from ..functions.text import tokens
-from ..operators.graph import duck_pagerank_sql, pagerank_fixed_point
+from ..operators.graph import (
+    copurchase_edges,
+    duck_pagerank_sql,
+    pagerank_fixed_point,
+)
 from ..operators.quality import (
     completeness,
     in_range,
@@ -3644,16 +3648,7 @@ def q_adamic_adar_linkpred(spark, sf_dir):
     retention window, degree count and wedge join all share the node
     key; the anti-join against existing edges and the (x, z) rollup
     share the pair key.  TakeOrdered(20) ends the plan."""
-    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-    ).localCheckpoint(eager=True)
+    edges = copurchase_edges(cat(spark, sf_dir).lineitem)
     und = edges.select(
         F.col("x").alias("node"), F.col("y").alias("nb"), "cnt"
     ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb"), "cnt"))
@@ -3887,18 +3882,7 @@ def q_bellman_ford_cheapest(spark, sf_dir):
     exchange-reuse lesson).  At 100 TB this is THE shortest-path
     shape that survives: no priority queue, just k scans of a
     node-partitioned relation."""
-    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
-        .agg(F.expr("CAST(1000000 DIV count(1) AS BIGINT)").alias("w"))
-        # support >= 2 <=> w <= 500000 (w is 1e6 DIV support): the
-        # HAVING clause without carrying the raw count through.
-        .filter(F.col("w") <= 500000)
-    ).localCheckpoint(eager=True)
+    edges = copurchase_edges(cat(spark, sf_dir).lineitem, weight=True)
     und = edges.select(
         F.col("x").alias("node"), F.col("y").alias("nb"), "w"
     ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb"), "w"))
@@ -3979,17 +3963,7 @@ def q_degree_powerlaw_alpha(spark, sf_dir):
     build), a node-keyed degree count, and a single-row reduce; the
     ln terms ride inside the aggregate projection, so nothing beyond
     the standard graph build moves at data scale."""
-    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("x", "y")
-    ).localCheckpoint(eager=True)
+    edges = copurchase_edges(cat(spark, sf_dir).lineitem).select("x", "y")
     und = edges.select(F.col("x").alias("node")).unionAll(
         edges.select(F.col("y").alias("node"))
     )

@@ -278,7 +278,11 @@ def q_l_diversity_audit(spark, sf_dir):
     "q_subject_access_report",
     oracle="""
 WITH subj AS (
+  -- a deletion/access BATCH is bounded by construction: the hash
+  -- cohort is capped at 500 subjects (deterministic order), so every
+  -- broadcast below is genuinely small at any data volume.
   SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 11
+  ORDER BY c_custkey LIMIT 500
 ),
 o AS (
   SELECT o_orderkey, o_custkey FROM orders JOIN subj ON o_custkey = k
@@ -318,15 +322,19 @@ ORDER BY table_name
     ),
 )
 def q_subject_access_report(spark, sf_dir):
-    """The subject cohort broadcasts everywhere (it is tiny by
-    construction -- a deletion batch, not a segment), so everyleg is
-    a broadcast semi/inner join + map-side-combined count: no fact
-    table shuffles.  The lineitem leg routes through the subjects'
-    orders, demonstrating the transitive-reach scan a real erasure
-    run must do."""
+    """The subject cohort is CAPPED at 500 rows (a deletion batch,
+    not a segment), so it broadcasts safely at any volume; the
+    subjects' ORDERS relation scales with their activity, so that
+    join is left to AQE rather than force-broadcast.  Every leg is a
+    semi/inner join + map-side-combined count; the lineitem leg
+    routes through the subjects' orders, the transitive-reach scan a
+    real erasure run must do."""
     c = cat(spark, sf_dir)
-    subj = c.customer.filter(F.col("c_custkey") % 97 == 11).select(
-        F.col("c_custkey").alias("k")
+    subj = (
+        c.customer.filter(F.col("c_custkey") % 97 == 11)
+        .select(F.col("c_custkey").alias("k"))
+        .orderBy("k")
+        .limit(500)
     )
     o = c.orders.join(
         F.broadcast(subj), F.col("o_custkey") == F.col("k")
@@ -349,9 +357,7 @@ def q_subject_access_report(spark, sf_dir):
         "user_id",
     )
     li = leg(
-        c.lineitem.join(
-            F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
-        ),
+        c.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey")),
         "lineitem",
         "o_custkey",
     )

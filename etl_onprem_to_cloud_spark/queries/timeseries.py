@@ -1471,8 +1471,8 @@ def q_croston_intermittent(spark, sf_dir):
     shuffle) and the per-day demand rollup filtered to that part (the
     broadcast top-1 join pushes the filter to the scan side); the
     recursion folds over the nonzero-demand-days array in ONE row --
-    the Holt convention.  State updates are integer add + "
-    "floor(x/2.0), exact below 2^52, so both engines walk identical
+    the Holt convention.  State updates are integer add plus
+    floor(x/2.0), exact below 2^52, so both engines walk identical
     integer sequences."""
     li = cat(spark, sf_dir).lineitem.select(
         "l_partkey",
