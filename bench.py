@@ -224,6 +224,9 @@ HEADLINE = [
     # r4 batch 14: CUPED readout, forecast backtest curve.
     "q_cuped_ab_readout",
     "q_forecast_backtest_horizons",
+    # r4 batch 15: experimentation guardrails + power sizing.
+    "q_ab_srm_and_ztest",
+    "q_ab_mde_power",
 ]
 
 

@@ -216,6 +216,8 @@ _NEW_THIS_ROUND = (
     "q_markov_removal_attribution",  # new: absorbing-chain channel credit
     "q_cuped_ab_readout",         # new: variance-reduced A/B readout
     "q_forecast_backtest_horizons",  # new: rolling-origin MAE curve
+    "q_ab_srm_and_ztest",         # new: SRM guardrail + pooled z
+    "q_ab_mde_power",             # new: minimum-detectable-effect sizing
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -3765,6 +3765,10 @@ def q_theilsen_daily_trend(spark, sf_dir):
             .alias("x")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        # NOT checkpointed despite five consumers: a same-session A/B
+        # measured parity (3.5-5.4s both ways at sf0.1) -- the
+        # one-column day rollup is too cheap for re-execution to
+        # matter, unlike the STL/isotonic cases where it did.
     )
     a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
@@ -4364,3 +4368,219 @@ def q_cuped_ab_readout(spark, sf_dir):
         )
 
     return arm_row("0", 0).unionAll(arm_row("1", 1)).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# Experimentation guardrails: SRM check, two-proportion z, MDE sizing
+# --------------------------------------------------------------------------
+
+_AB_GATE = duck_hash_gate("CAST(user_id AS VARCHAR)", "cuped")
+
+
+@query(
+    "q_ab_srm_and_ztest",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+    CAST({_AB_GATE} % 2 AS INTEGER) AS arm,
+    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT
+    CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n0,
+    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+  FROM u
+),
+d AS (
+  SELECT *,
+    CAST(n0 + n1 AS DOUBLE) AS n,
+    CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp
+  FROM s
+)
+SELECT n0, n1,
+  floor((CAST(n0 AS DOUBLE) - n / 2.0) * (CAST(n0 AS DOUBLE) - n / 2.0)
+        / (n / 2.0) * 2.0 * 1000000.0 + 0.5) / 1000000.0 AS srm_chi2,
+  CAST(CASE WHEN (CAST(n0 AS DOUBLE) - n / 2.0)
+    * (CAST(n0 AS DOUBLE) - n / 2.0) / (n / 2.0) * 2.0 > 3.841 THEN 1
+    ELSE 0 END AS BIGINT) AS srm_flag,
+  floor(CAST(c0 AS DOUBLE) / n0 * 1000000.0 + 0.5) / 1000000.0 AS p0,
+  floor(CAST(c1 AS DOUBLE) / n1 * 1000000.0 + 0.5) / 1000000.0 AS p1,
+  floor((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        / sqrt(greatest(1e-12, pp * (1.0 - pp)
+                        * (1.0 / n0 + 1.0 / n1)))
+        * 1000000.0 + 0.5) / 1000000.0 AS z_stat
+FROM d
+""",
+    tags=("stats", "experimentation", "guardrail", "ring-c"),
+    description=(
+        "A/B guardrail + readout in one pass: sample-ratio-mismatch "
+        "chi-square of the arm split against the designed 50/50 (with "
+        "the 3.841 = chi2(1, 0.05) trust flag -- a failed SRM "
+        "invalidates the experiment before any metric is read), then "
+        "the two-proportion pooled z-test on user purchase conversion. "
+        " All counts exact integers; the z expression is the "
+        "identical IEEE sequence in both engines (sqrt is correctly "
+        "rounded; the variance is clamped at 1e-12 against the "
+        "all-converted edge, the chi-squared query's convention)."
+    ),
+)
+def q_ab_srm_and_ztest(spark, sf_dir):
+    """One per-user rollup (the only data-scale shuffle) + a 1-row
+    conditional-count reduce + a fixed-structure scalar projection --
+    the t-test discipline applied to the experimentation guardrail
+    pair every A/B platform runs before trusting a readout."""
+    ev = cat(spark, sf_dir).events
+    u = ev.groupBy("user_id").agg(
+        (hash_gate(F.col("user_id").cast("string"), "cuped") % 2)
+        .cast("int")
+        .alias("arm"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("converted"),
+    )
+    s = u.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    n = (F.col("n0") + F.col("n1")).cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    dev = F.col("n0").cast("double") - n / F.lit(2.0)
+    chi2 = dev * dev / (n / F.lit(2.0)) * F.lit(2.0)
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return s.select(
+        "n0",
+        "n1",
+        q6(chi2).alias("srm_chi2"),
+        F.when(chi2 > F.lit(3.841), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("srm_flag"),
+        q6(p0).alias("p0"),
+        q6(p1).alias("p1"),
+        q6(
+            (p1 - p0)
+            / F.sqrt(
+                F.greatest(
+                    F.lit(1e-12),
+                    pp
+                    * (F.lit(1.0) - pp)
+                    * (
+                        F.lit(1.0) / F.col("n0")
+                        + F.lit(1.0) / F.col("n1")
+                    ),
+                )
+            )
+        ).alias("z_stat"),
+    )
+
+
+# z_{0.975} and z_{0.80}: fixed literals shared by both engine texts.
+_MDE_ZA = "1.959963984540054"
+_MDE_ZB = "0.8416212335729143"
+
+
+@query(
+    "q_ab_mde_power",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+    CAST(coalesce(sum(CASE WHEN floor(epoch(ts)) >= 1705363200
+      THEN CAST(value AS DECIMAL(18,6)) END), 0) * 1000000 AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+      AS DECIMAL(38,0)) AS syy
+  FROM u
+),
+d AS (
+  SELECT n,
+    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+      AS var_y,
+    CAST(sy AS DOUBLE) / n AS mean_y
+  FROM s
+)
+SELECT n AS n_users,
+  floor(mean_y / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_y,
+  floor(({_MDE_ZA} + {_MDE_ZB}) * sqrt(greatest(0.0, var_y) * 2.0 / (n / 2.0))
+        / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mde_abs,
+  floor(({_MDE_ZA} + {_MDE_ZB}) * sqrt(greatest(0.0, var_y) * 2.0 / (n / 2.0))
+        / greatest(1e-12, mean_y) * 1000000.0 + 0.5) / 1000000.0
+    AS mde_rel
+FROM d
+""",
+    tags=("stats", "experimentation", "power", "ring-c"),
+    description=(
+        "A/B power sizing from observed data: the minimum detectable "
+        "effect (alpha=0.05 two-sided, power=0.80) for a 50/50 split "
+        "of the current population on post-period user value -- "
+        "MDE = (z_a + z_b) * sqrt(2 * var / (n/2)), absolute and "
+        "relative to the mean.  Variance from exact micro-unit BIGINT "
+        "/ DECIMAL(38,0) sufficient statistics (the CUPED moments), "
+        "z constants as shared literals, sqrt correctly rounded -- "
+        "the pre-experiment question ('CAN this test detect the "
+        "effect we care about?') answered by the same engine that "
+        "will read the experiment out."
+    ),
+)
+def q_ab_mde_power(spark, sf_dir):
+    """One per-user rollup + a 1-row moment reduce + a scalar
+    projection -- same cost envelope as the CUPED readout it sizes."""
+    ev = cat(spark, sf_dir).events
+    post = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+    ) >= F.lit(1705363200)
+    u = ev.groupBy("user_id").agg(
+        (
+            F.coalesce(F.sum(F.when(post, dec("value"))), F.lit(0))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    var_y = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    ) / (F.col("n") - 1)
+    mean_y = F.col("sy").cast("double") / F.col("n")
+    mde = (
+        F.lit(float(_MDE_ZA) + float(_MDE_ZB))
+        * F.sqrt(
+            F.greatest(F.lit(0.0), var_y) * F.lit(2.0) / (F.col("n") / F.lit(2.0))
+        )
+    )
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return s.select(
+        F.col("n").alias("n_users"),
+        q6(mean_y / F.lit(1e6)).alias("mean_y"),
+        q6(mde / F.lit(1e6)).alias("mde_abs"),
+        q6(mde / F.greatest(F.lit(1e-12), mean_y)).alias("mde_rel"),
+    )

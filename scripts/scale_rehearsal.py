@@ -200,6 +200,9 @@ REHEARSAL = [
     # round-4 batch 14
     "q_cuped_ab_readout",
     "q_forecast_backtest_horizons",
+    # round-4 batch 15
+    "q_ab_srm_and_ztest",
+    "q_ab_mde_power",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

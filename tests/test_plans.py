@@ -809,6 +809,9 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     ("q_markov_removal_attribution", 1),
     # CUPED: per-user rollup + one global conditional-moment reduce.
     ("q_cuped_ab_readout", 3),
+    # SRM/z + MDE: one per-user rollup + a 1-row reduce each.
+    ("q_ab_srm_and_ztest", 2),
+    ("q_ab_mde_power", 2),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
