@@ -227,6 +227,10 @@ HEADLINE = [
     # r4 batch 15: experimentation guardrails + power sizing.
     "q_ab_srm_and_ztest",
     "q_ab_mde_power",
+    # r4 batch 16: load-profile drift, Simpson census, safety stock.
+    "q_schema_drift_report",
+    "q_simpsons_paradox_check",
+    "q_safety_stock_parts",
 ]
 
 

@@ -218,6 +218,9 @@ _NEW_THIS_ROUND = (
     "q_forecast_backtest_horizons",  # new: rolling-origin MAE curve
     "q_ab_srm_and_ztest",         # new: SRM guardrail + pooled z
     "q_ab_mde_power",             # new: minimum-detectable-effect sizing
+    "q_schema_drift_report",      # new: per-column load-profile delta
+    "q_simpsons_paradox_check",   # new: aggregate-vs-segment sign census
+    "q_safety_stock_parts",       # new: service-level reorder points
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

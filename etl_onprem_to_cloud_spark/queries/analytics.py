@@ -1741,3 +1741,160 @@ def q_markov_removal_attribution(spark, sf_dir):
         "channel string, removal_effect double, attribution_share double,"
         " base_conversion double",
     ).orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# Simpson's paradox detector (aggregate sign vs per-segment signs)
+# --------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH o AS (
+  SELECT c.c_nationkey AS seg,
+    CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END AS BIGINT) AS grp,
+    CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT)
+      AS hit
+  FROM orders JOIN customer c ON c.c_custkey = o_custkey
+),
+seg AS (
+  SELECT seg,
+    CAST(sum(CASE WHEN grp = 1 THEN hit ELSE 0 END) AS BIGINT) AS h1,
+    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN grp = 0 THEN hit ELSE 0 END) AS BIGINT) AS h0,
+    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM o GROUP BY seg
+),
+g AS (
+  SELECT CAST(sum(h1) AS BIGINT) AS h1, CAST(sum(n1) AS BIGINT) AS n1,
+    CAST(sum(h0) AS BIGINT) AS h0, CAST(sum(n0) AS BIGINT) AS n0
+  FROM seg
+),
+sg AS (
+  -- sign of the rate difference WITHOUT division: h1*n0 - h0*n1
+  -- (exact integers; n1,n0 > 0 in every populated cell or the
+  -- segment is excluded).
+  SELECT seg.seg,
+    CASE WHEN seg.h1 * seg.n0 - seg.h0 * seg.n1 > 0 THEN 1
+         WHEN seg.h1 * seg.n0 - seg.h0 * seg.n1 < 0 THEN -1
+         ELSE 0 END AS seg_sign
+  FROM seg WHERE seg.n1 > 0 AND seg.n0 > 0
+)
+SELECT
+  CAST((SELECT count(*) FROM sg) AS BIGINT) AS n_segments,
+  CAST((SELECT count(*) FROM sg WHERE seg_sign = 1) AS BIGINT)
+    AS n_seg_positive,
+  CAST((SELECT count(*) FROM sg WHERE seg_sign = -1) AS BIGINT)
+    AS n_seg_negative,
+  CASE WHEN g.h1 * g.n0 - g.h0 * g.n1 > 0 THEN 1
+       WHEN g.h1 * g.n0 - g.h0 * g.n1 < 0 THEN -1
+       ELSE 0 END AS aggregate_sign,
+  floor(CAST(g.h1 AS DOUBLE) / g.n1 * 1000000.0 + 0.5) / 1000000.0
+    AS rate_urgent,
+  floor(CAST(g.h0 AS DOUBLE) / g.n0 * 1000000.0 + 0.5) / 1000000.0
+    AS rate_other,
+  CAST(CASE WHEN (g.h1 * g.n0 - g.h0 * g.n1 > 0
+       AND (SELECT count(*) FROM sg WHERE seg_sign = -1)
+           > (SELECT count(*) FROM sg WHERE seg_sign = 1))
+    OR (g.h1 * g.n0 - g.h0 * g.n1 < 0
+       AND (SELECT count(*) FROM sg WHERE seg_sign = 1)
+           > (SELECT count(*) FROM sg WHERE seg_sign = -1))
+    THEN 1 ELSE 0 END AS BIGINT) AS paradox_flag
+FROM g
+"""
+
+
+@query(
+    "q_simpsons_paradox_check",
+    oracle=_SIMPSON_ORACLE,
+    tags=("analytics", "bi", "diagnostics", "ring-b"),
+    description=(
+        "Simpson's-paradox detector for the urgent-vs-other "
+        "fulfillment-rate comparison: the aggregate rate-difference "
+        "sign next to the per-nation signs (every sign from exact "
+        "integer cross-products h1*n0 - h0*n1, never a division), "
+        "flagged when the majority of segments disagree with the "
+        "aggregate -- the one diagnostic that stops a blended KPI "
+        "from shipping a backwards conclusion."
+    ),
+)
+def q_simpsons_paradox_check(spark, sf_dir):
+    """One fact-dim join (nation key via customer, broadcastable dim
+    path) + one segment rollup; the aggregate and the sign census
+    derive from the ~25-row segment relation."""
+    c = cat(spark, sf_dir)
+    o = c.orders.join(
+        c.customer.select("c_custkey", "c_nationkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("seg"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("grp"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("hit"),
+    )
+    seg = o.groupBy("seg").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("hit")).otherwise(0))
+        .cast("bigint")
+        .alias("h1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("hit")).otherwise(0))
+        .cast("bigint")
+        .alias("h0"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+    ).localCheckpoint(eager=True)
+    g = seg.agg(
+        F.sum("h1").cast("bigint").alias("h1"),
+        F.sum("n1").cast("bigint").alias("n1"),
+        F.sum("h0").cast("bigint").alias("h0"),
+        F.sum("n0").cast("bigint").alias("n0"),
+    )
+    cross = F.col("h1") * F.col("n0") - F.col("h0") * F.col("n1")
+    sign = (
+        F.when(cross > 0, 1).when(cross < 0, -1).otherwise(0)
+    )
+    sg = seg.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        sign.alias("seg_sign")
+    )
+    census = sg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum((F.col("seg_sign") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_seg_positive"),
+        F.sum((F.col("seg_sign") == -1).cast("int"))
+        .cast("bigint")
+        .alias("n_seg_negative"),
+    )
+
+    def q6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    agg_sign = sign.cast("int")
+    return (
+        g.crossJoin(F.broadcast(census))
+        .select(
+            "n_segments",
+            "n_seg_positive",
+            "n_seg_negative",
+            agg_sign.alias("aggregate_sign"),
+            q6(F.col("h1").cast("double") / F.col("n1")).alias("rate_urgent"),
+            q6(F.col("h0").cast("double") / F.col("n0")).alias("rate_other"),
+            F.when(
+                ((cross > 0) & (F.col("n_seg_negative") > F.col("n_seg_positive")))
+                | ((cross < 0) & (F.col("n_seg_positive") > F.col("n_seg_negative"))),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("paradox_flag"),
+        )
+    )

@@ -273,3 +273,117 @@ def q_fifo_cost_matching(spark, sf_dir):
         .orderBy(F.col("demand_qty").desc(), "partkey")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Safety stock / reorder points (service-level inventory sizing)
+# --------------------------------------------------------------------------
+
+_SS_Z = "1.6448536269514722"  # z at 95% cycle service level
+_SS_L = 7  # replenishment lead time, days
+
+_SS_ORACLE = f"""
+WITH d AS (
+  SELECT l_partkey,
+    CAST(floor(floor(epoch(l_shipdate)) / 86400) AS BIGINT) AS day,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, day
+),
+s AS (
+  SELECT l_partkey,
+    CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(q) AS BIGINT) AS sq,
+    CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM d GROUP BY l_partkey HAVING count(*) >= 5
+),
+r AS (
+  SELECT l_partkey, n_days,
+    CAST(sq AS DOUBLE) / n_days AS mu,
+    sqrt(greatest(0.0,
+      (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n_days)
+      / (n_days - 1))) AS sigma
+  FROM s
+)
+SELECT l_partkey AS partkey, n_days,
+  floor(mu * 1000000.0 + 0.5) / 1000000.0 AS daily_demand,
+  floor({_SS_Z} * sigma * sqrt({_SS_L}.0) * 1000000.0 + 0.5)
+    / 1000000.0 AS safety_stock,
+  floor((mu * {_SS_L} + {_SS_Z} * sigma * sqrt({_SS_L}.0))
+        * 1000000.0 + 0.5) / 1000000.0 AS reorder_point
+FROM r
+ORDER BY reorder_point DESC, partkey LIMIT 15
+"""
+
+
+@query(
+    "q_safety_stock_parts",
+    oracle=_SS_ORACLE,
+    tags=("finance", "inventory", "ops", "ring-c"),
+    description=(
+        f"Service-level inventory sizing: per part, daily-demand mean "
+        f"and standard deviation from exact integer sufficient "
+        f"statistics over its demand days (>= 5 observed), safety "
+        f"stock = z95 * sigma * sqrt(L) and reorder point = "
+        f"mu*L + safety stock for a {_SS_L}-day lead time -- the 15 "
+        "highest reorder points.  The inventory-planning companion of "
+        "the FIFO ledger and Croston forecast: FIFO prices what "
+        "happened, Croston predicts sparse demand, this sizes the "
+        "buffer."
+    ),
+)
+def q_safety_stock_parts(spark, sf_dir):
+    """Two part-keyed aggregations (day rollup, then moment rollup --
+    same key, one exchange reused) and a TakeOrdered(15); every
+    statistic is an exact BIGINT until the final mu/sigma doubles,
+    and sqrt is correctly rounded so both engines agree bit-for-bit."""
+    li = cat(spark, sf_dir).lineitem
+    d = (
+        li.groupBy(
+            "l_partkey",
+            F.floor(
+                F.floor(
+                    F.unix_timestamp(F.col("l_shipdate").cast("timestamp"))
+                ) / F.lit(86400)
+            )
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    )
+    s = (
+        d.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("q").cast("bigint").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
+    mu = F.col("sq").cast("double") / F.col("n_days")
+    sigma = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double") * F.col("sq") / F.col("n_days")
+            )
+            / (F.col("n_days") - 1),
+        )
+    )
+    z = F.lit(float(_SS_Z))
+    rootl = F.sqrt(F.lit(float(_SS_L)))
+
+    def q6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        s.select(
+            F.col("l_partkey").alias("partkey"),
+            "n_days",
+            q6(mu).alias("daily_demand"),
+            q6(z * sigma * rootl).alias("safety_stock"),
+            q6(mu * F.lit(_SS_L) + z * sigma * rootl).alias("reorder_point"),
+        )
+        .orderBy(F.desc("reorder_point"), "partkey")
+        .limit(15)
+    )

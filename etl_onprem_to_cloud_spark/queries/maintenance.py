@@ -598,3 +598,178 @@ def q_snapshot_diff_cdc(spark, sf_dir):
         )
         .orderBy("action")
     )
+
+
+# --------------------------------------------------------------------------
+# Schema/statistics drift between two loads (per-column profile delta)
+# --------------------------------------------------------------------------
+
+# Same derived snapshot pair as q_snapshot_diff_cdc: the OLD load
+# misses orderkey % 97 = 3, the NEW misses % 89 = 5 and bumps every
+# seventh key's total by 100 cents.  The drift report compares
+# per-column profiles (row count, null rate, mean for numerics,
+# distinct count for low-cardinality strings) -- the statistical
+# companion of the row-level diff: CDC says WHICH rows changed, this
+# says whether the DISTRIBUTION moved enough to break consumers.
+
+_DRIFT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 3),
+new AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+    cents + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS cents
+  FROM base WHERE o_orderkey % 89 <> 5
+),
+po AS (
+  SELECT 'cents' AS column_name,
+    CAST(count(*) AS BIGINT) AS n_old,
+    CAST(count(*) - count(cents) AS BIGINT) AS nulls_old,
+    floor(CAST(sum(cents) AS DOUBLE) / count(cents) / 100.0
+          * 1000000.0 + 0.5) / 1000000.0 AS mean_old,
+    CAST(count(DISTINCT NULL) AS BIGINT) AS distinct_old
+  FROM old
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+    CAST(count(*) - count(o_orderpriority) AS BIGINT),
+    CAST(NULL AS DOUBLE),
+    CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+  FROM old
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+    CAST(count(*) - count(o_orderstatus) AS BIGINT),
+    CAST(NULL AS DOUBLE),
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+  FROM old
+),
+pn AS (
+  SELECT 'cents' AS column_name,
+    CAST(count(*) AS BIGINT) AS n_new,
+    CAST(count(*) - count(cents) AS BIGINT) AS nulls_new,
+    floor(CAST(sum(cents) AS DOUBLE) / count(cents) / 100.0
+          * 1000000.0 + 0.5) / 1000000.0 AS mean_new,
+    CAST(count(DISTINCT NULL) AS BIGINT) AS distinct_new
+  FROM new
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+    CAST(count(*) - count(o_orderpriority) AS BIGINT),
+    CAST(NULL AS DOUBLE),
+    CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+  FROM new
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+    CAST(count(*) - count(o_orderstatus) AS BIGINT),
+    CAST(NULL AS DOUBLE),
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+  FROM new
+)
+SELECT po.column_name, po.n_old, pn.n_new,
+  po.nulls_old, pn.nulls_new,
+  po.mean_old, pn.mean_new,
+  po.distinct_old, pn.distinct_new,
+  CAST(CASE WHEN po.distinct_old <> pn.distinct_new
+    OR coalesce(abs(pn.mean_new - po.mean_old)
+                / greatest(1e-12, abs(po.mean_old)) > 0.001, FALSE)
+    THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+FROM po JOIN pn USING (column_name)
+ORDER BY column_name
+"""
+
+
+@query(
+    "q_schema_drift_report",
+    oracle=_DRIFT_ORACLE,
+    tags=("maintenance", "migration", "drift", "ring-b"),
+    description=(
+        "Per-column profile drift between the two derived loads of "
+        "the orders table: row counts, null counts, mean (numeric) "
+        "and distinct count (categorical) side by side with a drift "
+        "flag (cardinality change or >0.1% relative mean shift).  "
+        "The distribution-level companion of q_snapshot_diff_cdc and "
+        "q_migration_checksums: CDC says WHICH rows changed, the "
+        "checksum says IF anything changed, this says whether the "
+        "shape a consumer depends on moved."
+    ),
+)
+def q_schema_drift_report(spark, sf_dir):
+    """Two scans (one per snapshot), each a single map-side-combined
+    aggregate producing all three columns' profiles at once (the
+    profile_columns one-pass convention); the join/flag step runs on
+    six profile rows."""
+    base = cat(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    old = base.filter(F.col("o_orderkey") % 97 != 3)
+    new = base.filter(F.col("o_orderkey") % 89 != 5).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100)).otherwise(F.lit(0)),
+    )
+
+    def profile(df, suffix):
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("cents").cast("bigint").alias("nn_cents"),
+            F.sum("cents").cast("bigint").alias("s_cents"),
+            F.count("o_orderpriority").cast("bigint").alias("nn_pri"),
+            F.count_distinct("o_orderpriority").cast("bigint").alias("d_pri"),
+            F.count("o_orderstatus").cast("bigint").alias("nn_st"),
+            F.count_distinct("o_orderstatus").cast("bigint").alias("d_st"),
+        )
+        mean = (
+            F.floor(
+                F.col("s_cents").cast("double")
+                / F.col("nn_cents")
+                / F.lit(100.0)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        )
+        rows = [
+            ("cents", F.col("n") - F.col("nn_cents"), mean,
+             F.lit(0).cast("bigint")),
+            ("o_orderpriority", F.col("n") - F.col("nn_pri"),
+             F.lit(None).cast("double"), F.col("d_pri")),
+            ("o_orderstatus", F.col("n") - F.col("nn_st"),
+             F.lit(None).cast("double"), F.col("d_st")),
+        ]
+        out = None
+        for name, nulls, m, d in rows:
+            piece = agg.select(
+                F.lit(name).alias("column_name"),
+                F.col("n").alias(f"n_{suffix}"),
+                nulls.cast("bigint").alias(f"nulls_{suffix}"),
+                m.alias(f"mean_{suffix}"),
+                d.alias(f"distinct_{suffix}"),
+            )
+            out = piece if out is None else out.unionAll(piece)
+        return out
+
+    po = profile(old, "old")
+    pn = profile(new, "new")
+    drift = (
+        F.col("distinct_old") != F.col("distinct_new")
+    ) | F.coalesce(
+        F.abs(F.col("mean_new") - F.col("mean_old"))
+        / F.greatest(F.lit(1e-12), F.abs(F.col("mean_old")))
+        > 0.001,
+        F.lit(False),
+    )
+    return (
+        po.join(pn, "column_name")
+        .select(
+            "column_name", "n_old", "n_new", "nulls_old", "nulls_new",
+            "mean_old", "mean_new", "distinct_old", "distinct_new",
+            F.when(drift, 1).otherwise(0).cast("bigint").alias("drift_flag"),
+        )
+        .orderBy("column_name")
+    )

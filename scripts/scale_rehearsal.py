@@ -203,6 +203,10 @@ REHEARSAL = [
     # round-4 batch 15
     "q_ab_srm_and_ztest",
     "q_ab_mde_power",
+    # round-4 batch 16
+    "q_schema_drift_report",
+    "q_simpsons_paradox_check",
+    "q_safety_stock_parts",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

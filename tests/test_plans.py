@@ -812,6 +812,13 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     # SRM/z + MDE: one per-user rollup + a 1-row reduce each.
     ("q_ab_srm_and_ztest", 2),
     ("q_ab_mde_power", 2),
+    # drift report: one 1-row profile aggregate per snapshot (text
+    # re-expands it per column leg) + the 3-row join.
+    ("q_schema_drift_report", 5),
+    # Simpson: fact-dim join + segment rollup behind a checkpoint.
+    ("q_simpsons_paradox_check", 1),
+    # safety stock: day rollup + moment rollup (shared part key).
+    ("q_safety_stock_parts", 3),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
