@@ -231,6 +231,7 @@ HEADLINE = [
     "q_schema_drift_report",
     "q_simpsons_paradox_check",
     "q_safety_stock_parts",
+    "q_price_elasticity_brand",
 ]
 
 

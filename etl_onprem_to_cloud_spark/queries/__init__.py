@@ -221,6 +221,7 @@ _NEW_THIS_ROUND = (
     "q_schema_drift_report",      # new: per-column load-profile delta
     "q_simpsons_paradox_check",   # new: aggregate-vs-segment sign census
     "q_safety_stock_parts",       # new: service-level reorder points
+    "q_price_elasticity_brand",   # new: grouped log-log demand slope
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

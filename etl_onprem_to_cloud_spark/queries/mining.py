@@ -4584,3 +4584,114 @@ def q_ab_mde_power(spark, sf_dir):
         q6(mde / F.lit(1e6)).alias("mde_abs"),
         q6(mde / F.greatest(F.lit(1e-12), mean_y)).alias("mde_rel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Log-log demand slope per brand (pseudo price elasticity)
+# --------------------------------------------------------------------------
+
+_ELAS_ORACLE = """
+WITH pts AS (
+  -- each ln output quantized ONCE to the 1e-6 grid (the libm
+  -- convention), so every second moment below is an exact integer /
+  -- DECIMAL(38,0) accumulation with no ordering hazard.
+  SELECT p.p_brand AS brand,
+    CAST(floor(ln(l.l_extendedprice / l.l_quantity) * 1000000.0 + 0.5)
+      AS BIGINT) AS x,
+    CAST(floor(ln(l.l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+m AS (
+  SELECT brand,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+      AS DECIMAL(38,0)) AS sxy,
+    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+      AS DECIMAL(38,0)) AS sxx,
+    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+      AS DECIMAL(38,0)) AS syy
+  FROM pts GROUP BY brand HAVING count(*) >= 30
+)
+SELECT brand, n,
+  floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        * 1000000.0 + 0.5) / 1000000.0 AS elasticity,
+  floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+           * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+        * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM m ORDER BY brand
+"""
+
+
+@query(
+    "q_price_elasticity_brand",
+    oracle=_ELAS_ORACLE,
+    tags=("mining", "regression", "economics", "ring-b"),
+    description=(
+        "Log-log demand slope per brand (the cross-sectional pseudo "
+        "price elasticity): ln(unit price) vs ln(quantity) regressed "
+        "per brand with each ln output quantized once to the 1e-6 "
+        "grid, second moments as exact DECIMAL(38,0) products (BIGINT "
+        "would overflow at x^2*n), slope + r^2 per brand with >= 30 "
+        "observations.  The grouped OLS family's log-scale member "
+        "next to the linear q_regression_price_on_qty."
+    ),
+)
+def q_price_elasticity_brand(spark, sf_dir):
+    """One fact-dim join (part side broadcastable) + one brand-keyed
+    moment rollup + a 25-row projection; the ln quantization happens
+    inside the aggregate's input projection, so the whole query is
+    one data-scale pass."""
+    c = cat(spark, sf_dir)
+    pts = c.lineitem.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("l_quantity")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = (
+        pts.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+            F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+            F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    covn = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ) / F.col("n")
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / F.col("n")
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ) / F.col("n")
+
+    def q6(col):
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return m.select(
+        "brand",
+        "n",
+        q6(covn / varx).alias("elasticity"),
+        q6(covn * covn / (varx * vary)).alias("r2"),
+    ).orderBy("brand")

@@ -819,6 +819,8 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     ("q_simpsons_paradox_check", 1),
     # safety stock: day rollup + moment rollup (shared part key).
     ("q_safety_stock_parts", 3),
+    # elasticity: broadcast part join + one brand-keyed moment rollup.
+    ("q_price_elasticity_brand", 3),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
