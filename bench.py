@@ -232,6 +232,9 @@ HEADLINE = [
     "q_simpsons_paradox_check",
     "q_safety_stock_parts",
     "q_price_elasticity_brand",
+    # r4 batch 18: engagement stickiness, funnel latency percentiles.
+    "q_dau_wau_stickiness",
+    "q_conversion_latency",
 ]
 
 

@@ -222,6 +222,8 @@ _NEW_THIS_ROUND = (
     "q_simpsons_paradox_check",   # new: aggregate-vs-segment sign census
     "q_safety_stock_parts",       # new: service-level reorder points
     "q_price_elasticity_brand",   # new: grouped log-log demand slope
+    "q_dau_wau_stickiness",       # new: rolling-distinct engagement ratio
+    "q_conversion_latency",       # new: funnel latency percentiles
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

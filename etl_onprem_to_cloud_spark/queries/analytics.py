@@ -1898,3 +1898,185 @@ def q_simpsons_paradox_check(spark, sf_dir):
             .alias("paradox_flag"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU stickiness (rolling-distinct engagement ratio)
+# --------------------------------------------------------------------------
+
+_STICKY_W = 7  # trailing window, days
+
+
+@query(
+    "q_dau_wau_stickiness",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+    user_id
+  FROM events
+),
+dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d
+),
+contrib AS (
+  SELECT du.d + off.o AS td, du.user_id
+  FROM du CROSS JOIN (
+    SELECT unnest(range(0, {_STICKY_W})) AS o
+  ) off
+),
+wau AS (
+  SELECT c.td AS d, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+  FROM contrib c JOIN (SELECT DISTINCT d FROM du) a ON a.d = c.td
+  GROUP BY c.td
+)
+SELECT dau.d AS day_index, dau.dau, wau.wau,
+  floor(CAST(dau.dau AS DOUBLE) / wau.wau * 1000000.0 + 0.5)
+    / 1000000.0 AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+WHERE dau.d >= (SELECT min(d) FROM du) + {_STICKY_W - 1}
+ORDER BY day_index
+""",
+    tags=("analytics", "engagement", "product", "ring-b"),
+    description=(
+        f"DAU/WAU stickiness per day: daily active users over "
+        f"trailing-{_STICKY_W}-day active users, computed with the "
+        "contribution-explode pattern (each (user, day) fans out to "
+        f"the {_STICKY_W} windows it covers, then ONE count_distinct "
+        "per day) -- never a per-day range self-join.  Warm-up days "
+        "without a full trailing window are excluded.  The product "
+        "engagement ratio (how much of the weekly audience shows up "
+        "daily) next to the bounce/retention KPIs."
+    ),
+)
+def q_dau_wau_stickiness(spark, sf_dir):
+    """One distinct over the (user, day) grid, a {_STICKY_W}x map-side
+    fan-out, and day-keyed distinct rollups -- the
+    q_rolling_24h_active_users shape on the day grain.  Shuffle
+    volume is the user-day grid, never raw events."""
+    ev = cat(spark, sf_dir).events
+    du = ev.select(
+        F.floor(
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+            / F.lit(86400)
+        )
+        .cast("bigint")
+        .alias("d"),
+        "user_id",
+    ).distinct().localCheckpoint(eager=True)
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    offs = F.array([F.lit(i) for i in range(_STICKY_W)])
+    contrib = du.select(
+        F.explode(offs).alias("o"), "d", "user_id"
+    ).select((F.col("d") + F.col("o")).alias("td"), "user_id")
+    actual = du.select("d").distinct().select(F.col("d").alias("td"))
+    wau = (
+        contrib.join(actual, "td")
+        .groupBy("td")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    dmin = du.agg(F.min("d").alias("dm"))
+    return (
+        dau.join(wau, dau.d == wau.td)
+        .crossJoin(F.broadcast(dmin))
+        .filter(F.col("d") >= F.col("dm") + F.lit(_STICKY_W - 1))
+        .select(
+            F.col("d").alias("day_index"),
+            "dau",
+            "wau",
+            (
+                F.floor(
+                    F.col("dau").cast("double") / F.col("wau") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("stickiness"),
+        )
+        .orderBy("day_index")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conversion latency (first view -> first purchase, exact percentiles)
+# --------------------------------------------------------------------------
+
+_CONV_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view'
+      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_view,
+    min(CASE WHEN event_type = 'purchase'
+      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_buy
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT first_buy - first_view AS sec
+  FROM f
+  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+    AND first_buy >= first_view
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat),
+r AS (SELECT sec, row_number() OVER (ORDER BY sec) AS rn FROM lat)
+SELECT n1.n AS n_converted,
+  (SELECT sec FROM r CROSS JOIN n1 WHERE rn = (n + 1) // 2) AS p50_sec,
+  (SELECT sec FROM r CROSS JOIN n1 WHERE rn = (9 * n + 9) // 10)
+    AS p90_sec,
+  (SELECT sec FROM r CROSS JOIN n1 WHERE rn = (99 * n + 99) // 100)
+    AS p99_sec
+FROM n1
+"""
+
+
+@query(
+    "q_conversion_latency",
+    oracle=_CONV_ORACLE,
+    tags=("analytics", "funnel", "latency", "ring-b"),
+    description=(
+        "Conversion latency: per user, seconds from first view to "
+        "first purchase (users whose first purchase precedes any view "
+        "are excluded -- they did not convert THROUGH the funnel), "
+        "reported as exact rank-selected p50/p90/p99.  The how-long "
+        "companion of the funnel's how-many."
+    ),
+)
+def q_conversion_latency(spark, sf_dir):
+    """One per-user conditional-min rollup (the only data-scale
+    shuffle); the rank selections run on the converted-user latency
+    relation, user-bounded.  The global-order window rides on that
+    bounded relation (the Theil-Sen justification)."""
+    ev = cat(spark, sf_dir).events
+    sec = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast(
+        "bigint"
+    )
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", sec)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", sec)).alias(
+            "first_buy"
+        ),
+    )
+    lat = f.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select((F.col("first_buy") - F.col("first_view")).alias("sec"))
+    n1 = lat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window as W
+
+    r = lat.withColumn("rn", F.row_number().over(W.orderBy("sec"))).crossJoin(
+        F.broadcast(n1)
+    )
+
+    def pick(rank_expr, alias):
+        return (
+            r.filter(F.col("rn") == F.floor(rank_expr))
+            .select(F.col("sec").alias(alias))
+        )
+
+    p50 = pick((F.col("n") + 1) / F.lit(2), "p50_sec")
+    p90 = pick((F.lit(9) * F.col("n") + 9) / F.lit(10), "p90_sec")
+    p99 = pick((F.lit(99) * F.col("n") + 99) / F.lit(100), "p99_sec")
+    return (
+        n1.select(F.col("n").alias("n_converted"))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(p99))
+    )

@@ -208,6 +208,9 @@ REHEARSAL = [
     "q_simpsons_paradox_check",
     "q_safety_stock_parts",
     "q_price_elasticity_brand",
+    # round-4 batch 18
+    "q_dau_wau_stickiness",
+    "q_conversion_latency",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

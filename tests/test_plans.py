@@ -821,6 +821,12 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     ("q_safety_stock_parts", 3),
     # elasticity: broadcast part join + one brand-keyed moment rollup.
     ("q_price_elasticity_brand", 3),
+    # stickiness: the (user, day) grid behind a checkpoint + DAU/WAU
+    # day-keyed rollups.
+    ("q_dau_wau_stickiness", 6),
+    # conversion latency: per-user rollup + rank picks on the bounded
+    # latency relation (text re-expands it per percentile leg).
+    ("q_conversion_latency", 8),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
