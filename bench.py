@@ -235,6 +235,8 @@ HEADLINE = [
     # r4 batch 18: engagement stickiness, funnel latency percentiles.
     "q_dau_wau_stickiness",
     "q_conversion_latency",
+    # r4 batch 19: watermark sizing audit.
+    "q_watermark_lateness_audit",
 ]
 
 

@@ -224,6 +224,7 @@ _NEW_THIS_ROUND = (
     "q_price_elasticity_brand",   # new: grouped log-log demand slope
     "q_dau_wau_stickiness",       # new: rolling-distinct engagement ratio
     "q_conversion_latency",       # new: funnel latency percentiles
+    "q_watermark_lateness_audit",  # new: streaming watermark sizing
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

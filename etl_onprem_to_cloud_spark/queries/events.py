@@ -1517,3 +1517,154 @@ def q_user_daily_streaks(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark lateness audit (how late do events actually arrive?)
+# --------------------------------------------------------------------------
+
+_WM_ORACLE = """
+WITH a AS (
+  -- arrival order = event_id (the ingest sequence); lateness =
+  -- how far behind the running max event-time an event arrives.
+  SELECT CAST(max(floor(epoch(ts))) OVER (
+      ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    - floor(epoch(ts)) AS BIGINT) AS late_sec
+  FROM events
+),
+b AS (
+  SELECT late_sec // 60 AS late_min, CAST(count(*) AS BIGINT) AS cnt
+  FROM a GROUP BY late_min
+),
+n1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+r AS (
+  SELECT late_min, cnt,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY late_min
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cumb
+  FROM b
+),
+pick AS (
+  SELECT
+    (SELECT min(late_min) FROM r CROSS JOIN n1
+     WHERE cumb < (n + 1) // 2 AND cumb + cnt >= (n + 1) // 2) AS p50,
+    (SELECT min(late_min) FROM r CROSS JOIN n1
+     WHERE cumb < (95 * n + 99) // 100
+       AND cumb + cnt >= (95 * n + 99) // 100) AS p95,
+    (SELECT min(late_min) FROM r CROSS JOIN n1
+     WHERE cumb < (99 * n + 99) // 100
+       AND cumb + cnt >= (99 * n + 99) // 100) AS p99
+)
+SELECT n1.n AS n_events,
+  pick.p50 AS p50_late_min, pick.p95 AS p95_late_min,
+  pick.p99 AS p99_late_min,
+  CAST(coalesce((SELECT sum(cnt) FROM b WHERE late_min >= 60), 0)
+    AS BIGINT) AS n_beyond_1h,
+  floor(CAST(coalesce((SELECT sum(cnt) FROM b WHERE late_min >= 60), 0)
+             AS DOUBLE)
+        / n1.n * 1000000.0 + 0.5) / 1000000.0 AS frac_beyond_1h
+FROM n1 CROSS JOIN pick
+"""
+
+
+@query(
+    "q_watermark_lateness_audit",
+    oracle=_WM_ORACLE,
+    tags=("events", "streaming-design", "lateness", "ring-b"),
+    description=(
+        "Watermark sizing audit: per event, lateness = running max "
+        "event-time over ARRIVAL order (event_id) minus the event's "
+        "own time -- exactly the quantity a Structured Streaming "
+        "watermark must cover to keep an event inside its window.  "
+        "Minute-resolution lateness histogram -> exact rank-selected "
+        "p50/p95/p99 plus the count and fraction arriving more than "
+        "an hour late: the number that tells you what "
+        "withWatermark('1 hour') would actually drop."
+    ),
+)
+def q_watermark_lateness_audit(spark, sf_dir):
+    """The running max over GLOBAL arrival order is the one inherently
+    sequential step; it rides the event_id ordering through the
+    two-level pattern: ids are bucketed, per-bucket running maxes
+    carry a broadcast prefix-max in, so no single-partition window
+    ever sees raw events.  The percentile machinery is the bounded
+    histogram form (lateness domain is minutes of wall clock)."""
+    ev = cat(spark, sf_dir).events.select(
+        "event_id",
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("sec"),
+    )
+    # Two-level running max over arrival order (the q_nb_roc_auc
+    # block-prefix convention): within-block running max + carry-in of
+    # the prefix max over earlier blocks.
+    blk = ev.withColumn("blk", F.expr("event_id DIV 100000"))
+    wl = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = blk.withColumn("runmax_local", F.max("sec").over(wl))
+    btot = blk.groupBy("blk").agg(F.max("sec").alias("bmax"))
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = btot.select(
+        "blk", F.sum(F.lit(0)).over(wb).alias("_z"),
+        F.max("bmax").over(wb).alias("carrymax"),
+    ).select("blk", "carrymax")
+    a = loc.join(F.broadcast(carry), "blk").select(
+        (
+            F.greatest(
+                F.col("runmax_local"),
+                F.coalesce(F.col("carrymax"), F.lit(-(1 << 62))),
+            )
+            - F.col("sec")
+        ).alias("late_sec")
+    )
+    b = a.groupBy(F.expr("late_sec DIV 60").alias("late_min")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    n1 = b.agg(F.sum("cnt").cast("bigint").alias("n"))
+    wr = Window.orderBy("late_min").rowsBetween(Window.unboundedPreceding, -1)
+    r = b.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(wr), F.lit(0)).cast("bigint")
+    ).crossJoin(F.broadcast(n1))
+
+    def pick(rank_expr, alias):
+        return (
+            r.filter(
+                (F.col("cumb") < F.floor(rank_expr))
+                & (F.col("cumb") + F.col("cnt") >= F.floor(rank_expr))
+            )
+            .agg(F.min("late_min").alias(alias))
+        )
+
+    p50 = pick((F.col("n") + 1) / F.lit(2), "p50_late_min")
+    p95 = pick((F.lit(95) * F.col("n") + 99) / F.lit(100), "p95_late_min")
+    p99 = pick((F.lit(99) * F.col("n") + 99) / F.lit(100), "p99_late_min")
+    beyond = b.filter(F.col("late_min") >= 60).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_beyond_1h")
+    )
+    return (
+        n1.select(F.col("n").alias("n_events"))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p95))
+        .crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(beyond))
+        .select(
+            "n_events",
+            "p50_late_min",
+            "p95_late_min",
+            "p99_late_min",
+            "n_beyond_1h",
+            (
+                F.floor(
+                    F.col("n_beyond_1h").cast("double")
+                    / F.col("n_events")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("frac_beyond_1h"),
+        )
+    )

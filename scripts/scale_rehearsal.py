@@ -211,6 +211,8 @@ REHEARSAL = [
     # round-4 batch 18
     "q_dau_wau_stickiness",
     "q_conversion_latency",
+    # round-4 batch 19
+    "q_watermark_lateness_audit",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -827,6 +827,9 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     # conversion latency: per-user rollup + rank picks on the bounded
     # latency relation (text re-expands it per percentile leg).
     ("q_conversion_latency", 8),
+    # watermark audit: block running-max + minute histogram; plan
+    # text re-expands the histogram under the percentile/beyond legs.
+    ("q_watermark_lateness_audit", 25),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
