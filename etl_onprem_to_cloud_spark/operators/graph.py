@@ -128,8 +128,9 @@ def duck_pagerank_sql(
 
 def copurchase_edges(lineitem, min_support: int = 2, weight: bool = False):
     """Support-thresholded part co-purchase edge list (x < y), the
-    shared substrate of the graph queries (LPA / k-core / BFS /
-    Adamic-Adar / Bellman-Ford / Hill alpha).
+    shared substrate of the support-2 graph queries (LPA, Adamic-Adar,
+    Bellman-Ford, Hill alpha).  k-core and the BFS rings run on the
+    UNTHRESHOLDED distinct-pair variant and keep their own builds.
 
     Checkpointed EAGERLY before returning: the edge list is always
     consumed through several different projections (und directions,

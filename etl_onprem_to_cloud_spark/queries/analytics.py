@@ -1876,7 +1876,7 @@ def q_simpsons_paradox_check(spark, sf_dir):
     )
 
     def q6(col):
-        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return portable_round(col, 6)
 
     agg_sign = sign.cast("int")
     return (
@@ -1949,7 +1949,7 @@ ORDER BY day_index
     ),
 )
 def q_dau_wau_stickiness(spark, sf_dir):
-    """One distinct over the (user, day) grid, a {_STICKY_W}x map-side
+    f"""One distinct over the (user, day) grid, a {_STICKY_W}x map-side
     fan-out, and day-keyed distinct rollups -- the
     q_rolling_24h_active_users shape on the day grain.  Shuffle
     volume is the user-day grid, never raw events."""
@@ -2040,9 +2040,13 @@ FROM n1
 )
 def q_conversion_latency(spark, sf_dir):
     """One per-user conditional-min rollup (the only data-scale
-    shuffle); the rank selections run on the converted-user latency
-    relation, user-bounded.  The global-order window rides on that
-    bounded relation (the Theil-Sen justification)."""
+    shuffle); the latency relation scales with CONVERTED USERS, so
+    the rank selections use the two-level domain-bounded histogram
+    (hour buckets -> exact seconds inside the hit buckets, the
+    q_exact_price_percentiles pattern) rather than a user-scale
+    global window.  Every pick is an .agg() so the empty-funnel edge
+    returns one row of NULLs, matching the oracle's scalar
+    subqueries."""
     ev = cat(spark, sf_dir).events
     sec = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast(
         "bigint"
@@ -2057,26 +2061,84 @@ def q_conversion_latency(spark, sf_dir):
         F.col("first_view").isNotNull()
         & F.col("first_buy").isNotNull()
         & (F.col("first_buy") >= F.col("first_view"))
-    ).select((F.col("first_buy") - F.col("first_view")).alias("sec"))
-    n1 = lat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    from pyspark.sql import Window as W
-
-    r = lat.withColumn("rn", F.row_number().over(W.orderBy("sec"))).crossJoin(
-        F.broadcast(n1)
+    ).select(
+        (F.col("first_buy") - F.col("first_view")).alias("sec")
     )
-
-    def pick(rank_expr, alias):
-        return (
-            r.filter(F.col("rn") == F.floor(rank_expr))
-            .select(F.col("sec").alias(alias))
+    # Level 1: bounded hour-bucket histogram (lateness domain, not
+    # user count), checkpointed once for its four consumer legs.
+    h1 = (
+        lat.groupBy(F.expr("sec DIV 3600").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    h = h1.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint")
+    )
+    n1 = h1.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n"))
+    targets = n1.select(
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50_sec").alias("lbl"),
+                    F.expr("(n + 1) DIV 2").alias("k"),
+                ),
+                F.struct(
+                    F.lit("p90_sec").alias("lbl"),
+                    F.expr("(9 * n + 9) DIV 10").alias("k"),
+                ),
+                F.struct(
+                    F.lit("p99_sec").alias("lbl"),
+                    F.expr("(99 * n + 99) DIV 100").alias("k"),
+                ),
+            )
+        ).alias("t"),
+    ).select(F.col("t.lbl").alias("lbl"), F.col("t.k").alias("k"))
+    tb = h.join(
+        F.broadcast(targets),
+        (F.col("cumb") < F.col("k"))
+        & (F.col("cumb") + F.col("cnt") >= F.col("k")),
+    ).select("lbl", "k", "b", "cumb")
+    # Level 2: exact seconds inside only the hit buckets (<= 3600
+    # distinct values per bucket -- domain-bounded).
+    h2 = (
+        lat.join(F.broadcast(tb), F.expr("sec DIV 3600") == F.col("b"))
+        .groupBy("lbl", "k", "cumb", "sec")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt2"))
+    )
+    w2 = (
+        Window.partitionBy("lbl")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    picked = (
+        h2.withColumn(
+            "cum2",
+            F.col("cumb")
+            + F.coalesce(F.sum("cnt2").over(w2), F.lit(0)).cast("bigint"),
         )
-
-    p50 = pick((F.col("n") + 1) / F.lit(2), "p50_sec")
-    p90 = pick((F.lit(9) * F.col("n") + 9) / F.lit(10), "p90_sec")
-    p99 = pick((F.lit(99) * F.col("n") + 99) / F.lit(100), "p99_sec")
+        .filter(
+            (F.col("cum2") < F.col("k"))
+            & (F.col("cum2") + F.col("cnt2") >= F.col("k"))
+        )
+        .select("lbl", "sec")
+    )
+    piv = (
+        picked.groupBy(F.lit(1).alias("_k"))
+        .pivot("lbl", ["p50_sec", "p90_sec", "p99_sec"])
+        .agg(F.max("sec"))
+    )
+    # LEFT join from the always-one-row count so an empty funnel
+    # yields (0, NULL, NULL, NULL) like the oracle's scalar
+    # subqueries, not zero rows.
     return (
-        n1.select(F.col("n").alias("n_converted"))
-        .crossJoin(F.broadcast(p50))
-        .crossJoin(F.broadcast(p90))
-        .crossJoin(F.broadcast(p99))
+        n1.withColumn("_k", F.lit(1))
+        .join(F.broadcast(piv), "_k", "left")
+        .select(
+            F.col("n").alias("n_converted"),
+            F.col("p50_sec"),
+            F.col("p90_sec"),
+            F.col("p99_sec"),
+        )
     )

@@ -1609,9 +1609,8 @@ def q_watermark_lateness_audit(spark, sf_dir):
     btot = blk.groupBy("blk").agg(F.max("sec").alias("bmax"))
     wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
     carry = btot.select(
-        "blk", F.sum(F.lit(0)).over(wb).alias("_z"),
-        F.max("bmax").over(wb).alias("carrymax"),
-    ).select("blk", "carrymax")
+        "blk", F.max("bmax").over(wb).alias("carrymax")
+    )
     a = loc.join(F.broadcast(carry), "blk").select(
         (
             F.greatest(
@@ -1623,7 +1622,11 @@ def q_watermark_lateness_audit(spark, sf_dir):
     )
     b = a.groupBy(F.expr("late_sec DIV 60").alias("late_min")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+        # Bounded minute histogram with five consumer legs (count,
+        # three percentile picks, beyond-1h): checkpoint once or the
+        # event-scale running max re-expands under every leg (the
+        # isotonic-bins / STL-days lesson).
+    ).localCheckpoint(eager=True)
     n1 = b.agg(F.sum("cnt").cast("bigint").alias("n"))
     wr = Window.orderBy("late_min").rowsBetween(Window.unboundedPreceding, -1)
     r = b.withColumn(

@@ -19,6 +19,7 @@ from pyspark.sql import Window, functions as F
 
 from . import query
 from ._util import cat
+from ..functions.numeric import portable_round
 
 # --------------------------------------------------------------------------
 # Largest-remainder proration
@@ -374,7 +375,7 @@ def q_safety_stock_parts(spark, sf_dir):
     rootl = F.sqrt(F.lit(float(_SS_L)))
 
     def q6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return portable_round(c, 6)
 
     return (
         s.select(

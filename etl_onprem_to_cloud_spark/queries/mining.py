@@ -3251,17 +3251,7 @@ def q_lpa_communities(spark, sf_dir):
     the unrolled loop cannot stack exponential plan growth.  At 100 TB
     LPA is THE community algorithm that survives -- no global modular
     optimization, just per-node majority votes."""
-    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("x", "y")
-    )
+    edges = copurchase_edges(cat(spark, sf_dir).lineitem).select("x", "y")
     und = edges.select(
         F.col("x").alias("node"), F.col("y").alias("nb")
     ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb")))
@@ -4374,7 +4364,10 @@ def q_cuped_ab_readout(spark, sf_dir):
 # Experimentation guardrails: SRM check, two-proportion z, MDE sizing
 # --------------------------------------------------------------------------
 
-_AB_GATE = duck_hash_gate("CAST(user_id AS VARCHAR)", "cuped")
+# One experimentation loop, one gate and one pivot: the SRM/z and
+# MDE queries reuse the CUPED constants so they can never measure a
+# different experiment than the readout.
+_AB_GATE = _CUPED_GATE
 
 
 @query(
@@ -4462,7 +4455,7 @@ def q_ab_srm_and_ztest(spark, sf_dir):
     p1 = F.col("c1").cast("double") / F.col("n1")
 
     def q6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return portable_round(c, 6)
 
     return s.select(
         "n0",
@@ -4501,7 +4494,7 @@ _MDE_ZB = "0.8416212335729143"
     oracle=f"""
 WITH u AS (
   SELECT user_id,
-    CAST(coalesce(sum(CASE WHEN floor(epoch(ts)) >= 1705363200
+    CAST(coalesce(sum(CASE WHEN floor(epoch(ts)) >= {_CUPED_PIVOT}
       THEN CAST(value AS DECIMAL(18,6)) END), 0) * 1000000 AS BIGINT) AS y
   FROM events GROUP BY user_id
 ),
@@ -4548,7 +4541,7 @@ def q_ab_mde_power(spark, sf_dir):
     ev = cat(spark, sf_dir).events
     post = F.floor(
         F.unix_timestamp(F.col("ts").cast("timestamp"))
-    ) >= F.lit(1705363200)
+    ) >= F.lit(_CUPED_PIVOT)
     u = ev.groupBy("user_id").agg(
         (
             F.coalesce(F.sum(F.when(post, dec("value"))), F.lit(0))
@@ -4576,7 +4569,7 @@ def q_ab_mde_power(spark, sf_dir):
     )
 
     def q6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return portable_round(c, 6)
 
     return s.select(
         F.col("n").alias("n_users"),
@@ -4687,7 +4680,7 @@ def q_price_elasticity_brand(spark, sf_dir):
     ) / F.col("n")
 
     def q6(col):
-        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return portable_round(col, 6)
 
     return m.select(
         "brand",

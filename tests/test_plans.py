@@ -824,12 +824,12 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     # stickiness: the (user, day) grid behind a checkpoint + DAU/WAU
     # day-keyed rollups.
     ("q_dau_wau_stickiness", 6),
-    # conversion latency: per-user rollup + rank picks on the bounded
-    # latency relation (text re-expands it per percentile leg).
-    ("q_conversion_latency", 8),
-    # watermark audit: block running-max + minute histogram; plan
-    # text re-expands the histogram under the percentile/beyond legs.
-    ("q_watermark_lateness_audit", 25),
+    # conversion latency: per-user rollup + the two-level bounded
+    # histogram selection behind a checkpoint.
+    ("q_conversion_latency", 5),
+    # watermark audit: block running-max feeding the checkpointed
+    # minute histogram; visible plan = bounded-histogram legs only.
+    ("q_watermark_lateness_audit", 8),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
