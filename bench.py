@@ -237,6 +237,9 @@ HEADLINE = [
     "q_conversion_latency",
     # r4 batch 19: watermark sizing audit.
     "q_watermark_lateness_audit",
+    # r4 batch 20: one-way ANOVA + Cramers-V effect size.
+    "q_anova_value_by_dow",
+    "q_cramers_v_type_dow",
 ]
 
 

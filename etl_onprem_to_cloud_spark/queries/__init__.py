@@ -225,6 +225,8 @@ _NEW_THIS_ROUND = (
     "q_dau_wau_stickiness",       # new: rolling-distinct engagement ratio
     "q_conversion_latency",       # new: funnel latency percentiles
     "q_watermark_lateness_audit",  # new: streaming watermark sizing
+    "q_anova_value_by_dow",       # new: one-way ANOVA F statistic
+    "q_cramers_v_type_dow",       # new: contingency effect size
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -4688,3 +4688,198 @@ def q_price_elasticity_brand(spark, sf_dir):
         q6(covn / varx).alias("elasticity"),
         q6(covn * covn / (varx * vary)).alias("r2"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA (event value by day-of-week) + Cramer's V effect size
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) % 7 AS BIGINT) AS dow,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+      AS DOUBLE) AS q
+  FROM events GROUP BY dow
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+    CAST(sum(n) AS BIGINT) AS n,
+    CAST(sum(s) AS DOUBLE) AS st,
+    CAST(sum(q) AS DOUBLE) AS qt,
+    CAST(sum(s * s / n) AS DOUBLE) AS sb
+  FROM g
+)
+SELECT k AS n_groups, n AS n_rows,
+  floor((sb - st * st / n) * 1000000.0 + 0.5) / 1000000.0
+    AS ss_between,
+  floor((qt - sb) * 1000000.0 + 0.5) / 1000000.0 AS ss_within,
+  floor(((sb - st * st / n) / (k - 1)) / ((qt - sb) / (n - k))
+        * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+FROM t
+"""
+
+
+@query(
+    "q_anova_value_by_dow",
+    oracle=_ANOVA_ORACLE,
+    tags=("stats", "hypothesis-test", "anova", "ring-c"),
+    description=(
+        "One-way ANOVA of event value across day-of-week groups: "
+        "between/within sums of squares and the F statistic from ONE "
+        "conditional-aggregation pass of exact DECIMAL sufficient "
+        "statistics per group (the Welch-t convention widened to k "
+        "groups).  ss_between = sum(s_g^2/n_g) - S^2/N, ss_within = "
+        "Q - sum(s_g^2/n_g); one order-dependent double reduction "
+        "exists (the 7-term sum over groups) and is pinned by the "
+        "deterministic 7-row aggregate in both engines."
+    ),
+)
+def q_anova_value_by_dow(spark, sf_dir):
+    """One shuffle to the 7-group rollup, then a 1-row reduce and a
+    fixed-structure scalar projection.  The only cross-group double
+    sum runs over the bounded, deterministic 7-row relation, so the
+    accumulation order is identical in both engines."""
+    ev = cat(spark, sf_dir).events
+    g = ev.groupBy(
+        (
+            F.floor(
+                F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+                / F.lit(86400)
+            )
+            % 7
+        )
+        .cast("bigint")
+        .alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("value")).cast("double").alias("s"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("double").alias("st"),
+        F.sum("q").cast("double").alias("qt"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).cast("double").alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("st") * F.col("st") / F.col("n")
+    ssw = F.col("qt") - F.col("sb")
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        portable_round(ssb, 6).alias("ss_between"),
+        portable_round(ssw, 6).alias("ss_within"),
+        portable_round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
+
+
+_CRAMER_ORACLE = """
+WITH o AS (
+  SELECT event_type AS r,
+    CAST(floor(floor(epoch(ts)) / 86400) % 7 AS BIGINT) AS c
+  FROM events
+),
+cell AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY r, c
+),
+rt AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cell GROUP BY r),
+ct AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cell GROUP BY c),
+n1 AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cell),
+chi AS (
+  -- chi2 = sum over cells of (obs - exp)^2 / exp with exp =
+  -- nr*nc/N; each term evaluated in one identical double sequence,
+  -- quantized to 1e-9 then integer-summed (order-free).
+  SELECT CAST(sum(CAST(floor(
+      (cell.n - CAST(rt.nr AS DOUBLE) * ct.nc / n1.n)
+      * (cell.n - CAST(rt.nr AS DOUBLE) * ct.nc / n1.n)
+      / (CAST(rt.nr AS DOUBLE) * ct.nc / n1.n)
+      * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chi_q,
+    CAST(count(DISTINCT cell.r) AS BIGINT) AS nrow,
+    CAST(count(DISTINCT cell.c) AS BIGINT) AS ncol
+  FROM cell JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n1
+)
+SELECT chi.nrow AS n_rows_dim, chi.ncol AS n_cols_dim,
+  chi_q / 1000000000.0 AS chi2,
+  floor(sqrt(chi_q / 1000000000.0
+             / ((SELECT n FROM n1)
+                * (least(chi.nrow, chi.ncol) - 1)))
+        * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+FROM chi
+"""
+
+
+@query(
+    "q_cramers_v_type_dow",
+    oracle=_CRAMER_ORACLE,
+    tags=("stats", "effect-size", "ring-c"),
+    description=(
+        "Cramer's V effect size for the event-type x day-of-week "
+        "contingency table: chi-squared from per-cell terms quantized "
+        "once to the 1e-9 grid then integer-summed (order-free), "
+        "V = sqrt(chi2 / (N * (min(r,c) - 1))).  The significance "
+        "test next door (q_chi2_type_by_dow) says WHETHER the "
+        "association exists; this says HOW BIG it is -- the pair a "
+        "report should always print together."
+    ),
+)
+def q_cramers_v_type_dow(spark, sf_dir):
+    """One shuffle to the 35-cell contingency rollup; margins and the
+    V scalar all derive from that bounded relation (checkpointed for
+    its margin/total/term consumers)."""
+    ev = cat(spark, sf_dir).events
+    cell = (
+        ev.groupBy(
+            F.col("event_type").alias("r"),
+            (
+                F.floor(
+                    F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+                    / F.lit(86400)
+                )
+                % 7
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rt = cell.groupBy("r").agg(F.sum("n").cast("bigint").alias("nr"))
+    ct = cell.groupBy("c").agg(F.sum("n").cast("bigint").alias("nc"))
+    n1 = cell.agg(F.sum("n").cast("bigint").alias("n"))
+    exp = F.col("nr").cast("double") * F.col("nc") / F.col("n")
+    term = (
+        (F.col("n_cell") - exp) * (F.col("n_cell") - exp) / exp
+    )
+    chi = (
+        cell.withColumnRenamed("n", "n_cell")
+        .join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n1))
+        .agg(
+            F.sum(
+                F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("chi_q"),
+            F.count_distinct("r").cast("bigint").alias("nrow"),
+            F.count_distinct("c").cast("bigint").alias("ncol"),
+            F.max("n").alias("ntot"),
+        )
+    )
+    return chi.select(
+        F.col("nrow").alias("n_rows_dim"),
+        F.col("ncol").alias("n_cols_dim"),
+        (F.col("chi_q") / F.lit(1e9)).alias("chi2"),
+        portable_round(
+            F.sqrt(
+                F.col("chi_q")
+                / F.lit(1e9)
+                / (F.col("ntot") * (F.least("nrow", "ncol") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

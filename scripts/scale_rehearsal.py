@@ -213,6 +213,9 @@ REHEARSAL = [
     "q_conversion_latency",
     # round-4 batch 19
     "q_watermark_lateness_audit",
+    # round-4 batch 20
+    "q_anova_value_by_dow",
+    "q_cramers_v_type_dow",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -830,6 +830,10 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     # watermark audit: block running-max feeding the checkpointed
     # minute histogram; visible plan = bounded-histogram legs only.
     ("q_watermark_lateness_audit", 8),
+    # ANOVA: the 7-group rollup + 1-row reduce.
+    ("q_anova_value_by_dow", 2),
+    # Cramer's V: the 35-cell rollup behind a checkpoint + margins.
+    ("q_cramers_v_type_dow", 4),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
