@@ -169,3 +169,68 @@ def test_subject_access_cohort_is_bounded(spark, sf_dir):
     assert out["customer"]["n_rows"] <= 500
     for t in ["orders", "lineitem", "events"]:
         assert out[t]["n_subjects"] <= out["customer"]["n_rows"]
+
+
+def test_anova_components_nonnegative_and_consistent(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_anova_value_by_dow")[0]
+    assert out["n_groups"] == 7
+    assert out["ss_between"] >= 0 and out["ss_within"] > 0
+    assert out["f_stat"] >= 0
+
+
+def test_cramers_v_bounded(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_cramers_v_type_dow")[0]
+    assert out["chi2"] >= 0
+    assert 0.0 <= out["cramers_v"] <= 1.0
+
+
+def test_srm_chi2_consistent_with_counts(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_ab_srm_and_ztest")[0]
+    n = out["n0"] + out["n1"]
+    dev = out["n0"] - n / 2.0
+    expect = dev * dev / (n / 2.0) * 2.0
+    assert abs(out["srm_chi2"] - expect) < 2e-6
+    assert out["srm_flag"] == (1 if expect > 3.841 else 0)
+    assert 0.0 <= out["p0"] <= 1.0 and 0.0 <= out["p1"] <= 1.0
+
+
+def test_mde_positive_and_scales_with_alpha(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_ab_mde_power")[0]
+    assert out["mde_abs"] > 0 and out["mde_rel"] > 0
+    # relative MDE must be mde_abs / mean (quantization slack)
+    assert abs(out["mde_rel"] - out["mde_abs"] / out["mean_y"]) < 1e-4
+
+
+def test_elasticity_r2_bounded(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_price_elasticity_brand")
+    assert all(0.0 <= r["r2"] <= 1.0 for r in out)
+    assert all(r["n"] >= 30 for r in out)
+
+
+def test_stickiness_in_unit_interval(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_dau_wau_stickiness")
+    for r in out:
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["dau"] <= r["wau"]
+
+
+def test_watermark_percentiles_ordered(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_watermark_lateness_audit")[0]
+    assert 0 <= out["p50_late_min"] <= out["p95_late_min"] <= out["p99_late_min"]
+    assert 0.0 <= out["frac_beyond_1h"] <= 1.0
+
+
+def test_conversion_latency_ordered(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_conversion_latency")[0]
+    assert out["n_converted"] > 0
+    assert 0 <= out["p50_sec"] <= out["p90_sec"] <= out["p99_sec"]
+
+
+def test_safety_stock_components(spark, sf_dir):
+    out = rows(spark, sf_dir, "q_safety_stock_parts")
+    for r in out:
+        assert r["safety_stock"] >= 0
+        # reorder point = mu*L + SS (quantization slack)
+        assert abs(
+            r["reorder_point"] - (r["daily_demand"] * 7 + r["safety_stock"])
+        ) < 1e-4
