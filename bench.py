@@ -240,6 +240,8 @@ HEADLINE = [
     # r4 batch 20: one-way ANOVA + Cramers-V effect size.
     "q_anova_value_by_dow",
     "q_cramers_v_type_dow",
+    # r4 batch 21: ABC x XYZ planning matrix.
+    "q_abc_xyz_matrix",
 ]
 
 

@@ -227,6 +227,7 @@ _NEW_THIS_ROUND = (
     "q_watermark_lateness_audit",  # new: streaming watermark sizing
     "q_anova_value_by_dow",       # new: one-way ANOVA F statistic
     "q_cramers_v_type_dow",       # new: contingency effect size
+    "q_abc_xyz_matrix",           # new: value x variability planning matrix
 )
 
 # Never driver-checked in r01-r03 (52 entries after the four contract

@@ -4883,3 +4883,153 @@ def q_cramers_v_type_dow(spark, sf_dir):
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC x XYZ inventory segmentation matrix (value x variability)
+# --------------------------------------------------------------------------
+
+_ABCXYZ_ORACLE = """
+WITH r AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+w AS (
+  SELECT l_partkey, rev,
+    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(rev) OVER () AS total
+  FROM r
+),
+abc AS (
+  SELECT l_partkey, rev,
+    CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+         WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM w
+),
+d AS (
+  SELECT l_partkey,
+    CAST(floor(floor(epoch(l_shipdate)) / 86400) AS BIGINT) AS day,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, day
+),
+m AS (
+  SELECT l_partkey,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(q) AS BIGINT) AS sq,
+    CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM d GROUP BY l_partkey HAVING count(*) >= 2
+),
+xyz AS (
+  SELECT l_partkey,
+    CASE WHEN sqrt(greatest(0.0,
+        (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1)))
+        / (CAST(sq AS DOUBLE) / n) < 0.5 THEN 'X'
+      WHEN sqrt(greatest(0.0,
+        (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1)))
+        / (CAST(sq AS DOUBLE) / n) < 1.0 THEN 'Y'
+      ELSE 'Z' END AS xyz_class
+  FROM m
+)
+SELECT abc.abc_class, xyz.xyz_class,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  floor(CAST(sum(abc.rev) AS DOUBLE)
+        / (SELECT CAST(sum(rev) AS DOUBLE) FROM r) * 1000000.0 + 0.5)
+    / 1000000.0 AS revenue_share
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY abc.abc_class, xyz.xyz_class
+ORDER BY abc_class, xyz_class
+"""
+
+
+@query(
+    "q_abc_xyz_matrix",
+    oracle=_ABCXYZ_ORACLE,
+    tags=("analytics", "inventory", "segmentation", "ring-b"),
+    description=(
+        "ABC x XYZ inventory segmentation: revenue Pareto class "
+        "(A = first 80% of cumulative revenue, B = next 15%, C = "
+        "tail) crossed with demand-variability class from the daily "
+        "coefficient of variation (X < 0.5, Y < 1.0, Z otherwise; "
+        "parts need >= 2 demand days for a CV), per-cell part counts "
+        "and revenue share.  THE classic planning matrix: AX = "
+        "forecast + automate, CZ = make-to-order -- composing the "
+        "Pareto report with the safety-stock moments."
+    ),
+)
+def q_abc_xyz_matrix(spark, sf_dir):
+    """Two part-keyed rollups (revenue; day rollup -> moments) share
+    the part key, the ABC cumulative window runs over the catalog-
+    bounded part aggregate (the q_abc_pareto_parts justification),
+    and the final join/matrix is catalog-sized.  Facts are scanned
+    twice and never sorted."""
+    li = cat(spark, sf_dir).lineitem
+    r = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("rev"))
+    w_cum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    share = (
+        F.sum("rev").over(w_cum).cast("double")
+        / F.sum("rev").over(w_all).cast("double")
+    )
+    abc = r.select(
+        "l_partkey",
+        "rev",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc_class"),
+    )
+    d = li.groupBy(
+        "l_partkey",
+        F.floor(
+            F.floor(F.unix_timestamp(F.col("l_shipdate").cast("timestamp")))
+            / F.lit(86400)
+        )
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    m = (
+        d.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    cv = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double") * F.col("sq") / F.col("n")
+            )
+            / (F.col("n") - 1),
+        )
+    ) / (F.col("sq").cast("double") / F.col("n"))
+    xyz = m.select(
+        "l_partkey",
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z")
+        .alias("xyz_class"),
+    )
+    tot = r.agg(F.sum("rev").cast("double").alias("t"))
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("double").alias("__rev_d"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            portable_round(F.col("__rev_d") / F.col("t"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

@@ -216,6 +216,8 @@ REHEARSAL = [
     # round-4 batch 20
     "q_anova_value_by_dow",
     "q_cramers_v_type_dow",
+    # round-4 batch 21
+    "q_abc_xyz_matrix",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -834,6 +834,9 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     ("q_anova_value_by_dow", 2),
     # Cramer's V: the 35-cell rollup behind a checkpoint + margins.
     ("q_cramers_v_type_dow", 4),
+    # ABC x XYZ: two part-keyed rollups + the catalog-bounded Pareto
+    # window + the matrix join.
+    ("q_abc_xyz_matrix", 5),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
