@@ -19,6 +19,18 @@ The JSON also carries a ``calib`` block (fixed single-thread Python
 loop + fixed Spark range-sum) so round-over-round comparisons can be
 normalized for host speed: if calib moved 3x, a 3x query move is the
 box, not the plan.
+
+Round-over-round comparability (VERDICT r4 item 2): the driver's
+BENCH_r{N}.json stores only a 2000-char tail of stdout, so as HEADLINE
+grew the captured tails of consecutive rounds stopped overlapping and
+the common-set ratio became uncomputable from committed artifacts.
+Two fixes: (a) the full result object is ALSO written to
+``$SPARK_GRAFT_BENCH_OUT`` (default ``BENCH_DETAIL_latest.json`` next
+to this file; committed per round as ``BENCH_DETAIL_r{N}.json``), and
+(b) a FROZEN 20-query ``ANCHORS`` set (the r1-r3 headliners) is
+re-emitted as its own ``anchors`` block at the END of the JSON line --
+inside any 2000-char tail -- so every pair of future rounds shares at
+least these 20 directly comparable timings.  Do not edit ANCHORS.
 """
 
 from __future__ import annotations
@@ -245,6 +257,34 @@ HEADLINE = [
 ]
 
 
+# FROZEN cross-round anchor set (r1-r3 headliners; one per operator
+# family that dominates 100 TB cost).  Every future bench run re-emits
+# these 20 timings in a dedicated trailing "anchors" block so
+# round-over-round comparison never loses its common set again.
+ANCHORS = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_type_profit",
+    "q18_large_volume_customer",
+    "q_star_revenue_by_region_year",
+    "q_window_running_sum",
+    "q_topk_per_group_customer_orders",
+    "q_events_user_sessions",
+    "q_sessions_gaps_islands",
+    "q_asof_join_click_attribution",
+    "q_dedup_exact_keep",
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    "q_resample_hourly_locf",
+    "q_tfidf_top_terms",
+    "q_ann_brute_force_topk",
+    "q_text_stats",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -296,19 +336,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
-                "calib": {"py_loop_sec": py_calib, "spark_range_sec": spark_calib},
-            }
-        )
+    # "anchors" and "calib" go LAST so they land inside any truncated
+    # tail of stdout (the driver keeps only the final 2000 chars).
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "anchors": {n: timings[n] for n in ANCHORS if n in timings},
+        "calib": {"py_loop_sec": py_calib, "spark_range_sec": spark_calib},
+    }
+    print(json.dumps(result))
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL_latest.json"),
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # pragma: no cover - detail file is best-effort
+        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -58,6 +58,14 @@ def query(
         # after each query's runs.  Unpersist is never a correctness
         # risk (recompute always works), so a caller interleaving two
         # lazy queries merely loses a cache, not data.
+        #
+        # SINGLE-THREADED BY DESIGN (ADVICE r4): _LAST_CALLED and the
+        # shared pin registry are module globals with no lock.  Every
+        # harness that exists (driver, bench, pytest, rehearsal) calls
+        # registered queries sequentially from one thread.  A parallel
+        # driver would need a lock around this gate -- without one, two
+        # threads would race and unpersist each other's caches mid-
+        # build (a recompute cost, never a wrong answer).
         @functools.wraps(fn)
         def wrapped(spark, sf_dir):
             global _LAST_CALLED
@@ -119,175 +127,134 @@ from . import finance  # noqa: E402,F401
 # suite (tests/test_oracle_parity.py hash-compares all oracled queries
 # against DuckDB).
 
-# Contracts changed in round 4: q_profile_orders_columns's oracle
-# (HUGEINT n_nulls cast, VERDICT r3 item 1 -- the only red r03 row),
-# q_top_session_paths's oracle (second-truncation now mirrors Spark's
-# unix_timestamp, ADVICE r3 medium item), and the two formerly
-# rows-only ANN entries, now value-oracled (VERDICT r3 item 6).  All
-# must be (re-)verified first.
-_CHANGED_THIS_ROUND = (
-    "q_profile_orders_columns",
-    "q_top_session_paths",
-    "q_ann_ivf_topk",     # rows-only -> deterministic-Lloyd value oracle
-    "q_ml_brp_ann_topk",  # rows-only -> radius-bounded value oracle
-)
+# Contracts changed in round 5: none so far -- round 4 ended with every
+# driver row green (50/50) and no oracle was re-specified this round.
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
-# New queries added in round 4.  They sort AFTER the never-checked
-# backlog below, per the fixed policy: both tiers lack driver rows,
-# but the backlog has waited longer; each round-4 addition is locally
-# oracle-verified at BOTH sf0.001 and sf0.01 when built and rotates to
-# the front next round.
-_NEW_THIS_ROUND = (
-    "q_kcenter_coreset_sampled",  # new: hash-gate sampled k-center
-    "q_quality_monitor_batch",    # new: streaming monitor's batch twin
-    "q_nb_lang_classifier",       # new: in-engine NB train+infer+eval
-    "q_kcore_copurchase",         # new: iterative k-core peeling
-    "q_acf_hourly_counts",        # new: fixed-point autocorrelation
-    "q_scd2_point_in_time_join",  # new: effective-dated dimension lookup
-    "q_hierarchy_revenue_rollup", # new: recursive-CTE-equivalent rollup
-    "q_multitouch_attribution",   # new: linear multi-touch credit split
-    "q_chunk_sliding_windows",    # new: overlapping RAG chunker
-    "q_mannwhitney_purchase_view",# new: rank-sum test, integer ranks
-    "q_js_divergence_sources",    # new: source-pair JS divergence
-    "q_dedup_events_time_window", # new: telemetry window dedup
-    "q_cohort_ltv_curve",         # new: cohort revenue/LTV curve
-    "q_retrieval_ndcg_eval",      # new: NDCG@10 retrieval eval
-    "q_contrastive_pairs",        # new: contrastive pair mining
-    "q_k_anonymity_audit",        # new: privacy k-anonymity report
-    "q_laspeyres_price_index",    # new: fixed-basket price index
-    "q_skew_profile_orders_custkey",  # new: pre-join skew diagnostics
-    "q_retrieval_mrr_eval",       # new: MRR@10 retrieval companion
-    "q_session_bounce_rate",      # new: daily bounce-rate KPI
-    "q_freshness_report",         # new: per-stream staleness monitor
-    "q_multimodal_wav_decode",    # new: real RIFF/WAVE PCM decode
-    "q_kfold_balance",            # new: CV fold assignment + balance
-    "q_bootstrap_mean_ci",        # new: deterministic Poisson bootstrap
-    "q_curriculum_shards",        # new: difficulty stages + loader shards
-    "q_retrieval_rrf_fusion",     # new: reciprocal-rank fusion combiner
-    "q_classifier_kappa",         # new: Cohen's kappa agreement gate
-    "q_heaps_vocab_growth",       # new: first-occurrence vocab curve
-    "q_ks_drift_purchase_view",   # new: exact-integer KS drift test
-    "q_temporal_split_audit",     # new: time split + leakage overlap
-    "q_chi2_type_by_dow",         # new: chi-squared independence test
-    "q_km_survival_first_purchase",  # new: Kaplan-Meier survival curve
-    "q_item_item_cf",             # new: item-item co-occurrence cosine
-    "q_association_rules_parts",  # new: market-basket support/conf/lift
-    "q_user_recs_topn",           # new: CF serving-side top-N recs
-    "q_seasonal_naive_mase",      # new: forecast baseline MAE/MASE
-    "q_wilson_ctr_ranking",       # new: lower-bound CTR ranking
-    "q_modularity_brand_copurchase",  # new: Newman modularity Q
-    "q_seq_patterns_support",     # new: PrefixSpan-style subsequence support
-    "q_peak_concurrent_sessions", # new: interval-sweep peak concurrency
-    "q_holt_linear_forecast",     # new: double-exponential-smoothing forecast
-    "q_clamped_balance_users",    # new: floor-clamped ledger recurrence
-    "q_user_daily_streaks",       # new: consecutive-active-day streaks
-    "q_markov_stationary_types",  # new: fixed-point Markov steady state
-    "q_interarrival_burstiness",  # new: Goh-Barabasi burstiness index
-    "q_max_drawdown_users",       # new: window-closed-form max drawdown
-    "q_cusum_value_drift",        # new: CUSUM drift via reflection form
-    "q_ann_pq_adc_topk",          # new: PQ/ADC ANN with exact rerank
-    "q_ann_ivfpq_topk",           # new: full IVFPQ (residual PQ + probes)
-    "q_proration_largest_remainder",  # new: Hamilton cent allocation
-    "q_fifo_cost_matching",       # new: FIFO lot matching closed form
-    "q_nb_calibration_bins",      # new: reliability bins + ECE + Brier
-    "q_dsir_importance_resampling",  # new: hashed-ngram DSIR selection
-    "q_lpa_communities",          # new: label-propagation communities
-    "q_holt_winters_additive",    # new: seasonal triple smoothing
-    "q_psi_value_drift",          # new: population stability index
-    "q_conformal_forecast_interval",  # new: split-conformal interval
-    "q_bfs_hops_from_hubs",       # new: multi-source BFS hop rings
-    "q_neyman_allocation",        # new: minimum-variance strat. design
-    "q_mix_shift_decomposition",  # new: rate/mix/interaction bridge
-    "q_migration_checksums",      # new: order-independent load checksums
-    "q_snapshot_diff_cdc",        # new: I/U/D/N fingerprint diff
-    "q_adamic_adar_linkpred",     # new: common-neighbour link scores
-    "q_target_encoding_oof",      # new: leakage-safe target encoding
-    "q_theilsen_daily_trend",     # new: median-of-slopes robust trend
-    "q_l_diversity_audit",        # new: sensitive-diversity privacy audit
-    "q_isotonic_recalibration",   # new: PAV via the minimax closed form
-    "q_nb_roc_auc",               # new: exact rank-statistic ROC-AUC
-    "q_bellman_ford_cheapest",    # new: weighted cheapest-path relaxation
-    "q_croston_intermittent",     # new: intermittent-demand forecast
-    "q_stl_anomaly_days",         # new: decompose-then-flag anomaly scan
-    "q_subject_access_report",    # new: DSAR per-table footprint
-    "q_degree_powerlaw_alpha",    # new: Hill tail-exponent estimate
-    "q_exact_price_percentiles",  # new: sortless exact global quantiles
-    "q_fellegi_sunter_linkage",   # new: probabilistic m/u linkage
-    "q_markov_removal_attribution",  # new: absorbing-chain channel credit
-    "q_cuped_ab_readout",         # new: variance-reduced A/B readout
-    "q_forecast_backtest_horizons",  # new: rolling-origin MAE curve
-    "q_ab_srm_and_ztest",         # new: SRM guardrail + pooled z
-    "q_ab_mde_power",             # new: minimum-detectable-effect sizing
-    "q_schema_drift_report",      # new: per-column load-profile delta
-    "q_simpsons_paradox_check",   # new: aggregate-vs-segment sign census
-    "q_safety_stock_parts",       # new: service-level reorder points
-    "q_price_elasticity_brand",   # new: grouped log-log demand slope
-    "q_dau_wau_stickiness",       # new: rolling-distinct engagement ratio
-    "q_conversion_latency",       # new: funnel latency percentiles
-    "q_watermark_lateness_audit",  # new: streaming watermark sizing
-    "q_anova_value_by_dow",       # new: one-way ANOVA F statistic
-    "q_cramers_v_type_dow",       # new: contingency effect size
-    "q_abc_xyz_matrix",           # new: value x variability planning matrix
-)
-
-# Never driver-checked in r01-r03 (52 entries after the four contract
-# changes moved to the tier above).  Ordered with the two-round-old
-# backlog FIRST (VERDICT r3 item 3 defines this round's evidence bar
-# as driver rows for them), then the round-3 additions in their
-# round-3 order.
+# Never driver-checked in r01-r04 (96 entries: the 6 r3-era leftovers
+# past the r4 prefix cutoff, then all 90 round-4 additions).  Within
+# the tier, the 50-entry driver prefix is spent on the families whose
+# cross-engine determinism is most fragile (VERDICT r4 item 1); the
+# tail rolls to round 6.  All 96 pass local DuckDB parity at sf0.001
+# and sf0.01.
 _NEVER_CHECKED = (
-    "q_docs_by_source",
-    "q_fuzzy_part_name_pairs",
-    "q_tfidf_top_terms",
-    "q_dedup_ngram_jaccard_blocked",
-    "q_embedding_near_dup",
-    "q_ml_minhash_lsh_pairs",
-    "q_string_functions2",
-    "q_null_semantics",
-    "q_union_by_name_missing",
-    "q_calendar_arithmetic",
-    "q_multimodal_ppm_decode",
-    "q_semantic_dedup_clusters",
-    "q_embedding_quantize_int8",
-    "q_vocab_coverage",
-    "q_dedup_chunk_rewrite",
-    "q_knn_label_vote",
-    "q_events_value_outliers_mad",
-    "q_lang_rebalance",
-    "q_bm25_search",
-    "q_resample_hourly_lerp",
-    "q_skew_salted_join",
-    "q_cumulative_new_users",
-    "q_event_type_cooccurrence",
-    "q_zipf_slope",
-    "q_zorder_pruning_ratio",
-    "q_data_quality_orders",
-    "q_textrank_tokens",
-    "q_regression_price_on_qty",
-    "q_seasonal_hourly_profile",
-    "q_cusum_changepoints",
-    "q_bpe_pair_merges",
-    "q_equidepth_price_buckets",
-    "q_weighted_median_price",
-    "q_ngram_novelty",
-    "q_sparse_tfidf_topk",
-    "q_triangle_clustering",
-    "q_benford_price_digits",
-    "q_ttest_purchase_view",
-    "q_kcenter_coreset",
-    "q_entity_resolution_parts",
-    "q_join_key_overlap",
-    "q_equidepth_global_prices",
-    "q_temperature_mixture",
-    "q_abc_pareto_parts",
-    "q_topk_nations_with_others",
-    "q_lsh_blocking_quality",
+    # r3-era entries that have waited two rounds (the r4 driver prefix
+    # covered 46 of the 52-entry backlog; these 6 were past the cutoff).
     "q_twap_daily_values",
     "q_ohlc_hourly_values",
     "q_dedup_method_comparison",
     "q_ship_latency_percentiles",
     "q_activity_heatmap",
     "q_revenue_gini_parts",
+    # --- round-4 additions, determinism-fragile families first -------
+    # (VERDICT r4 item 1 names these: the queries whose cross-engine
+    # determinism tricks -- generated unrolled-CTE oracles, fixed-point
+    # BIGINT folds, quantized libm, rank statistics -- are most fragile.)
+    # ANN family.
+    "q_ann_pq_adc_topk",
+    "q_ann_ivfpq_topk",
+    # Iterative graph family.
+    "q_bfs_hops_from_hubs",
+    "q_lpa_communities",
+    "q_bellman_ford_cheapest",
+    "q_adamic_adar_linkpred",
+    "q_markov_removal_attribution",
+    "q_kcore_copurchase",
+    "q_modularity_brand_copurchase",
+    # Fixed-point recurrence folds (Holt/HW/Croston/ledger convention).
+    "q_holt_winters_additive",
+    "q_croston_intermittent",
+    "q_clamped_balance_users",
+    "q_holt_linear_forecast",
+    "q_markov_stationary_types",
+    "q_acf_hourly_counts",
+    "q_max_drawdown_users",
+    "q_cusum_value_drift",
+    "q_isotonic_recalibration",
+    # The one SURVEY 2b streaming row without driver evidence, and the
+    # WAV decode row (VERDICT r4 item 5).
+    "q_quality_monitor_batch",
+    "q_multimodal_wav_decode",
+    # Rank statistics / quantized-libm statistics -- same risk class.
+    "q_nb_roc_auc",
+    "q_exact_price_percentiles",
+    "q_theilsen_daily_trend",
+    "q_fellegi_sunter_linkage",
+    "q_stl_anomaly_days",
+    "q_dsir_importance_resampling",
+    "q_nb_calibration_bins",
+    "q_nb_lang_classifier",
+    "q_bootstrap_mean_ci",
+    "q_km_survival_first_purchase",
+    "q_mannwhitney_purchase_view",
+    "q_ks_drift_purchase_view",
+    "q_chi2_type_by_dow",
+    "q_cuped_ab_readout",
+    "q_ab_srm_and_ztest",
+    "q_ab_mde_power",
+    "q_anova_value_by_dow",
+    "q_cramers_v_type_dow",
+    "q_degree_powerlaw_alpha",
+    "q_interarrival_burstiness",
+    "q_item_item_cf",
+    "q_seq_patterns_support",
+    "q_peak_concurrent_sessions",
+    "q_conversion_latency",
+    # --- remaining round-4 additions (the r6 backlog tail) -----------
+    "q_kcenter_coreset_sampled",
+    "q_scd2_point_in_time_join",
+    "q_hierarchy_revenue_rollup",
+    "q_multitouch_attribution",
+    "q_chunk_sliding_windows",
+    "q_js_divergence_sources",
+    "q_dedup_events_time_window",
+    "q_cohort_ltv_curve",
+    "q_retrieval_ndcg_eval",
+    "q_contrastive_pairs",
+    "q_k_anonymity_audit",
+    "q_laspeyres_price_index",
+    "q_skew_profile_orders_custkey",
+    "q_retrieval_mrr_eval",
+    "q_session_bounce_rate",
+    "q_freshness_report",
+    "q_kfold_balance",
+    "q_curriculum_shards",
+    "q_retrieval_rrf_fusion",
+    "q_classifier_kappa",
+    "q_heaps_vocab_growth",
+    "q_temporal_split_audit",
+    "q_association_rules_parts",
+    "q_user_recs_topn",
+    "q_seasonal_naive_mase",
+    "q_wilson_ctr_ranking",
+    "q_user_daily_streaks",
+    "q_proration_largest_remainder",
+    "q_fifo_cost_matching",
+    "q_psi_value_drift",
+    "q_conformal_forecast_interval",
+    "q_neyman_allocation",
+    "q_mix_shift_decomposition",
+    "q_migration_checksums",
+    "q_snapshot_diff_cdc",
+    "q_target_encoding_oof",
+    "q_l_diversity_audit",
+    "q_subject_access_report",
+    "q_forecast_backtest_horizons",
+    "q_schema_drift_report",
+    "q_simpsons_paradox_check",
+    "q_safety_stock_parts",
+    "q_price_elasticity_brand",
+    "q_dau_wau_stickiness",
+    "q_watermark_lateness_audit",
+    "q_abc_xyz_matrix",
+)
+
+# New queries added in round 5.  They sort AFTER the never-checked
+# backlog above, per the fixed policy: both tiers lack driver rows,
+# but the backlog has waited longer; each round-5 addition is locally
+# oracle-verified at BOTH sf0.001 and sf0.01 when built and rotates
+# toward the front next round.
+_NEW_THIS_ROUND: tuple[str, ...] = (
 )
 
 
