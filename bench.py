@@ -254,6 +254,8 @@ HEADLINE = [
     "q_cramers_v_type_dow",
     # r4 batch 21: ABC x XYZ planning matrix.
     "q_abc_xyz_matrix",
+    # r5: real PNG decode (stdlib-zlib inflate + filter 0-4 unfilter).
+    "q_multimodal_png_decode",
 ]
 
 

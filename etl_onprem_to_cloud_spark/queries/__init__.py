@@ -255,6 +255,7 @@ _NEVER_CHECKED = (
 # oracle-verified at BOTH sf0.001 and sf0.01 when built and rotates
 # toward the front next round.
 _NEW_THIS_ROUND: tuple[str, ...] = (
+    "q_multimodal_png_decode",  # new: real stdlib-zlib PNG decode
 )
 
 

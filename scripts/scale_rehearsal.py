@@ -218,6 +218,8 @@ REHEARSAL = [
     "q_cramers_v_type_dow",
     # round-4 batch 21
     "q_abc_xyz_matrix",
+    # round-5: real PNG decode
+    "q_multimodal_png_decode",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

@@ -280,3 +280,162 @@ def test_wav_decode_features_roundtrip(spark, sf_dir):
         assert r["n_samples"] == 64
         assert 0 <= r["peak"] <= 128
         assert r["byte_len"] == 44 + 64
+
+
+# --- PNG codec (VERDICT r4 item 4: stdlib-zlib inflate + unfilter) ----
+
+
+def test_png_roundtrip_each_filter_type():
+    """Per-filter round-trip: encode a raster where EVERY scanline uses
+    filter f (by choosing height=1 images per filter via direct
+    filtering we can't force through png_encode's row%5 cycle, so
+    instead build 5 multi-row images whose first row index aligns each
+    filter with content that stresses it), then decode and require the
+    exact raster back.  png_encode cycles row%5, so a 10-row image
+    exercises every filter twice."""
+    import random
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import _png_raster, png_encode
+
+    rng = random.Random(42)
+    for trial in range(5):
+        w, h = rng.randrange(1, 17), 10
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        w2, h2, bpp, out = _png_raster(png_encode(w, h, raster))
+        assert (w2, h2, bpp) == (w, h, 3)
+        assert out == raster, f"trial {trial}: raster mismatch"
+
+
+def test_png_grayscale_roundtrip():
+    import random
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import _png_raster, png_encode
+
+    rng = random.Random(1)
+    raster = bytes(rng.randrange(256) for _ in range(12 * 7))
+    w, h, bpp, out = _png_raster(png_encode(12, 7, raster, color_type=0))
+    assert (w, h, bpp) == (12, 7, 1)
+    assert out == raster
+
+
+def test_png_multiple_idat_chunks():
+    """The spec allows the deflate stream to be split across IDAT
+    chunks at any byte boundary; the decoder must concatenate."""
+    import struct
+    import zlib
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_raster,
+        png_encode,
+    )
+
+    raster = bytes(range(8 * 2 * 3))[: 8 * 2 * 3]
+    whole = png_encode(8, 2, raster)
+    # Rebuild: same IHDR, IDAT split into 3-byte chunks.
+    (size,) = struct.unpack(">I", whole[8:12])
+    ihdr_chunk = whole[8 : 8 + 12 + size]
+    (dsize,) = struct.unpack(">I", whole[8 + 12 + size : 12 + 12 + size])
+    idat_body = whole[8 + 12 + size + 8 : 8 + 12 + size + 8 + dsize]
+    split = _PNG_SIG + ihdr_chunk
+    for i in range(0, len(idat_body), 3):
+        split += _png_chunk(b"IDAT", idat_body[i : i + 3])
+    split += _png_chunk(b"IEND", b"")
+    w, h, bpp, out = _png_raster(split)
+    assert (w, h) == (8, 2) and out == raster
+
+
+def test_png_decoder_error_paths():
+    import pytest
+    import struct
+    import zlib
+
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_raster,
+        png_encode,
+    )
+
+    good = png_encode(4, 4, bytes(48))
+    with pytest.raises(ValueError, match="signature"):
+        _png_raster(b"GIF89a" + good)
+    # CRC corruption (flip a byte inside the IDAT body).
+    bad = bytearray(good)
+    bad[len(_PNG_SIG) + 12 + 13 + 8 + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _png_raster(bytes(bad))
+    # 16-bit depth rejected.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    deep = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes((4 * 6 + 1) * 4)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        _png_raster(deep)
+    # Interlace rejected.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    inter = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes((4 * 3 + 1) * 4)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="nterlace"):
+        _png_raster(inter)
+    # Truncated: IEND missing.
+    with pytest.raises(ValueError, match="IEND|truncated"):
+        _png_raster(good[:-12])
+    # Decompressed size inconsistent with declared dimensions.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(5)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size"):
+        _png_raster(short)
+
+
+def test_png_pooled_features_match_ppm_same_raster():
+    """PNG and PPM decode the SAME raster bytes to the SAME pooled
+    features: the codecs differ, the feature contract doesn't."""
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        png_decoder,
+        png_encode,
+        ppm_decoder,
+    )
+
+    pix = ("The quick brown fox! " * 10)[:192].encode("ascii")
+    ppm_payload = b"P6\n8 8\n255\n" + pix
+    png_payload = png_encode(8, 8, pix)
+    assert ppm_decoder(ppm_payload, 8) == png_decoder(png_payload, 8)
+
+
+def test_png_decode_through_pluggable_boundary(spark, sf_dir):
+    """End-to-end Spark leg: attach_png_payload (mapInPandas encode)
+    -> decode_image_features(decoder=png_decoder): header-parsed
+    dimensions, raster-pooled features, Arrow-batched both ways."""
+    from etl_onprem_to_cloud_spark.llm.multimodal import (
+        attach_png_payload,
+        decode_image_features,
+        png_decoder,
+    )
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").limit(20)
+    out = decode_image_features(
+        attach_png_payload(docs, width=8, height=8), feat_dim=8,
+        decoder=png_decoder,
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["features"]) == 8
+        assert all(-1.0 <= f <= 1.0 for f in r["features"])
+        # space-padded printable-ASCII raster: means sit in (32..126).
+        assert all(f >= (32 / 255) * 2 - 1 - 1e-6 for f in r["features"])

@@ -653,6 +653,19 @@ def test_wav_decode_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_png_decode_is_arrow_batched_map_only(spark, sf_dir):
+    """The PNG leg is two chained mapInPandas stages (encode fixture +
+    decode) with NO shuffle between them -- binary payloads never move
+    across the network -- and no row-at-a-time Python."""
+    from etl_onprem_to_cloud_spark.plans.checks import explain_str
+
+    df = QUERIES["q_multimodal_png_decode"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert shuffle_count(df) == 0
+
+
 @pytest.mark.parametrize("name,max_shuffles", [
     # Heaps: two token-key shuffles + the skinny cumulative window.
     ("q_heaps_vocab_growth", 6),

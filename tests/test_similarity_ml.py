@@ -35,18 +35,41 @@ def test_brp_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"BRP recall@10 too low: {recall:.2f}"
 
 
-def test_minhash_lsh_pairs_overlap_exact_jaccard(spark, sf_dir):
+def test_minhash_lsh_pairs_overlap_exact_jaccard(spark, sf_dir, tmp_path):
     """MinHashLSH pairs (Jaccard distance <= 0.5) should largely agree
-    with the exact n-gram Jaccard near-dup pairs (similarity >= 0.5)."""
-    exact_df = QUERIES["q_dedup_ngram_jaccard"].fn(spark, sf_dir)
-    exact = {
-        (r.id_a, r.id_b) for r in exact_df.collect()
-    }
-    approx_df = QUERIES["q_ml_minhash_lsh_pairs"].fn(spark, sf_dir)
+    with the exact n-gram Jaccard near-dup pairs (similarity >= 0.5).
+
+    De-flaked (VERDICT r4 item 7): instead of skipping when the SF's
+    organic corpus happens to contain no exact near-dup pair, the test
+    PINS one -- two appended documents that differ by a single trailing
+    token -- so the exact set is provably non-empty at every SF and the
+    recall assertion always runs."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    base = (
+        "the quick brown fox jumps over the lazy dog while the engine "
+        "deduplicates large corpora with banded minhash signatures and "
+        "exact ngram jaccard verification at every scale factor"
+    )
+    extra = spark.createDataFrame(
+        [
+            (max_id + 1, base, "en", "pinned", len(base)),
+            (max_id + 2, base + " always", "en", "pinned", len(base) + 7),
+        ],
+        schema=docs.schema,
+    )
+    pinned_dir = str(tmp_path / "pinned_sf")
+    docs.unionByName(extra).write.parquet(f"{pinned_dir}/documents.parquet")
+
+    exact_df = QUERIES["q_dedup_ngram_jaccard"].fn(spark, pinned_dir)
+    exact = {(r.id_a, r.id_b) for r in exact_df.collect()}
+    approx_df = QUERIES["q_ml_minhash_lsh_pairs"].fn(spark, pinned_dir)
     approx = {(r.id_a, r.id_b) for r in approx_df.collect()}
 
-    if not exact:
-        pytest.skip("fixture has no exact near-dup pairs at this SF")
+    pinned = (max_id + 1, max_id + 2)
+    assert pinned in exact, "pinned near-dup pair must clear the exact gate"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"MinHashLSH recall vs exact Jaccard: {recall:.2f}"
 
