@@ -23,6 +23,7 @@
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -637,6 +638,7 @@ def srp_near_dup_pairs(
     vec_col: str = "embedding",
     seed: str = "srp",
     projection: str = "pandas",
+    target_occupancy: int | None = 100,
 ) -> DataFrame:
     """Cosine near-dup pairs via signed-random-projection LSH
     (random-hyperplane SimHash) -> (id_a, id_b, cosine), id_a < id_b.
@@ -677,7 +679,31 @@ def srp_near_dup_pairs(
     summation order inside one dot product, and a sign flip would need
     |dot| < ~1e-13, far below the fixture's (and any real corpus')
     margin around zero.
+
+    ``target_occupancy`` is the scale governor (added after the r5
+    sf10 probe caught this function going SUPER-LINEAR, exponent 1.91
+    at 200k vectors): with FIXED bits the per-bucket occupancy grows
+    linearly with the corpus and within-bucket candidates grow
+    quadratically -- the docstring's own warning, now enforced instead
+    of remembered.  When set, ``bits_per_table`` is raised to
+    ceil(log2(n / target_occupancy)) so expected occupancy stays
+    constant and candidate volume grows LINEARLY with n (a 10x corpus
+    genuinely has 10x the near-dup pairs at constant density; linear
+    is the honest asymptotic, quadratic was the defect).  The bump
+    costs one metadata-cheap count() and only engages above
+    2^bits * occupancy vectors (25.6k at the 8x8/100 defaults), so
+    every committed oracle -- generated from the BASE bits at driver
+    SFs -- is bit-for-bit unaffected; srp_planes is index-tabulated,
+    so extra planes extend the family without moving existing ones.
+    Recall at a fixed cosine drops as bits grow (per-table collision
+    p^bits); for near-dup work that trade is correct -- the pairs
+    that matter sit near cosine 1 where p -> 1.  Pass None to pin the
+    bits exactly (differential twins / oracle-generation paths).
     """
+    if target_occupancy is not None:
+        n = embeddings.count()
+        if n > (1 << bits_per_table) * target_occupancy:
+            bits_per_table = math.ceil(math.log2(n / target_occupancy))
     n_planes = num_tables * bits_per_table
     planes = srp_planes(n_planes, dim, seed)
 

@@ -123,3 +123,71 @@ def test_with_salt_spreads_exact_duplicate_rows(spark):
     ).repartition(8)
     n_salts = with_salt(dupes, salts=16).select("__salt").distinct().count()
     assert n_salts > 1, "identical rows must not all map to one salt"
+
+
+def test_srp_adaptive_bits_keeps_occupancy_bounded(spark):
+    """The r5 sf10 probe caught srp_near_dup_pairs going quadratic
+    (exponent 1.91) because FIXED bucket bits let per-bucket occupancy
+    grow with the corpus.  With target_occupancy set (the default),
+    bits rise with n.  Raising bits RE-SLICES the plane family per
+    table (table t uses planes [t*B, (t+1)*B)), so the pair set is not
+    a subset of the fixed-bits run -- the real contracts are: (a)
+    PRECISION 1.0 against brute force at any bits (candidates only
+    gate; exact cosine decides), (b) a sane recall floor despite the
+    sharper buckets, (c) bit-identical results while the governor is
+    disengaged (n <= 2^bits * occupancy -- every committed oracle
+    lives there)."""
+    import numpy as np
+
+    from etl_onprem_to_cloud_spark.llm.similarity import srp_near_dup_pairs
+
+    n, dim = 3000, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.hash(F.col("id") * (d + 1), F.lit(d)) % 1000 / 500.0 - 1.0)
+                .cast("float")
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    rows = emb.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    iu = np.triu_indices(n, k=1)
+    exact = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][...], iu[1][...])
+        if round(cos[a, b], 6) >= 0.9
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+
+    fixed = {
+        (r.id_a, r.id_b)
+        for r in srp_near_dup_pairs(
+            emb, dim=dim, threshold=0.9, target_occupancy=None
+        ).collect()
+    }
+    adaptive = {
+        (r.id_a, r.id_b)
+        for r in srp_near_dup_pairs(
+            emb, dim=dim, threshold=0.9, target_occupancy=10
+        ).collect()
+    }
+    # (a) no false positives, ever -- exact cosine is the gate.
+    assert fixed <= exact and adaptive <= exact
+    # (b) sharper buckets trade recall for linear candidates; the trade
+    # must stay bounded (8 tables keep p_collision^bits redundancy).
+    assert len(adaptive) >= 0.3 * len(exact), (
+        f"adaptive recall collapsed: {len(adaptive)}/{len(exact)}"
+    )
+    # (c) governor disengaged (n <= 2^8 * 3000) => bit-identical result.
+    same = {
+        (r.id_a, r.id_b)
+        for r in srp_near_dup_pairs(
+            emb, dim=dim, threshold=0.9, target_occupancy=n
+        ).collect()
+    }
+    assert same == fixed, "occupancy governor must not engage below 2^bits*occ"
