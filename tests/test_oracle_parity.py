@@ -92,9 +92,13 @@ def test_oracle_parity(name, spark, sf_dir, duck):
             )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_queries_run(name, spark, sf_dir):
-    spec = QUERIES[name]
-    sdf = spec.fn(spark, sf_dir)
-    assert sdf.count() >= 0
-    assert len(sdf.columns) > 0
+def test_rows_only_queries_run(spark, sf_dir):
+    """As of round 4 the registry is fully value-oracled, so this list
+    is empty -- a plain loop (not parametrize) because pytest renders
+    an empty parameter set as a perpetual 'skipped' line.  If a future
+    entry ships without an oracle, it at least stays runnable here and
+    visibly swells ROWS_ONLY_QUERIES."""
+    for name in ROWS_ONLY_QUERIES:
+        sdf = QUERIES[name].fn(spark, sf_dir)
+        assert sdf.count() >= 0
+        assert len(sdf.columns) > 0
