@@ -722,6 +722,7 @@ def srp_near_dup_pairs(
     if projection == "pandas":
         dots = vecs.select(
             F.col(id_col),
+            F.col("__v"),
             _srp_dots_pandas(planes)(F.col("__v")).alias("__dots"),
         )
     elif projection == "expr":
@@ -738,6 +739,7 @@ def srp_near_dup_pairs(
         )
         dots = vecs.select(
             F.col(id_col),
+            F.col("__v"),
             F.transform(
                 planes_lit,
                 lambda p: F.aggregate(
@@ -759,8 +761,22 @@ def srp_near_dup_pairs(
             acc = acc + bit * F.lit(1 << b)
         return acc
 
+    # Carry the VECTOR through the bucket explode so the verify runs
+    # IN-BUCKET at collision time.  The alternative -- distinct the
+    # skinny candidate pairs first, then join vectors back by id --
+    # moves ~candidates x vec_size bytes (the r5 sf10 probe measured it
+    # at 200k vectors / 78M candidates: 64 GB of sort spill as SMJ, or
+    # 23 GB of wide shuffle as shuffle-hash).  Shipping each vector
+    # with its bucket rows instead costs n x num_tables x vec_size
+    # (~0.5 GB there) -- per-VECTOR replication beats per-CANDIDATE
+    # attach whenever occupancy > tables, i.e. always at scale.  A pair
+    # colliding in k tables computes its cosine k times (bounded by
+    # num_tables, vectorized numpy) and dedups AFTER the threshold
+    # filter, when rows are near-final volume.  Bit-identical: same
+    # double arrays through the same kernel, so the k copies agree.
     keyed = dots.select(
         F.col(id_col),
+        F.col("__v"),
         F.explode(
             F.array(
                 *[
@@ -771,13 +787,27 @@ def srp_near_dup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    # Persist the narrow (id, table, bucket) relation: the candidate
+    ).select(
+        id_col,
+        "__v",
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    # Persist the (id, vec, table, bucket) relation: the candidate
     # self-join's two branches are not exchange-reused by the planner,
     # so without this each side re-runs the full projection pass.
     keyed = pin(keyed, StorageLevel.MEMORY_AND_DISK)
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    if projection == "pandas":
+        # Candidate volume is occupancy-bounded but still the widest
+        # stage (dozens of pairs per vector); verify each pair with one
+        # numpy batch pass rather than an interpreted 64-element fold.
+        cos = _pair_cosine_pandas()(F.col("a.__v"), F.col("b.__v"))
+    else:
+        cos = F.round(
+            cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6
+        ).cast("double")
+    return (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
@@ -787,25 +817,10 @@ def srp_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
         )
-        .distinct()
-    )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    if projection == "pandas":
-        # Candidate volume is occupancy-bounded but still the widest
-        # stage (dozens of pairs per vector); verify each pair with one
-        # numpy batch pass rather than an interpreted 64-element fold.
-        cos = _pair_cosine_pandas()(F.col("__va"), F.col("__vb"))
-    else:
-        cos = F.round(
-            cosine_similarity(F.col("__va"), F.col("__vb")), 6
-        ).cast("double")
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

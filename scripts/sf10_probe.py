@@ -66,6 +66,19 @@ PROBE = [
     "q_lpa_communities",
     "q_adamic_adar_linkpred",
     "q_semantic_dedup_clusters",
+    # Second tier (r5 extension): everything sharing the two known
+    # second-decade failure modes -- co-purchase-graph densification
+    # over the FIXED 20k-part catalog (kcore / bellman / modularity /
+    # item-item CF pair counts) and banded-LSH candidate growth
+    # (star-CC over MinHash pairs, SRP-positive contrastive mining) --
+    # plus the two heaviest remaining bench entries (DSIR, star CC).
+    "q_kcore_copurchase",
+    "q_bellman_ford_cheapest",
+    "q_dsir_importance_resampling",
+    "q_dedup_clusters_star",
+    "q_contrastive_pairs",
+    "q_item_item_cf",
+    "q_modularity_brand_copurchase",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
