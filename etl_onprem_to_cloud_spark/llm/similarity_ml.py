@@ -14,6 +14,8 @@ hood -- shuffle on hash buckets, never the full cross product.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -81,6 +83,22 @@ def ml_minhash_near_dup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # Scale the HashingTF feature space with the corpus (same lesson as
+    # srp_near_dup_pairs' target_occupancy, caught by the same r5 sf10
+    # probe at exponent 1.26): with FIXED features the distinct-shingle
+    # universe eventually dwarfs the space (500k docs: ~50M shingles
+    # into 2^18 buckets = 190x collapse), feature collisions inflate
+    # the apparent Jaccard of UNRELATED docs, and spurious candidates
+    # grow quadratically.  Keeping features >= ~400 x docs holds the
+    # collision rate (shingles/features) roughly constant, so spurious
+    # candidate volume stays linear.  Only engages above 2^18/400 =
+    # 655 docs, so driver-SF results (<= 500 docs) are bit-for-bit
+    # unchanged; the verified output barely notices either way (exact
+    # Jaccard decides membership, LSH recall at sim 0.8 stays ~1).
+    n_docs = docs.count()
+    if 400 * n_docs > num_features:
+        num_features = 1 << math.ceil(math.log2(400 * n_docs))
+
     # Spread a compact input before the CPU-heavy shingle expansion: a
     # one-file corpus arrives as 1-2 partitions and would shingle
     # single-threaded (measured 13s of the 36s right there).
@@ -128,10 +146,20 @@ def ml_minhash_near_dup_pairs(
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sh_b"))
     inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
+    # shuffle_hash, never broadcast: sa/sb are CORPUS-scaled (every
+    # doc's shingle array), but Catalyst's pre-runtime size estimate
+    # only sees the skinny (id, text) scan under the projection and
+    # happily broadcasts them -- at 500k docs (the r5 sf10 probe) the
+    # two ~0.5 GB builds thrashed the 16 GB driver into GCLocker
+    # retries and killed the session.  A relation that grows with the
+    # corpus can never be a build side on the driver; partition-local
+    # hash builds (n/partitions rows each) hold at any scale, and at
+    # driver SFs the extra exchange on the LSH-bounded candidate set
+    # costs milliseconds.
     return (
         cand.select("id_a", "id_b")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        .join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -79,6 +79,20 @@ PROBE = [
     "q_contrastive_pairs",
     "q_item_item_cf",
     "q_modularity_brand_copurchase",
+    # Third tier (r5 extension 2): the MinHash-dedup flagship family
+    # (banded signatures over 500k documents -- the same candidate-
+    # growth risk class SRP had), the min-label CC twin, the blocked
+    # exact-Jaccard and containment paths, the end-to-end prep
+    # pipeline, and the remaining ANN/statistics heavies.
+    "q_dedup_minhash_lsh",
+    "q_ml_minhash_lsh_pairs",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard_blocked",
+    "q_dedup_containment",
+    "q_training_data_pipeline",
+    "q_kcenter_coreset_sampled",
+    "q_ann_pq_adc_topk",
+    "q_degree_powerlaw_alpha",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
