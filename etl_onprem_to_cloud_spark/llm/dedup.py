@@ -36,6 +36,7 @@ def _exploded_shingles(
     shingle_n: int,
     spread: bool | None = None,
     extra_cols: tuple[str, ...] = (),
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, shingle) rows via the two-step materialize-tokens pipeline
     (see shingles_from_tokens for why the inline form is slow).
@@ -52,7 +53,14 @@ def _exploded_shingles(
     driver-side introspection through ``df.rdd`` -- no job runs, but it
     does build the RDD conversion node); pass False to skip both the
     introspection and the shuffle when the input is known to be well
-    partitioned, or True to force the spread."""
+    partitioned, or True to force the spread.
+
+    ``with_size``: emit ``n_sh`` (the doc's DISTINCT-shingle count,
+    computed on the materialized array before the explode) on every
+    posting row.  Pair verifies that carry n_sh through the explode
+    need no per-pair size join afterwards -- at sf10 the two
+    sort-merge size joins over the grouped pair stream were the
+    dominant spill source of the counted dedup verifies."""
     target = docs.sparkSession.sparkContext.defaultParallelism
     if spread is None:
         spread = docs.rdd.getNumPartitions() < target
@@ -73,9 +81,31 @@ def _exploded_shingles(
     # then pays the expensive construction twice (measured 20x slower at
     # sf0.1).  The rule skips outer generates; the null filter on the
     # generated column is per-row and cheap.
+    size_cols = [F.size("__sh").alias("n_sh")] if with_size else []
     return sh.select(
-        F.col(id_col), *extras, F.explode_outer("__sh").alias("shingle")
+        F.col(id_col), *extras, *size_cols, F.explode_outer("__sh").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
+
+
+def _prune_unique_postings(ex: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Drop posting rows whose shingle occurs in exactly ONE document
+    of its block (per-key document frequency 1): such a posting can
+    never produce a collision row in the pair self-join, so removing
+    it first is exact -- and on the source-blocked corpus it removes
+    ~62% of all postings (measured at sf0.1).
+
+    The df count is a WINDOW over the join key, not a groupBy+join:
+    one pass over the posting stream, and the window's required
+    hash-partitioning + in-partition sort on the key are exactly the
+    pair self-join's own requirements, so the join downstream adds no
+    exchange and no sort of its own (both aliased sides dedup to one
+    computation through ReuseExchange)."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        ex.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") >= 2)
+        .drop("__df")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -375,33 +405,36 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-shingle sets via shingle-inverted-index
-    self-join.  ``block_col`` (e.g. source/date bucket) bounds the join
-    fan-out at scale; None = full corpus."""
-    tk = docs.select(
-        F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
-        tokens(F.lower(F.col(text_col))).alias("__tk"),
-    )
-    sh = tk.select(
-        F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
-        shingles_from_tokens(F.col("__tk"), shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+    self-join with a COUNT-CARRY verify: every collision row of the
+    self-join IS one unit of |A∩B|, so the exact Jaccard needs only a
+    grouped count -- no shingle array ever attaches to a pair row, and
+    because ``n_sh`` rides the explode, no size join touches the
+    grouped pair stream either.  Block-unique shingles (df = 1) are
+    pruned before the join (collision-impossible, exact); the pruning
+    window leaves the stream hash-partitioned AND sorted on the join
+    key, so the sort-merge pair join adds zero exchanges and zero
+    sorts of its own.  ``block_col`` (e.g. source/date bucket) bounds
+    the join fan-out at scale; None = full corpus.
 
-    ex = sh.select(
-        F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
-        F.col("n_sh"),
-        F.explode("sh").alias("shingle"),
+    The ``merge`` hint pins sort-merge: both sides are corpus-scaled,
+    so neither may ever become a broadcast build side (Catalyst's
+    pre-runtime size estimate only sees the skinny scan under the
+    projections -- the mis-broadcast failure measured on the MLlib
+    MinHash twin at sf10), and shuffle-hash would rebuild per-partition
+    hash maps the window's existing order makes unnecessary."""
+    blocks = (block_col,) if block_col else ()
+    ex = _exploded_shingles(
+        docs, id_col, text_col, shingle_n, extra_cols=blocks, with_size=True
     )
+    ex = _prune_unique_postings(ex, [*blocks, "shingle"])
     a, b = ex.alias("a"), ex.alias("b")
     join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     if block_col:
-        join_cond = join_cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        join_cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & join_cond
     common = (
-        a.join(b, join_cond)
+        a.join(b.hint("merge"), join_cond)
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -539,75 +572,99 @@ def ngram_jaccard_pairs_prefix(
     threshold: float = 0.5,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin): same
-    result as ngram_jaccard_pairs, far cheaper.
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin) with
+    a COUNT-CARRY verify: same result as ngram_jaccard_pairs.
 
     For J(A,B) >= t, A and B must share at least one shingle among each
     doc's first floor((1-t)*|S|)+1 shingles under ANY fixed global order
     -- rarest-first makes those prefix shingles nearly unique, so the
-    inverted-index self-join touches almost no high-frequency shingles
-    (which is what makes the naive join quadratic: a shingle shared by
-    k docs emits k^2 candidate rows).  Measured 6x faster at sf0.1 (24s -> 4s).
+    prefix membership test touches almost no high-frequency shingles.
+
+    The verify NEVER attaches shingle arrays to pair rows (the r5
+    sf10-measured pathology: candidates x set_size bytes of array
+    motion).  Instead the prefix filter is used as a MEMBERSHIP prune
+    and the verification itself is the counted collision join:
+
+    1. postings (id, n_sh, shingle) with per-block df; df=1 postings
+       pruned first (collision-impossible -- and removing them before
+       ranking only moves shared shingles EARLIER in the rarest-first
+       order, so the pigeonhole prefix bound computed on the FULL
+       n_sh stays valid).
+    2. prefix postings = per-doc rarest-first rank <= floor((1-t)n)+1.
+    3. MEMBERS = docs sharing a prefix shingle with another doc's
+       prefix (window count >= 2 over the prefix relation).  Any pair
+       with J >= t shares a shingle lying in BOTH prefixes, so both
+       ends of every qualifying pair are members; on a mostly-unique
+       corpus (real dedup at 100 TB) this discards almost all docs.
+    4. counted verify: the full pruned postings of member docs
+       self-join on the shingle key; each collision row is one unit
+       of |A∩B|; grouped count -> Jaccard -> threshold.  Member pairs
+       that never shared a prefix shingle get counted too, but the
+       prefix theorem guarantees they sit below t, so the threshold
+       filter removes exactly them -- the result stays exact.
 
     ``block_col`` composes blocking with the prefix filter: pairs are
-    restricted to the same block (identical semantics to the blocked
-    naive join), document frequencies are counted per block (rarest
-    WITHIN the block -- any per-block total order is valid for the
-    prefix bound, and block-local df is the selective one), and the
-    candidate join adds the block to its key.
+    restricted to the same block, document frequencies are counted per
+    block (rarest WITHIN the block -- any per-block total order is
+    valid for the prefix bound, and block-local df is the selective
+    one), and the collision join adds the block to its key.
 
-    Stages: shingle df count (one agg) -> per-doc rarest-first rank
-    (window) -> prefix self-join (tiny) -> verify candidates on full
-    collect_set shingle sets.  All exact; the naive formulation remains
-    the oracle.
+    On the benchmark corpus (tiny vocabulary, nearly every doc a
+    member) this path's extra member-prune stages are overhead over
+    the plain counted join -- prefer ngram_jaccard_pairs there; this
+    variant is the sparse-corpus scale path.
     """
     blocks = (block_col,) if block_col else ()
-    ex = _exploded_shingles(docs, id_col, text_col, shingle_n, extra_cols=blocks)
-    sets = ex.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    ex = _exploded_shingles(
+        docs, id_col, text_col, shingle_n, extra_cols=blocks, with_size=True
     )
-
-    dfreq = ex.groupBy(*blocks, "shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        ex.join(dfreq, [*blocks, "shingle"])
-        .withColumn(
-            "rnk",
+    wdf = Window.partitionBy(*blocks, "shingle")
+    pruned = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__df") >= 2)
+    )
+    prefix = (
+        pruned.withColumn(
+            "__rnk",
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy("df", "shingle")
+                Window.partitionBy(id_col).orderBy("__df", "shingle")
             ),
         )
-        .join(sets.select(id_col, "n_sh"), id_col)
-        .filter(
-            F.col("rnk")
-            <= _prefix_len(F.col("n_sh"), threshold)
-        )
+        .filter(F.col("__rnk") <= _prefix_len(F.col("n_sh"), threshold))
         .select(id_col, *blocks, "shingle")
     )
-    a, b = ranked.alias("a"), ranked.alias("b")
+    members = (
+        prefix.withColumn("__pc", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__pc") >= 2)
+        .select(id_col)
+        .distinct()
+    )
+    # Corpus-scaled semi build side: shuffle_hash, never broadcast
+    # (the MLlib-twin mis-broadcast lesson) and no sort of the stream.
+    verif = pruned.select(id_col, *blocks, "n_sh", "shingle").join(
+        members.hint("shuffle_hash"), id_col, "left_semi"
+    )
+    a, b = verif.alias("a"), verif.alias("b")
     join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     if block_col:
-        join_cond = join_cond & (
+        join_cond = (
             F.col(f"a.{block_col}") == F.col(f"b.{block_col}")
-        )
-    cand = (
-        a.join(b, join_cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        ) & join_cond
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b.hint("merge"), join_cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
             ).cast("double"),
         )
@@ -749,41 +806,146 @@ def containment_pairs(
     inside a much longer one scores J = |A|/|B| (tiny) but containment
     C(A->B) = 1.0.  Containment is the right measure for quote/subset
     dedup and for nested-crawl cleanup (page embedded in an archive
-    page).  Same inverted-index join as ngram_jaccard_pairs -- one
-    grouped self-join on the shingle key, both directions emitted from
-    the one grouped pair row; ``block_col`` bounds fan-out at scale
-    exactly as in the Jaccard form.
+    page).  ``block_col`` bounds fan-out at scale exactly as in the
+    Jaccard form.
+
+    SCALE SHAPE -- aggregate at the DOCUMENT key, never the pair key.
+    The collision volume of exact containment is Σ_s df(s)^2 and is
+    irreducible (every colliding shingle of a qualifying pair must be
+    counted), but WHERE it aggregates is a free choice.  The grouped
+    pair-keyed count (the r5 shape) put the whole collision stream
+    through a hash aggregate with ~0.9 distinct pairs PER collision
+    row (126M rows -> 113M pair groups at sf10: nearly every pair
+    shares one shingle, the partial aggregate reduced nothing and
+    spilled 40 GB).  Instead:
+
+    1. posting lists: one grouped pass builds (shingle -> member
+       docs); lists with one member are dropped (df=1 is
+       collision-impossible; exact).  Groups are df-sized -- tiny.
+    2. a second generate crosses each shingle's member list with
+       itself under id_a < id_b, giving raw UNDIRECTED incidence rows
+       (id_a, n_a, id_b, n_b) -- Σ_s C(df,2) of them, the collision
+       volume again, but skinny (32 B) and never aggregated by pair:
+       they only repartition by id_a, fanned out 4x over the default
+       parallelism so each partition's incidences fit comfortably in
+       one worker's memory.  Two rejected shapes, both sf10-measured:
+       a per-doc collect_list (its PARTIAL ObjectHashAggregate
+       buffers the arrays with near-zero reduction before the
+       exchange -- 10 GB spill) and a JVM sortWithinPartitions feeding
+       a streaming RLE (the 253M-row directed sort spilled 7.5 GB).
+    3. one ``mapInArrow`` pass per partition buffers its batches as
+       zero-copy numpy views (bounded by the fan-out: partition bytes
+       / 128; mapInPandas was measured first and its per-batch
+       DataFrame construction alone cost ~70 s over the 12.7k sf10
+       batches), then counts each pair's incidences with a single
+       vectorized np.lexsort + boundary diff and emits only pairs
+       where EITHER direction clears (t - 1e-6) * n: the threshold
+       fires BEFORE any pair row reaches an exchange, so pair
+       cardinality (113M at sf10, vs 512 survivors at sf0.1 density)
+       never materializes anywhere in the plan.
+    4. Spark-side fwd/rev projection with F.round(n_common / n, 6)
+       >= t re-filters: the 1e-6 margin over-emits at most the
+       round-up borderline, and the final value is computed by the
+       same JVM expression as the grouped formulation -- bit-identical
+       results.
+
+    Both directions come free: doc A's row scores A-as-contained;
+    A-as-container falls out of each partner's own row.  At 100 TB
+    the per-doc incidence array is bounded by Σ df over the doc's
+    shingles -- blocking (block_col) is the lever when hot shingles
+    make that unbounded, exactly as for the pair-keyed forms.
+
+    ``id_col`` must be an integral type (the Arrow batch schema types
+    ids as long, like the fixture tables' BIGINT keys); string ids
+    would need a dictionary-encode pre-pass.
     """
     blocks = (block_col,) if block_col else ()
-    ex = _exploded_shingles(docs, id_col, text_col, shingle_n, extra_cols=blocks)
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
-    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ex = _exploded_shingles(
+        docs, id_col, text_col, shingle_n, extra_cols=blocks, with_size=True
     )
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    common = (
-        a.join(b, cond)
-        .groupBy(
+    plists = (
+        ex.groupBy(*blocks, "shingle")
+        .agg(F.collect_list(F.struct(F.col(id_col), F.col("n_sh"))).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    inc = (
+        plists.select(F.explode("mem").alias("a"), F.col("mem").alias("__mem"))
+        .select("a", F.explode("__mem").alias("b"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.n_sh").alias("n_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.n_sh").alias("n_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .repartition(fanout, F.col("id_a"))
     )
-    fwd = common.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+
+    def count_pairs(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        names = ("id_a", "n_a", "id_b", "n_b")
+        cols: dict[str, list] = {c: [] for c in names}
+        for batch in batches:
+            idx = {c: batch.schema.get_field_index(c) for c in names}
+            for c in names:
+                cols[c].append(
+                    batch.column(idx[c]).to_numpy(zero_copy_only=False)
+                )
+        if not cols["id_a"]:
+            return
+        id_a, n_a, id_b, n_b = (np.concatenate(cols[c]) for c in names)
+        order = np.lexsort((id_b, id_a))
+        id_a, n_a, id_b, n_b = id_a[order], n_a[order], id_b[order], n_b[order]
+        bound = np.empty(len(id_a), dtype=bool)
+        bound[0] = True
+        bound[1:] = (id_a[1:] != id_a[:-1]) | (id_b[1:] != id_b[:-1])
+        starts = np.flatnonzero(bound)
+        cnts = np.diff(np.append(starts, len(id_a))).astype("int64")
+        id_a, n_a, id_b, n_b = (
+            id_a[starts], n_a[starts], id_b[starts], n_b[starts]
+        )
+        # Emit BOTH directions here rather than as a Spark-side
+        # fwd/rev union: two projections over one mapInArrow node make
+        # the plan run the whole Python stage (and its upstream
+        # incidence pipeline) twice -- measured 2x at sf10.
+        keep_f = cnts >= (threshold - 1e-6) * n_a
+        keep_r = cnts >= (threshold - 1e-6) * n_b
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.concatenate([id_a[keep_f], id_b[keep_r]]),
+                    type=pa.int64(),
+                ),
+                pa.array(
+                    np.concatenate([id_b[keep_f], id_a[keep_r]]),
+                    type=pa.int64(),
+                ),
+                pa.array(
+                    np.concatenate([cnts[keep_f], cnts[keep_r]]),
+                    type=pa.int64(),
+                ),
+                pa.array(
+                    np.concatenate([n_a[keep_f], n_b[keep_r]]),
+                    type=pa.int32(),
+                ),
+            ],
+            names=["contained_id", "container_id", "n_common", "n_den"],
+        )
+
+    directed = inc.mapInArrow(
+        count_pairs,
+        "contained_id long, container_id long, n_common long, n_den int",
     )
-    rev = common.select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment"),
+    return (
+        directed.withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_den"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 def containment_pairs_prefix(
@@ -793,61 +955,65 @@ def containment_pairs_prefix(
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact containment pairs via ASYMMETRIC prefix filtering: same
-    result as :func:`containment_pairs`, cheaper candidates.
+    """Exact containment pairs via ASYMMETRIC prefix filtering with a
+    COUNT-CARRY verify: same result as :func:`containment_pairs`.
 
     For C(A->B) = |A∩B|/|A| >= t, A must share at least one shingle
     among its first floor((1-t)*|A|)+1 shingles under a fixed global
     (rarest-first) order -- the bound depends only on the CONTAINED
-    side, so only A-side rows are prefix-restricted while the container
-    side keeps its full inverted index.  At t=0.8 the prefix is ~20% of
-    each doc's shingles, so the candidate join touches ~5x fewer
-    A-side postings than the naive self-join; high-frequency shingles
-    (the k^2 candidate generators) rank last and rarely enter a prefix.
-    Verification on full collect_set sets keeps the result exact.
+    side.  At t=0.8 the prefix is ~20% of each doc's shingles, and
+    high-frequency shingles rank last, so the contained-member test is
+    cheap.
+
+    Like :func:`ngram_jaccard_pairs_prefix`, the verify attaches no
+    shingle arrays to pair rows.  df=1 postings are pruned first (a
+    shared shingle has df >= 2 by definition, and pruning before
+    ranking only moves shared shingles earlier, keeping the bound on
+    the full n_sh valid).  After pruning, every surviving PREFIX
+    posting's shingle is by construction present in some other doc,
+    i.e. its owner satisfies the asymmetric candidate condition --
+    contained-members are simply the owners of surviving prefix
+    postings, no candidate join needed.  The counted collision join
+    then runs contained-member postings against the full pruned
+    inverted index (a.id != b.id -- roles are asymmetric), counts
+    |A∩B| at collision time, and the threshold filter discards the
+    member pairs the prefix theorem proves cannot reach t.  Exact; no
+    per-candidate motion.
     """
-    ex = _exploded_shingles(docs, id_col, text_col, shingle_n)
-    sets = ex.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("sh"), F.count(F.lit(1)).alias("n_sh")
+    ex = _exploded_shingles(docs, id_col, text_col, shingle_n, with_size=True)
+    wdf = Window.partitionBy("shingle")
+    pruned = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__df") >= 2)
     )
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        ex.join(dfreq, "shingle")
-        .withColumn(
-            "rnk",
+    members = (
+        pruned.withColumn(
+            "__rnk",
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy("df", "shingle")
+                Window.partitionBy(id_col).orderBy("__df", "shingle")
             ),
         )
-        .join(sets.select(id_col, "n_sh"), id_col)
-    )
-    prefix = ranked.filter(
-        F.col("rnk")
-        <= _prefix_len(F.col("n_sh"), threshold)
-    ).select(F.col(id_col).alias("contained_id"), "shingle")
-    full = ex.select(F.col(id_col).alias("container_id"), "shingle")
-    cand = (
-        prefix.join(full, "shingle")
-        .filter(F.col("contained_id") != F.col("container_id"))
-        .select("contained_id", "container_id")
+        .filter(F.col("__rnk") <= _prefix_len(F.col("n_sh"), threshold))
+        .select(id_col)
         .distinct()
     )
-    sa = sets.select(
-        F.col(id_col).alias("contained_id"),
-        F.col("sh").alias("sh_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    sb = sets.select(
-        F.col(id_col).alias("container_id"), F.col("sh").alias("sh_b")
-    )
+    posts = pruned.select(id_col, "n_sh", "shingle")
+    contained = posts.join(members.hint("shuffle_hash"), id_col, "left_semi")
+    a, b = contained.alias("a"), posts.alias("b")
     return (
-        cand.join(sa, "contained_id")
-        .join(sb, "container_id")
+        a.join(
+            b.hint("merge"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("contained_id"),
+            F.col(f"b.{id_col}").alias("container_id"),
+            F.col("a.n_sh").alias("n_a"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
-            "containment",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")) / F.col("n_a"), 6
-            ),
+            "containment", F.round(F.col("n_common") / F.col("n_a"), 6)
         )
         .filter(F.col("containment") >= threshold)
         .select("contained_id", "container_id", "containment")
