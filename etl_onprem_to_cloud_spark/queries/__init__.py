@@ -127,80 +127,31 @@ from . import finance  # noqa: E402,F401
 # suite (tests/test_oracle_parity.py hash-compares all oracled queries
 # against DuckDB).
 
-# Contracts changed in round 5: none so far -- round 4 ended with every
-# driver row green (50/50) and no oracle was re-specified this round.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# Implementations changed since their last driver row (round 6):
+# - q_dedup_ngram_jaccard_blocked / q_dedup_containment: verify
+#   restructured to the count-carry collision shape (VERDICT r5 item
+#   1); results proven bit-identical at sf0.001/0.01/0.1 against the
+#   pre-rewrite hashes, but the join graph is new.
+# - q_ml_minhash_lsh_pairs: its r4 driver row predates the r5 sf10
+#   hardening (shuffle_hash hints + adaptive HashingTF feature space)
+#   -- the regression canary VERDICT r5 item 2 asks for.  The other
+#   two r5-rewritten verifies (SRP in-bucket: q_semantic_dedup_clusters
+#   / q_contrastive_pairs) share one code path, srp_near_dup_pairs;
+#   q_contrastive_pairs sits in the never-checked tier below, so that
+#   path gets its driver row without spending a second slot.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "q_dedup_ngram_jaccard_blocked",
+    "q_dedup_containment",
+    "q_ml_minhash_lsh_pairs",
+)
 
-# Never driver-checked in r01-r04 (96 entries: the 6 r3-era leftovers
-# past the r4 prefix cutoff, then all 90 round-4 additions).  Within
-# the tier, the 50-entry driver prefix is spent on the families whose
-# cross-engine determinism is most fragile (VERDICT r4 item 1); the
-# tail rolls to round 6.  All 96 pass local DuckDB parity at sf0.001
+# Never driver-checked in r01-r05 (46 entries: the round-4 additions
+# past rotation #5's 50-entry cutoff).  This is the WHOLE remaining
+# debt -- with the png entry promoted from _NEW below, the r6 driver
+# prefix (3 changed + 46 + 1 = 50) gives every registry entry a driver
+# row for the first time.  All 46 pass local DuckDB parity at sf0.001
 # and sf0.01.
 _NEVER_CHECKED = (
-    # r3-era entries that have waited two rounds (the r4 driver prefix
-    # covered 46 of the 52-entry backlog; these 6 were past the cutoff).
-    "q_twap_daily_values",
-    "q_ohlc_hourly_values",
-    "q_dedup_method_comparison",
-    "q_ship_latency_percentiles",
-    "q_activity_heatmap",
-    "q_revenue_gini_parts",
-    # --- round-4 additions, determinism-fragile families first -------
-    # (VERDICT r4 item 1 names these: the queries whose cross-engine
-    # determinism tricks -- generated unrolled-CTE oracles, fixed-point
-    # BIGINT folds, quantized libm, rank statistics -- are most fragile.)
-    # ANN family.
-    "q_ann_pq_adc_topk",
-    "q_ann_ivfpq_topk",
-    # Iterative graph family.
-    "q_bfs_hops_from_hubs",
-    "q_lpa_communities",
-    "q_bellman_ford_cheapest",
-    "q_adamic_adar_linkpred",
-    "q_markov_removal_attribution",
-    "q_kcore_copurchase",
-    "q_modularity_brand_copurchase",
-    # Fixed-point recurrence folds (Holt/HW/Croston/ledger convention).
-    "q_holt_winters_additive",
-    "q_croston_intermittent",
-    "q_clamped_balance_users",
-    "q_holt_linear_forecast",
-    "q_markov_stationary_types",
-    "q_acf_hourly_counts",
-    "q_max_drawdown_users",
-    "q_cusum_value_drift",
-    "q_isotonic_recalibration",
-    # The one SURVEY 2b streaming row without driver evidence, and the
-    # WAV decode row (VERDICT r4 item 5).
-    "q_quality_monitor_batch",
-    "q_multimodal_wav_decode",
-    # Rank statistics / quantized-libm statistics -- same risk class.
-    "q_nb_roc_auc",
-    "q_exact_price_percentiles",
-    "q_theilsen_daily_trend",
-    "q_fellegi_sunter_linkage",
-    "q_stl_anomaly_days",
-    "q_dsir_importance_resampling",
-    "q_nb_calibration_bins",
-    "q_nb_lang_classifier",
-    "q_bootstrap_mean_ci",
-    "q_km_survival_first_purchase",
-    "q_mannwhitney_purchase_view",
-    "q_ks_drift_purchase_view",
-    "q_chi2_type_by_dow",
-    "q_cuped_ab_readout",
-    "q_ab_srm_and_ztest",
-    "q_ab_mde_power",
-    "q_anova_value_by_dow",
-    "q_cramers_v_type_dow",
-    "q_degree_powerlaw_alpha",
-    "q_interarrival_burstiness",
-    "q_item_item_cf",
-    "q_seq_patterns_support",
-    "q_peak_concurrent_sessions",
-    "q_conversion_latency",
-    # --- remaining round-4 additions (the r6 backlog tail) -----------
     "q_kcenter_coreset_sampled",
     "q_scd2_point_in_time_join",
     "q_hierarchy_revenue_rollup",
@@ -249,13 +200,20 @@ _NEVER_CHECKED = (
     "q_abc_xyz_matrix",
 )
 
-# New queries added in round 5.  They sort AFTER the never-checked
-# backlog above, per the fixed policy: both tiers lack driver rows,
-# but the backlog has waited longer; each round-5 addition is locally
-# oracle-verified at BOTH sf0.001 and sf0.01 when built and rotates
-# toward the front next round.
+# New queries added in round 6 sort AFTER the never-checked backlog
+# above, per the fixed policy: both tiers lack driver rows, but the
+# backlog has waited longer; each addition is locally oracle-verified
+# at BOTH sf0.001 and sf0.01 when built and rotates toward the front
+# next round.  q_multimodal_png_decode (the round-5 addition) still
+# lacks a driver row, so it keeps this tier and completes the 50-entry
+# prefix exactly.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "q_multimodal_png_decode",  # new: real stdlib-zlib PNG decode
+    "q_multimodal_png_decode",  # r5: real stdlib-zlib PNG decode
+    # r6, the one registry addition (VERDICT r5 item 7 asks for its
+    # parity row by name; the freeze budget is <= +2): real baseline
+    # JPEG decode.  Position 51 -- it does NOT displace anything from
+    # the 50-entry driver prefix that clears the debt.
+    "q_multimodal_jpeg_decode",
 )
 
 
