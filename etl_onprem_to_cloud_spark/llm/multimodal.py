@@ -442,9 +442,13 @@ def _png_raster(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated chunk header")
         (size,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + size]
-        if len(body) < size:
+        # Bound the WHOLE chunk (header + body + 4-byte CRC) before any
+        # slice: a payload cut inside the CRC field would otherwise
+        # reach struct.unpack with a short slice and raise struct.error,
+        # escaping this function's documented ValueError contract.
+        if pos + 12 + size > len(data):
             raise ValueError(f"truncated {ctype!r} chunk")
+        body = data[pos + 8 : pos + 8 + size]
         (crc,) = struct.unpack(">I", data[pos + 8 + size : pos + 12 + size])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
@@ -517,9 +521,6 @@ def png_decoder(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
     return width, height, _pool_raster(raster, 255, feat_dim)
 
 
-PNG_MEDIA_COLUMNS = ["doc_id", "payload", "mime", "byte_len"]
-
-
 def attach_png_payload(
     docs: DataFrame, text_col: str = "text", width: int = 8, height: int = 8
 ) -> DataFrame:
@@ -548,6 +549,45 @@ def attach_png_payload(
                     "doc_id": pdf["doc_id"],
                     "payload": payloads,
                     "mime": ["image/png"] * len(pdf),
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def attach_jpeg_payload(
+    docs: DataFrame, text_col: str = "text", blocks: int = 8
+) -> DataFrame:
+    """Construct a VALID baseline-JPEG payload from table data: the
+    doc's first ``blocks`` printable-ASCII bytes become the constant
+    values of ``blocks`` vertically-stacked 8x8 grayscale blocks
+    (image 8 x 8*blocks), encoded through :func:`..jpeg.jpeg_encode`
+    -- real FDCT, real Annex-K Huffman tables, real quantization.
+    JPEG is lossy in general, but constant blocks under QUANT_EXACT
+    round-trip bit-for-bit (see llm/jpeg.py), so the DECODED features
+    stay SQL-reproducible from the text column exactly like the
+    lossless PNG/PPM/WAV legs.  Same Arrow-batched mapInPandas shape
+    as attach_png_payload."""
+    import re as _re
+
+    from .jpeg import jpeg_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ascii_re = _re.compile(r"[^ -~]")
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                pix = ascii_re.sub("", t or "")[:blocks].ljust(blocks, " ")
+                raster = bytes(
+                    v for v in pix.encode("ascii") for _ in range(64)
+                )
+                payloads.append(jpeg_encode(8, 8 * blocks, raster))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": ["image/jpeg"] * len(pdf),
                     "byte_len": [len(p) for p in payloads],
                 }
             )

@@ -701,6 +701,14 @@ def srp_near_dup_pairs(
     bits exactly (differential twins / oracle-generation paths).
     """
     if target_occupancy is not None:
+        # Count a PINNED projection of exactly the columns the pipeline
+        # reads: for a computed (non-parquet-backed) upstream plan a
+        # bare count() would execute the full lineage once extra per
+        # invocation; pinning first makes the governor's count the
+        # materialization the projection pass below then reuses.
+        embeddings = pin(
+            embeddings.select(id_col, vec_col), StorageLevel.MEMORY_AND_DISK
+        )
         n = embeddings.count()
         if n > (1 << bits_per_table) * target_occupancy:
             bits_per_table = math.ceil(math.log2(n / target_occupancy))

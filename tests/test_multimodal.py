@@ -389,6 +389,11 @@ def test_png_decoder_error_paths():
     # Truncated: IEND missing.
     with pytest.raises(ValueError, match="IEND|truncated"):
         _png_raster(good[:-12])
+    # Truncated INSIDE a chunk's 4-byte CRC field (header + body
+    # present, CRC partial): must still be the documented ValueError,
+    # never a struct.error escaping the contract (ADVICE r5).
+    with pytest.raises(ValueError, match="truncated"):
+        _png_raster(good[:-14])
     # Decompressed size inconsistent with declared dimensions.
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
     short = (

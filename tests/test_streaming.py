@@ -211,6 +211,22 @@ def test_tws_running_totals_matches_batch(spark, events_batch, events_stream_dir
         # real streaming run below.
         import importlib.util
 
+        from etl_onprem_to_cloud_spark.streaming.windows import (
+            RunningTotalsProcessor,
+        )
+
+        if RunningTotalsProcessor is None:
+            # Outer gate leg: the transformWithState API itself failed
+            # to import, which only happens on pyspark < 4 -- assert
+            # THAT, not protobuf absence (protobuf may well be
+            # installed on a pyspark-3 box; the gate is still correct).
+            import pyspark
+
+            assert int(pyspark.__version__.split(".")[0]) < 4, (
+                "transformWithState API not importable on pyspark >= 4 "
+                "-- the outer gate in streaming/windows.py is stale"
+            )
+            return
         try:
             pb_spec = importlib.util.find_spec("google.protobuf")
         except ModuleNotFoundError:  # parent 'google' package absent
