@@ -256,6 +256,7 @@ HEADLINE = [
     "q_abc_xyz_matrix",
     # r5: real PNG decode (stdlib-zlib inflate + filter 0-4 unfilter).
     "q_multimodal_png_decode",
+    "q_multimodal_jpeg_decode",
 ]
 
 

@@ -868,6 +868,13 @@ def containment_pairs(
         .agg(F.collect_list(F.struct(F.col(id_col), F.col("n_sh"))).alias("mem"))
         .filter(F.size("mem") >= 2)
     )
+    # Explicit 4x fan-out over the default parallelism: each
+    # partition's incidences are buffered as numpy arrays in one
+    # Python worker, so partition size is the worker's memory bound
+    # (127M rows / 128 partitions x 32 B = ~32 MB at sf10).  A plain
+    # repartition(col) was measured too: AQE's 64 MB coalescing
+    # target produces partitions ~4x larger -- still safe, but the
+    # pinned count keeps the bound independent of AQE settings.
     fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
     inc = (
         plists.select(F.explode("mem").alias("a"), F.col("mem").alias("__mem"))

@@ -220,6 +220,8 @@ REHEARSAL = [
     "q_abc_xyz_matrix",
     # round-5: real PNG decode
     "q_multimodal_png_decode",
+    # round-6: real baseline-JPEG decode
+    "q_multimodal_jpeg_decode",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]

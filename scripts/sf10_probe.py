@@ -93,6 +93,18 @@ PROBE = [
     "q_kcenter_coreset_sampled",
     "q_ann_pq_adc_topk",
     "q_degree_powerlaw_alpha",
+    # Fourth tier (r6 extension, VERDICT r5 item 5): everything >= ~1s
+    # at sf0.1 without a probe row -- the pair-enumeration trend
+    # estimator (constant-size by construction; probed for form), the
+    # exact k-center (bounded collects x k rounds), the PAVA
+    # recalibration and exact-rank statistics (single-partition final
+    # folds over bounded aggregates), and the sortless exact
+    # percentiles (value-partitioned rank counting).
+    "q_theilsen_daily_trend",
+    "q_kcenter_coreset",
+    "q_isotonic_recalibration",
+    "q_nb_roc_auc",
+    "q_exact_price_percentiles",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
