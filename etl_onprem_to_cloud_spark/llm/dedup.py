@@ -904,6 +904,8 @@ def containment_pairs(
         if not cols["id_a"]:
             return
         id_a, n_a, id_b, n_b = (np.concatenate(cols[c]) for c in names)
+        if id_a.size == 0:  # zero-row batches pass the list guard
+            return
         order = np.lexsort((id_b, id_a))
         id_a, n_a, id_b, n_b = id_a[order], n_a[order], id_b[order], n_b[order]
         bound = np.empty(len(id_a), dtype=bool)
