@@ -98,6 +98,14 @@ def ml_minhash_near_dup_pairs(
     n_docs = docs.count()
     if 400 * n_docs > num_features:
         num_features = 1 << math.ceil(math.log2(400 * n_docs))
+    # HashingTF.numFeatures is a JVM Int: the adaptive rule crosses
+    # 2^31 at ~2.7M docs (400 x 5.4M = 2^31 overflows).  Cap at 2^30 --
+    # beyond the cap the collision rate resumes growing linearly with
+    # the corpus, so the MLlib twin's candidate volume slowly
+    # re-inflates; at that scale the native minhash_lsh path (md5
+    # shingle keys, unbounded key space, same verified output contract)
+    # is the scale path and this twin is the MLlib-compatibility path.
+    num_features = min(num_features, 1 << 30)
 
     # Spread a compact input before the CPU-heavy shingle expansion: a
     # one-file corpus arrives as 1-2 partitions and would shingle

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""sf100 probe (round 6): a THIRD decade for the flagship scale paths.
+
+sf1 -> sf10 caught four regime changes that sf0.1 -> sf1 could not see
+(quadratic LSH bucket occupancy, per-candidate vector attach,
+mis-broadcast corpus-scaled relations, fixed-hash-space collapse), so
+the hit rate justifies one more decade for the queries whose 100 TB
+story matters most: the dedup/LSH/ANN family plus the one fixed-catalog
+graph densifier.  sf100 = 10 key-shifted replicas of the derived sf10
+(~17 GB parquet: 2M vectors / 600M lineitems / 5M documents), built
+with a THIRD perturbation family so density stays realistic:
+
+- documents: replica j > 0 suffixes every token with ``_t{j}`` --
+  composed with sf1's ``_r{i}`` and sf10's ``_s{j}``, shingle sets
+  stay disjoint across all 1000 effective replicas.
+- embeddings: replica j applies a Rademacher sign pattern from a hash
+  family DISTINCT from sf10's (three-arg murmur3 with a constant salt
+  vs sf10's two-arg): the product of two independent Rademacher
+  patterns is another Rademacher pattern, and with independent
+  families the probability that two composed replicas collide in
+  cosine space is ~2^-dim per pair -- negligible at 64 dims.
+- events / orders / lineitem / customer: key shift j * 1e9 (sf10 keys
+  sit below 1e9).
+- dims: copied once -- the catalog does NOT scale, which is exactly
+  the densification stress the co-purchase graph row is here for.
+
+Known third-decade boundaries this probe exercises on purpose:
+- ml_minhash's adaptive HashingTF crosses numFeatures = 2^31 at ~2.7M
+  docs; the 2^30 cap (llm/similarity_ml.py) engages for the first
+  time at this scale.
+- containment's explicit 4x-parallelism fan-out means incidence rows
+  per partition grow linearly with the corpus (~320 MB numpy buffer
+  per partition here).
+
+Usage:
+    python scripts/sf100_probe.py          # build (if absent) + probe
+    SPARK_GRAFT_SF100_ONLY=a,b python scripts/sf100_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_onprem_to_cloud_spark.plans import execution_metrics
+from etl_onprem_to_cloud_spark.pinned import release_pinned
+from etl_onprem_to_cloud_spark.queries import QUERIES
+from etl_onprem_to_cloud_spark.session import get_spark
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
+SF100 = os.environ.get("SPARK_GRAFT_SF100_DIR", "/tmp/spark_graft_sf100")
+REPLICAS = 10
+SHIFT = 1_000_000_000
+
+# Cheapest-first so partial runs still land evidence.
+PROBE = [
+    "q_dedup_minhash_lsh",
+    "q_kcore_copurchase",
+    "q_ann_ivfpq_topk",
+    "q_semantic_dedup_clusters",
+    "q_dedup_containment",
+    "q_ml_minhash_lsh_pairs",
+]
+
+DIMS = ["region", "nation", "supplier", "part"]
+KEY_SHIFTS = {
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+}
+
+
+def _replicate(spark, table: str) -> None:
+    src = spark.read.parquet(f"{SF10}/{table}.parquet")
+    outs = []
+    for j in range(REPLICAS):
+        rep = src
+        if table == "documents":
+            rep = rep.withColumn("doc_id", F.col("doc_id") + F.lit(j * SHIFT))
+            if j > 0:
+                toks = F.filter(F.split(F.col("text"), " +"), lambda t: t != "")
+                rep = rep.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ", F.transform(toks, lambda t: F.concat(t, F.lit(f"_t{j}")))
+                    ),
+                )
+        elif table == "embeddings":
+            rep = rep.withColumn("vec_id", F.col("vec_id") + F.lit(j * SHIFT))
+            if j > 0:
+                # Third-arg salt picks a hash family independent of the
+                # sf10 derivation's two-arg pattern (see module doc).
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, k: F.when(
+                            F.pmod(
+                                F.hash(k.cast("int"), F.lit(j), F.lit(100)), 2
+                            )
+                            == 0,
+                            x,
+                        ).otherwise(-x),
+                    ),
+                )
+        else:
+            for key in KEY_SHIFTS.get(table, []):
+                rep = rep.withColumn(key, F.col(key) + F.lit(j * SHIFT))
+        outs.append(rep)
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    df.repartition(256).write.mode("overwrite").parquet(f"{SF100}/{table}.parquet")
+
+
+def build(spark) -> None:
+    for t in DIMS:
+        spark.read.parquet(f"{SF10}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{SF100}/{t}.parquet"
+        )
+    for t in ["documents", "embeddings", "events", "orders", "lineitem", "customer"]:
+        _replicate(spark, t)
+        print(f"# built {t}", file=sys.stderr)
+
+
+def main() -> None:
+    probe = PROBE
+    only = os.environ.get("SPARK_GRAFT_SF100_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        probe = [n for n in probe if n in wanted]
+
+    if not os.path.isdir(f"{SF10}/lineitem.parquet"):
+        print(f"# sf10 missing at {SF10}; run scripts/sf10_probe.py first",
+              file=sys.stderr)
+        sys.exit(1)
+
+    spark = get_spark(app_name="sf100-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(f"{SF100}/lineitem.parquet"):
+        print(f"# building derived sf100 at {SF100}", file=sys.stderr)
+        build(spark)
+
+    warm = "/root/testdata/sf0.001"
+    for name in probe:
+        QUERIES[name].fn(spark, warm).count()
+    release_pinned()
+
+    runs = int(os.environ.get("SPARK_GRAFT_REHEARSAL_RUNS", "2"))
+    results: dict[str, dict[str, float]] = {}
+    print("| query | sf10 (s) | sf100 (s) | ratio | exponent | sf100 spill |")
+    print("|---|---|---|---|---|---|")
+    for name in probe:
+        fn = QUERIES[name].fn
+
+        def timed_metrics(sf_dir):
+            t0 = time.perf_counter()
+            m = execution_metrics(fn(spark, sf_dir))
+            return time.perf_counter() - t0, m
+
+        t10 = min(timed_metrics(SF10)[0] for _ in range(runs))
+        release_pinned()
+        t100, m = min(
+            (timed_metrics(SF100) for _ in range(runs)), key=lambda r: r[0]
+        )
+        release_pinned()
+        exp = math.log10(t100 / t10)
+        results[name] = {
+            "t_sf10": round(t10, 3),
+            "t_sf100": round(t100, 3),
+            "exponent": round(exp, 3),
+            "sf100_spill_bytes": int(m["spill_bytes"]),
+            "sf100_shuffle_bytes": int(m["shuffle_bytes_written"]),
+        }
+        flag = " **SUPER-LINEAR**" if exp > 1.0 else ""
+        print(
+            f"| {name} | {t10:.2f} | {t100:.2f} | {t100 / t10:.2f}x | "
+            f"{exp:.2f}{flag} | {m['spill_bytes']:,} B |",
+            flush=True,
+        )
+    print(json.dumps({"metric": "sf100_probe", "sf_ratio": 10, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
