@@ -193,6 +193,46 @@ def lloyd_fit(
     return [(cell, [float(x) for x in c]) for cell, c in cents]
 
 
+def _bounded_fit_rows(
+    e: DataFrame,
+    fit_max_rows: int,
+    salt: str,
+    id_name: str = "id",
+    vec_name: str = "v",
+) -> list:
+    """Collect a deterministic quantizer FIT set of <= fit_max_rows.
+
+    Below the cap this is the whole corpus in one job -- byte-for-byte
+    the legacy behavior, so every driver-SF oracle is unchanged.
+    Above it (first hit by the r6 sf100 probe: 2M vectors tripped
+    ivfpq_top_k's guard, which used to raise and told the CALLER to
+    gate -- but the registered queries never did), the fit set is a
+    content-hash subsample: ``hash_gate(id)`` < 1.05x the target rate,
+    then a driver-side (gate, id) sort truncates the binomial
+    overshoot to exactly the cap.  Deterministic under repartitioning
+    and engine-independent (md5 content gate), like every other
+    sampling decision in this repo (operators/sampling.py).  The
+    count() + gated collect cost one extra pass over the corpus --
+    paid only on the scale path; quantizer fit over a uniform 1M-row
+    sample is how production IVF/PQ trains at this size anyway, and
+    the exact re-rank stages keep emitted VALUES exact regardless of
+    codebook quality."""
+    probe = e.limit(fit_max_rows + 1).collect()
+    if len(probe) <= fit_max_rows:
+        return [(r[id_name], list(r[vec_name])) for r in probe]
+    from ..operators.sampling import _MOD, hash_gate
+
+    n = e.count()
+    rate = min(1.0, 1.05 * fit_max_rows / n)
+    gated = (
+        e.withColumn("__g", hash_gate(F.col(id_name).cast("string"), salt))
+        .filter(F.col("__g") < int(rate * _MOD))
+        .collect()
+    )
+    gated.sort(key=lambda r: (r["__g"], r[id_name]))
+    return [(r[id_name], list(r[vec_name])) for r in gated[:fit_max_rows]]
+
+
 def lloyd_cells(
     embeddings: DataFrame,
     num_cells: int = 10,
@@ -295,15 +335,11 @@ def lloyd_cells(
 
     if fit == "driver":
         fit_rows = [
-            (int(r["__id"]), [float(x) for x in r["__v"]])
-            for r in e.limit(fit_max_rows + 1).collect()
-        ]
-        if len(fit_rows) > fit_max_rows:
-            raise ValueError(
-                f"lloyd_cells driver fit over > {fit_max_rows} rows; "
-                "gate/sample the fit set upstream or pass "
-                "fit='distributed'"
+            (int(i), [float(x) for x in v])
+            for i, v in _bounded_fit_rows(
+                e, fit_max_rows, "ivf-fit", "__id", "__v"
             )
+        ]
         cents = materialize(lloyd_fit(fit_rows, num_cells, n_iter))
     else:
         # Init: the num_cells smallest-id vectors, cell = rank - 1
@@ -1016,14 +1052,7 @@ def pq_top_k(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    rows = [
-        (r["id"], list(r["v"])) for r in e.limit(fit_max_rows + 1).collect()
-    ]
-    if len(rows) > fit_max_rows:
-        raise ValueError(
-            f"pq_top_k: fit set exceeds fit_max_rows={fit_max_rows}; "
-            "hash-gate or sample the fit set upstream"
-        )
+    rows = _bounded_fit_rows(e, fit_max_rows, "pq-fit")
     if not rows:
         score_col = "adc_dist2" if rerank is None else "cosine"
         return spark.createDataFrame(
@@ -1229,14 +1258,7 @@ def ivfpq_top_k(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    rows = [
-        (r["id"], list(r["v"])) for r in e.limit(fit_max_rows + 1).collect()
-    ]
-    if len(rows) > fit_max_rows:
-        raise ValueError(
-            f"ivfpq_top_k: fit set exceeds fit_max_rows={fit_max_rows}; "
-            "hash-gate or sample the fit set upstream"
-        )
+    rows = _bounded_fit_rows(e, fit_max_rows, "ivfpq-fit")
     if not rows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank bigint"

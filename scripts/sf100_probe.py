@@ -168,11 +168,20 @@ def main() -> None:
             m = execution_metrics(fn(spark, sf_dir))
             return time.perf_counter() - t0, m
 
-        t10 = min(timed_metrics(SF10)[0] for _ in range(runs))
-        release_pinned()
-        t100, m = min(
-            (timed_metrics(SF100) for _ in range(runs)), key=lambda r: r[0]
-        )
+        # One query's scale failure is a FINDING, not a reason to lose
+        # the rest of the probe (the first run lost 3 rows to the
+        # IVFPQ fit-cap ValueError).
+        try:
+            t10 = min(timed_metrics(SF10)[0] for _ in range(runs))
+            release_pinned()
+            t100, m = min(
+                (timed_metrics(SF100) for _ in range(runs)), key=lambda r: r[0]
+            )
+        except Exception as e:  # noqa: BLE001 - report and continue
+            release_pinned()
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"| {name} | — | FAILED | — | — | {e} |", flush=True)
+            continue
         release_pinned()
         exp = math.log10(t100 / t10)
         results[name] = {
