@@ -207,28 +207,39 @@ def _bounded_fit_rows(
     Above it (first hit by the r6 sf100 probe: 2M vectors tripped
     ivfpq_top_k's guard, which used to raise and told the CALLER to
     gate -- but the registered queries never did), the fit set is a
-    content-hash subsample: ``hash_gate(id)`` < 1.05x the target rate,
-    then a driver-side (gate, id) sort truncates the binomial
+    content-hash subsample: ``hash_gate(id)`` < a margin x the target
+    rate, then a driver-side (gate, id) sort truncates the binomial
     overshoot to exactly the cap.  Deterministic under repartitioning
     and engine-independent (md5 content gate), like every other
-    sampling decision in this repo (operators/sampling.py).  The
-    count() + gated collect cost one extra pass over the corpus --
-    paid only on the scale path; quantizer fit over a uniform 1M-row
-    sample is how production IVF/PQ trains at this size anyway, and
-    the exact re-rank stages keep emitted VALUES exact regardless of
-    codebook quality."""
-    probe = e.limit(fit_max_rows + 1).collect()
-    if len(probe) <= fit_max_rows:
-        return [(r[id_name], list(r[vec_name])) for r in probe]
+    sampling decision in this repo (operators/sampling.py).  Two
+    corpus passes on either path: count() (column-pruned aggregate,
+    nothing to the driver) then ONE collect -- the full corpus below
+    the cap (byte-identical set to legacy), the gated sample above
+    it.  The 1.05x margin is binomial, so it can undershoot; when the
+    gated sample comes back short the margin doubles and the gate
+    re-runs (monotone threshold, same salt -- still deterministic per
+    dataset; at the production cap of 1M the 5% margin is ~50 sigma,
+    so the retry is a never-in-practice correctness backstop for tiny
+    test caps).  Quantizer fit over a uniform bounded sample is how
+    production IVF/PQ trains at this size anyway, and the exact
+    re-rank stages keep emitted VALUES exact regardless of codebook
+    quality."""
+    n = e.count()
+    if n <= fit_max_rows:
+        return [(r[id_name], list(r[vec_name])) for r in e.collect()]
     from ..operators.sampling import _MOD, hash_gate
 
-    n = e.count()
-    rate = min(1.0, 1.05 * fit_max_rows / n)
-    gated = (
-        e.withColumn("__g", hash_gate(F.col(id_name).cast("string"), salt))
-        .filter(F.col("__g") < int(rate * _MOD))
-        .collect()
-    )
+    margin = 1.05
+    while True:
+        rate = min(1.0, margin * fit_max_rows / n)
+        gated = (
+            e.withColumn("__g", hash_gate(F.col(id_name).cast("string"), salt))
+            .filter(F.col("__g") < int(rate * _MOD))
+            .collect()
+        )
+        if len(gated) >= fit_max_rows or rate >= 1.0:
+            break
+        margin *= 2.0  # binomial undershoot: widen the gate and re-run
     gated.sort(key=lambda r: (r["__g"], r[id_name]))
     return [(r[id_name], list(r[vec_name])) for r in gated[:fit_max_rows]]
 
@@ -262,10 +273,12 @@ def lloyd_cells(
     construction): 2 Spark jobs total instead of 2 per Lloyd round.
     That is how production IVF trains at 100 TB too -- the quantizer
     fits on a bounded training set while the corpus-wide ASSIGNMENT
-    stays distributed and map-only -- but the collect is corpus-sized
-    here, so it is guarded: more than ``fit_max_rows`` fit rows raises
-    rather than silently flooding the driver; gate/sample the fit set
-    upstream (deterministic ``hash_gate``) at real scale.
+    stays distributed and map-only -- and the collect is bounded: a
+    corpus over ``fit_max_rows`` fits on a deterministic hash-gated
+    subsample of exactly ``fit_max_rows`` rows
+    (:func:`_bounded_fit_rows`) instead of flooding the driver;
+    below the cap the fit set is the whole corpus, byte-identical to
+    the legacy behavior, so driver-SF oracles are unchanged.
     ``fit="distributed"`` runs the same loop as DataFrame ops (the
     differential twin; per-round centroid tables materialize through a
     bounded <= num_cells-row collect to keep lineage linear in
@@ -1030,8 +1043,9 @@ def pq_top_k(
     reading only R full vectors per query instead of the corpus.
 
     100 TB shape: the fit is a bounded driver-side numpy train
-    (:func:`lloyd_fit` per subspace; gate/sample the fit set upstream
-    at real scale -- guarded by ``fit_max_rows``); ENCODE is map-only
+    (:func:`lloyd_fit` per subspace; over ``fit_max_rows`` the fit set
+    is a deterministic hash-gated subsample of exactly that many rows,
+    :func:`_bounded_fit_rows`); ENCODE is map-only
     (codebooks are literal arrays folded in codegen, no shuffle, and
     the persisted form of a 64-dim float vector collapses to
     ``num_subspaces`` small ints -- 64x storage compression at M=4);
@@ -1238,8 +1252,10 @@ def ivfpq_top_k(
        re-scored with exact cosine.  Returns (query_id, neighbor_id,
        cosine, rank).
 
-    100 TB shape: fit = bounded driver-side numpy (gate the fit set
-    upstream); coarse assignment + residual + PQ encode are ONE
+    100 TB shape: fit = bounded driver-side numpy (over
+    ``fit_max_rows`` the fit set is a deterministic hash-gated
+    subsample, :func:`_bounded_fit_rows`); coarse assignment +
+    residual + PQ encode are ONE
     map-only pass (broadcast centroid struct + literal codebooks in
     codegen); the ADC scan touches only probed cells (the coarse cell
     is the natural partition key, so each probe reads a bounded

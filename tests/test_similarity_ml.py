@@ -7,6 +7,7 @@ Jaccard) instead of by value-hash.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_onprem_to_cloud_spark.llm.similarity_ml import HAS_ML
 from etl_onprem_to_cloud_spark.queries import QUERIES
@@ -248,18 +249,72 @@ def test_lloyd_driver_fit_matches_distributed_twin(spark, sf_dir):
     assert ca == cb
 
 
-def test_lloyd_driver_fit_guard(spark, sf_dir):
-    """The corpus-sized fit collect is guarded: exceeding fit_max_rows
-    raises instead of silently flooding the driver."""
-    import pytest
+def test_bounded_fit_rows_over_cap_contract(spark, sf_dir):
+    """Over the cap, _bounded_fit_rows returns EXACTLY fit_max_rows
+    rows (the hash-gate margin doubles on binomial undershoot, so the
+    contract holds even for tiny test caps), a subset of the corpus,
+    and never floods the driver with the full corpus."""
+    from etl_onprem_to_cloud_spark.llm.similarity import _bounded_fit_rows
+    from etl_onprem_to_cloud_spark.queries._util import cat
 
+    emb = cat(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    n = emb.count()
+    assert n > 10
+    rows = _bounded_fit_rows(emb, 10, "test-fit")
+    assert len(rows) == 10
+    all_ids = {r["id"] for r in emb.select("id").collect()}
+    assert {i for i, _ in rows} <= all_ids
+    # ids are distinct (a sample, not a multiset artifact)
+    assert len({i for i, _ in rows}) == 10
+
+
+def test_bounded_fit_rows_deterministic_under_repartition(spark, sf_dir):
+    """The over-cap subsample is content-hash-gated, so physical
+    layout (partition count, row order) must not change the fit set."""
+    from etl_onprem_to_cloud_spark.llm.similarity import _bounded_fit_rows
+    from etl_onprem_to_cloud_spark.queries._util import cat
+
+    emb = cat(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    a = _bounded_fit_rows(emb, 17, "test-fit")
+    b = _bounded_fit_rows(emb.repartition(7), 17, "test-fit")
+    c = _bounded_fit_rows(emb.repartition(1).orderBy(F.desc("id")), 17, "test-fit")
+    assert a == b == c
+
+
+def test_bounded_fit_rows_below_cap_is_full_corpus(spark, sf_dir):
+    """Below the cap the fit set is the whole corpus -- the legacy
+    behavior, byte-identical, so driver-SF oracles are untouched."""
+    from etl_onprem_to_cloud_spark.llm.similarity import _bounded_fit_rows
+    from etl_onprem_to_cloud_spark.queries._util import cat
+
+    emb = cat(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    n = emb.count()
+    rows = _bounded_fit_rows(emb, n + 100, "test-fit")
+    assert sorted(i for i, _ in rows) == sorted(
+        r["id"] for r in emb.select("id").collect()
+    )
+
+
+def test_lloyd_over_cap_fit_runs_and_assigns_all(spark, sf_dir):
+    """lloyd_cells with an over-cap corpus fits on the bounded
+    subsample (no raise -- the r6 contract change) and still assigns
+    EVERY corpus vector map-only; centroids come from the sample."""
     from etl_onprem_to_cloud_spark.llm.similarity import lloyd_cells
     from etl_onprem_to_cloud_spark.queries._util import cat
 
     emb = cat(spark, sf_dir).embeddings
-    with pytest.raises(ValueError, match="fit"):
-        a, _ = lloyd_cells(emb, num_cells=4, n_iter=1, fit_max_rows=10)
-        a.collect()
+    n = emb.count()
+    assigned, cents = lloyd_cells(emb, num_cells=4, n_iter=1, fit_max_rows=10)
+    rows = assigned.collect()
+    assert len(rows) == n  # assignment is corpus-wide regardless of fit cap
+    cells = {r["cell"] for r in cents.collect()}
+    assert cells and all(r["__cell"] in cells for r in rows)
 
 
 def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
