@@ -826,9 +826,14 @@ def containment_pairs(
        itself under id_a < id_b, giving raw UNDIRECTED incidence rows
        (id_a, n_a, id_b, n_b) -- Σ_s C(df,2) of them, the collision
        volume again, but skinny (32 B) and never aggregated by pair:
-       they only repartition by id_a, fanned out 4x over the default
-       parallelism so each partition's incidences fit comfortably in
-       one worker's memory.  Two rejected shapes, both sf10-measured:
+       they only repartition by the FULL pair key (id_a, id_b), fanned
+       out 4x over the default parallelism so each partition's
+       incidences fit comfortably in one worker's memory.  The pair
+       key matters for skew: the lexsort group key is the pair, so
+       pair-key hashing keeps every pair's rows colocated while a hot
+       contained doc's many partners spread across partitions --
+       hashing by id_a alone would funnel ALL of a hot doc's
+       incidences to one partition and void the memory bound.  Two rejected shapes, both sf10-measured:
        a per-doc collect_list (its PARTIAL ObjectHashAggregate
        buffers the arrays with near-zero reduction before the
        exchange -- 10 GB spill) and a JVM sortWithinPartitions feeding
@@ -875,6 +880,10 @@ def containment_pairs(
     # repartition(col) was measured too: AQE's 64 MB coalescing
     # target produces partitions ~4x larger -- still safe, but the
     # pinned count keeps the bound independent of AQE settings.
+    # Hash on the FULL pair key: counting only needs a pair's rows
+    # together (the lexsort key is (id_a, id_b)), and pair-key hashing
+    # keeps the bound true under hot-doc skew, where id_a-only hashing
+    # would send one doc's entire incidence share to a single worker.
     fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
     inc = (
         plists.select(F.explode("mem").alias("a"), F.col("mem").alias("__mem"))
@@ -886,7 +895,7 @@ def containment_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("b.n_sh").alias("n_b"),
         )
-        .repartition(fanout, F.col("id_a"))
+        .repartition(fanout, F.col("id_a"), F.col("id_b"))
     )
 
     def count_pairs(batches):
