@@ -468,13 +468,26 @@ def jpeg_raster(payload: bytes) -> tuple[int, int, int, bytes]:
     frame = None
     restart_interval = 0
     while True:
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise ValueError("truncated marker segment")
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes -- skip to the last 0xFF before the tag.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker segment")
         tag = data[pos + 1]
         if tag == 0xD9:
             raise ValueError("EOI before SOS")
+        if tag == 0x01 or 0xD0 <= tag <= 0xD7:
+            # TEM / stray RSTn: standalone markers with no length field
+            # (T.81 B.1.1.3); legal, carry nothing, skip.
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         (size,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + size]
         if len(body) != size - 2:
@@ -531,6 +544,13 @@ def jpeg_raster(payload: bytes) -> tuple[int, int, int, bytes]:
                 if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
                     raise ValueError("invalid sampling factors")
                 comps.append({"id": cid, "h": h_i, "v": v_i, "tq": tq})
+            if nc == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved
+                # -- one 8x8 data unit per MCU over ceil(w/8) x
+                # ceil(h/8), regardless of declared sampling factors
+                # (which only matter relative to other components).
+                # Forcing h=v=1 gives exactly that geometry.
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"w": w, "h": h, "comps": comps}
         elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

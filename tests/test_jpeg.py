@@ -132,6 +132,42 @@ def test_error_paths_raise_value_error():
         jpeg_raster(bytes(bad_prec))
 
 
+def test_header_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2/B.1.1.3: 0xFF fill bytes may precede any marker,
+    and TEM (0x01) / stray RSTn are standalone (no length field).
+    Splice both shapes into the header; decode must be unaffected."""
+    vals = [10, 60, 110, 160]
+    raster = _const_raster(vals)
+    enc = jpeg_encode(8, 32, raster)
+    idx = enc.find(b"\xff\xda")
+    # fill bytes before SOS + a TEM and a stray RST3, each standalone
+    spliced = (
+        enc[:idx] + b"\xff\x01" + b"\xff\xd3" + b"\xff\xff\xff" + enc[idx:]
+    )
+    w, h, nc, dec = jpeg_raster(spliced)
+    assert (w, h, nc) == (8, 32, 1)
+    assert dec == raster
+
+
+def test_single_component_sampling_factors_non_interleaved():
+    """T.81 A.2.2: a one-component scan is non-interleaved -- one 8x8
+    data unit per MCU -- regardless of declared sampling factors.  A
+    grayscale stream with H/V=2 in SOF0 (legal, emitted by some
+    encoders) carries the identical entropy stream as H/V=1, so
+    decode must be bit-identical, not 2x2-interleaved garbage."""
+    vals = [0, 50, 128, 255]
+    raster = _const_raster(vals)
+    enc = jpeg_encode(8, 32, raster)
+    idx = enc.find(b"\xff\xc0")
+    hv_off = idx + 11  # marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1)
+    assert enc[hv_off] == 0x11
+    patched = bytearray(enc)
+    patched[hv_off] = 0x22
+    w, h, nc, dec = jpeg_raster(bytes(patched))
+    assert (w, h, nc) == (8, 32, 1)
+    assert dec == raster
+
+
 def test_restart_markers_roundtrip():
     """DRI + RSTn handling: splice a DRI segment and re-encode with
     restarts by hand is overkill -- instead verify the decoder accepts
