@@ -54,7 +54,15 @@ from etl_onprem_to_cloud_spark.pinned import release_pinned
 from etl_onprem_to_cloud_spark.queries import QUERIES
 from etl_onprem_to_cloud_spark.session import get_spark
 
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+# 48g for the third decade: in local mode the ONE driver JVM hosts all
+# 32 executor threads' execution + storage memory, and the first 16g
+# run died mid-probe -- q_kcore_copurchase's localCheckpoint at the
+# sf10 warm leg OOM'd the heap AFTER the sf100 minhash pass had
+# already pushed 74 GB through the unified region (GCLocker retries on
+# ~256 MB humongous allocations, then Java heap space).  Both probe
+# legs (sf10 and sf100) run under the same heap, so the exponent
+# ratio stays fair; absolute seconds are not compared to the 8g bench.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
 SF100 = os.environ.get("SPARK_GRAFT_SF100_DIR", "/tmp/spark_graft_sf100")
@@ -133,6 +141,37 @@ def build(spark) -> None:
         print(f"# built {t}", file=sys.stderr)
 
 
+def _revive(spark):
+    """Return a LIVE session, minting a fresh JVM if this one is dead.
+
+    A single executor-thread OOM in local mode kills the whole JVM, and
+    every later query would cascade-fail through the dead gateway (the
+    first 16g run lost 4 rows that way).  Probe each failure with a
+    trivial action; on death, scrap the Py4J gateway handles so
+    get_spark launches a new JVM with the same PYSPARK_SUBMIT_ARGS."""
+    try:
+        spark.range(1).count()
+        return spark
+    except Exception:
+        pass
+    print("# session dead; minting a fresh JVM", file=sys.stderr)
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    SparkContext._active_spark_context = None
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    fresh = get_spark(app_name="sf100-probe")
+    fresh.sparkContext.setLogLevel("ERROR")
+    return fresh
+
+
 def main() -> None:
     probe = PROBE
     only = os.environ.get("SPARK_GRAFT_SF100_ONLY")
@@ -181,6 +220,7 @@ def main() -> None:
             release_pinned()
             results[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"| {name} | — | FAILED | — | — | {e} |", flush=True)
+            spark = _revive(spark)
             continue
         release_pinned()
         exp = math.log10(t100 / t10)
