@@ -241,24 +241,35 @@ def minhash_lsh_candidate_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b; when
     ``jaccard_threshold`` is set, candidates are verified with exact
-    Jaccard over shingle sets and filtered.
+    Jaccard via a COUNT-CARRY collision join (n_common grouped count;
+    jaccard = c / (n_a + n_b - c), identical doubles to the
+    intersect/union form because postings are distinct per doc).
 
     Shuffle profile: signatures are built through one partial-min
-    shuffle (see minhash_signature) whose exchange both join sides
-    reuse; banding explodes bands-per-doc (tiny rows: band_key + id);
-    verification joins the collect_set shingle sets (carried through
-    the same signature shuffle) by candidate id -- proportional to
-    candidate count, not corpus size.
+    shuffle (see minhash_signature) -- skinny rows, the shingle
+    payload does NOT ride it; banding explodes bands-per-doc (tiny
+    rows: band_key + id); verification re-explodes postings map-only
+    and moves them through ONE corpus-sized exchange (the semi-join
+    prune down to candidate ids), after which every stage is
+    candidate-sized.  The r6 shape -- collect_set arrays carried
+    through the signature exchange, then two joins attaching the
+    arrays to pair rows -- was the repo's one remaining array-attach
+    verify; the r7 sf100 probe caught it (exponent 1.10, 46 GB spill
+    at 5M docs: the ObjectHashAggregate buffered the whole shingle
+    corpus and the sort-merge attach joins sorted array payloads;
+    see the README sf100 table for this form's re-measurement).
+    Results bit-identical (re-oracled at sf0.001 + sf0.01 across all
+    six dependent registered queries).
+
+    Join strategy: the semi-join and posting joins take shuffle_hash
+    hints -- every build side here is either candidate-scaled or
+    corpus-scaled, and a corpus-scaled relation must never become a
+    broadcast build (the MLlib-twin mis-broadcast lesson); the grouped
+    count's partial aggregate reduces pair-collision rows before the
+    final exchange.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(
-        docs,
-        id_col,
-        text_col,
-        num_hashes,
-        shingle_n,
-        with_shingles=jaccard_threshold is not None,
-    )
+    sig = minhash_signature(docs, id_col, text_col, num_hashes, shingle_n)
     band_cols = F.array(
         *[
             F.md5(
@@ -292,18 +303,33 @@ def minhash_lsh_candidate_pairs(
     if jaccard_threshold is None:
         return cand
 
-    sh = sig.select(F.col(id_col), F.col("shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # Candidate-pruned count-carry verify (see docstring).  exc's
+    # exchange partitions postings by id; the pa join key IS that id
+    # (aliased), so only pb pays a fresh -- candidate-sized -- exchange.
+    ex = _exploded_shingles(docs, id_col, text_col, shingle_n, with_size=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    exc = ex.join(cand_ids.hint("shuffle_hash"), id_col, "left_semi")
+    pa = exc.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    pb = exc.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    common = (
+        cand.join(pa.hint("shuffle_hash"), "id_a")
+        .join(pb.hint("shuffle_hash"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                F.col("__c") / (F.col("n_a") + F.col("n_b") - F.col("__c")), 6
             ).cast("double"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)

@@ -141,25 +141,25 @@ def build(spark) -> None:
         print(f"# built {t}", file=sys.stderr)
 
 
-def _revive(spark):
-    """Return a LIVE session, minting a fresh JVM if this one is dead.
+def _mint(old):
+    """Stop ``old`` (dead or alive) and launch a FRESH JVM/session.
 
-    A single executor-thread OOM in local mode kills the whole JVM, and
-    every later query would cascade-fail through the dead gateway (the
-    first 16g run lost 4 rows that way).  Probe each failure with a
-    trivial action; on death, scrap the Py4J gateway handles so
-    get_spark launches a new JVM with the same PYSPARK_SUBMIT_ARGS."""
-    try:
-        spark.range(1).count()
-        return spark
-    except Exception:
-        pass
-    print("# session dead; minting a fresh JVM", file=sys.stderr)
+    Scraps the Py4J gateway handles so get_spark boots a new JVM with
+    the same PYSPARK_SUBMIT_ARGS.  Called between queries, not just on
+    failure: one probe query's shuffle + spill files survive in the
+    local dirs until its JVM exits (ContextCleaner only removes them
+    on GC), and the second 48g run proved the accumulation is fatal --
+    minhash's 46 GB of spill was still on disk when containment's
+    shuffle write hit ENOSPC, and ml_minhash's sort then could not
+    even spill.  A JVM exit between queries returns the disk every
+    time; ~10 s startup per query is noise at probe scale.  A fresh
+    JVM also can't cascade a prior executor OOM (the 16g run lost 4
+    rows through one dead gateway)."""
     from pyspark import SparkContext
     from pyspark.sql import SparkSession
 
     try:
-        spark.stop()
+        old.stop()
     except Exception:
         pass
     SparkContext._active_spark_context = None
@@ -191,15 +191,16 @@ def main() -> None:
         build(spark)
 
     warm = "/root/testdata/sf0.001"
-    for name in probe:
-        QUERIES[name].fn(spark, warm).count()
-    release_pinned()
-
     runs = int(os.environ.get("SPARK_GRAFT_REHEARSAL_RUNS", "2"))
     results: dict[str, dict[str, float]] = {}
     print("| query | sf10 (s) | sf100 (s) | ratio | exponent | sf100 spill |")
     print("|---|---|---|---|---|---|")
-    for name in probe:
+    for i, name in enumerate(probe):
+        # One JVM per query (see _mint): returns the prior query's
+        # shuffle/spill disk and isolates failures.  Both timed legs
+        # of a query still share one JVM, so the ratio is fair.
+        if i > 0:
+            spark = _mint(spark)
         fn = QUERIES[name].fn
 
         def timed_metrics(sf_dir):
@@ -211,6 +212,8 @@ def main() -> None:
         # the rest of the probe (the first run lost 3 rows to the
         # IVFPQ fit-cap ValueError).
         try:
+            fn(spark, warm).count()  # warm this query's fresh JVM
+            release_pinned()
             t10 = min(timed_metrics(SF10)[0] for _ in range(runs))
             release_pinned()
             t100, m = min(
@@ -220,7 +223,6 @@ def main() -> None:
             release_pinned()
             results[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"| {name} | — | FAILED | — | — | {e} |", flush=True)
-            spark = _revive(spark)
             continue
         release_pinned()
         exp = math.log10(t100 / t10)
