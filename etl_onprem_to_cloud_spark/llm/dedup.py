@@ -303,21 +303,51 @@ def minhash_lsh_candidate_pairs(
     if jaccard_threshold is None:
         return cand
 
-    # Candidate-pruned count-carry verify (see docstring).  exc's
-    # exchange partitions postings by id; the pa join key IS that id
-    # (aliased), so only pb pays a fresh -- candidate-sized -- exchange.
     ex = _exploded_shingles(docs, id_col, text_col, shingle_n, with_size=True)
+    return count_carry_jaccard(cand, ex, jaccard_threshold, id_name=id_col)
+
+
+def count_carry_jaccard(
+    cand: DataFrame,
+    postings: DataFrame,
+    threshold: float,
+    id_name: str = "id",
+) -> DataFrame:
+    """Exact-Jaccard verify of a candidate pair list WITHOUT attaching
+    shingle arrays to pair rows: (id_a, id_b, jaccard >= threshold).
+
+    ``cand``: (id_a, id_b) candidate pairs (distinct).  ``postings``:
+    DISTINCT (id, shingle, n_sh) rows where n_sh is the doc's distinct
+    shingle count; jaccard = c / (n_a + n_b - c) over the counted
+    common shingles is then bit-identical to the
+    size(intersect)/size(union) form.  ``threshold`` must be > 0
+    (zero-overlap pairs drop out of the counted inner join).
+
+    Scale shape: the posting stream moves through ONE corpus-sized
+    exchange (the semi-join prune down to candidate ids); the verify
+    joins and the grouped count are candidate-sized after that.  The
+    pa join key is the semi-join's own partition key (aliased), so
+    only pb pays a fresh exchange.  shuffle_hash hints: none of these
+    relations may ever broadcast (candidate volume grows with the
+    corpus -- the MLlib-twin mis-broadcast lesson), and the pruned
+    build sides stay partition-bounded as long as the
+    candidate-participating fraction of the corpus is (near-dups are a
+    bounded fraction of real crawls; a wall-to-wall-duplicate corpus
+    should block first).  Array-attach verifies -- collect_set arrays
+    joined onto every pair -- were caught twice at the third decade
+    (r7 sf100, 5M docs): exponent 1.10 / 46 GB spill on the native
+    path and a partition-local hash-build OOM on the MLlib twin."""
     cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
+        cand.select(F.col("id_a").alias(id_name))
+        .union(cand.select(F.col("id_b").alias(id_name)))
         .distinct()
     )
-    exc = ex.join(cand_ids.hint("shuffle_hash"), id_col, "left_semi")
+    exc = postings.join(cand_ids.hint("shuffle_hash"), id_name, "left_semi")
     pa = exc.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+        F.col(id_name).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
     )
     pb = exc.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+        F.col(id_name).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
     )
     common = (
         cand.join(pa.hint("shuffle_hash"), "id_a")
@@ -332,7 +362,7 @@ def minhash_lsh_candidate_pairs(
                 F.col("__c") / (F.col("n_a") + F.col("n_b") - F.col("__c")), 6
             ).cast("double"),
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -845,21 +875,34 @@ def containment_pairs(
     shares one shingle, the partial aggregate reduced nothing and
     spilled 40 GB).  Instead:
 
-    1. posting lists: one grouped pass builds (shingle -> member
-       docs); lists with one member are dropped (df=1 is
-       collision-impossible; exact).  Groups are df-sized -- tiny.
-    2. a second generate crosses each shingle's member list with
-       itself under id_a < id_b, giving raw UNDIRECTED incidence rows
-       (id_a, n_a, id_b, n_b) -- Σ_s C(df,2) of them, the collision
-       volume again, but skinny (32 B) and never aggregated by pair:
-       they only repartition by the FULL pair key (id_a, id_b), fanned
-       out 4x over the default parallelism so each partition's
-       incidences fit comfortably in one worker's memory.  The pair
-       key matters for skew: the lexsort group key is the pair, so
-       pair-key hashing keeps every pair's rows colocated while a hot
-       contained doc's many partners spread across partitions --
-       hashing by id_a alone would funnel ALL of a hot doc's
-       incidences to one partition and void the memory bound.  Two rejected shapes, both sf10-measured:
+    1. pruned postings: a window df-count per (block, shingle) drops
+       df=1 postings (collision-impossible; exact), and the window's
+       hash-partitioning + sort on the key are exactly the self-join's
+       own requirements, so step 2 adds no exchange and no sort
+       (:func:`_prune_unique_postings` -- the same stream shape as the
+       Jaccard sibling).
+    2. the sort-merge SELF-JOIN on shingle under id_a < id_b emits raw
+       UNDIRECTED incidence rows (id_a, n_a, id_b, n_b) -- Σ_s C(df,2)
+       of them, the collision volume again, but skinny (32 B) and
+       never aggregated by pair: they only repartition by the FULL
+       pair key (id_a, id_b), fanned out 4x over the default
+       parallelism so each partition's incidences fit comfortably in
+       one worker's memory.  The pair key matters for skew: the
+       lexsort group key is the pair, so pair-key hashing keeps every
+       pair's rows colocated while a hot contained doc's many partners
+       spread across partitions -- hashing by id_a alone would funnel
+       ALL of a hot doc's incidences to one partition and void the
+       memory bound.  The r6 posting-LIST form of steps 1-2 --
+       groupBy(shingle).collect_list(members), then a double explode
+       crossing each list with itself -- was caught by the r7 sf100
+       probe at 5M docs: the ObjectHashAggregate buffered the whole
+       posting corpus (53.7 GB spill) and every exploded row carried
+       the full member array, exponent 1.20.  The window+merge-join
+       form produces the identical incidence stream with no object
+       buffers and no array re-materialization (see the README sf100
+       table for the re-measurement).  The ``merge`` hint pins
+       sort-merge: both sides are corpus-scaled, so neither may ever
+       become a broadcast build side.  Two rejected shapes, both sf10-measured:
        a per-doc collect_list (its PARTIAL ObjectHashAggregate
        buffers the arrays with near-zero reduction before the
        exchange -- 10 GB spill) and a JVM sortWithinPartitions feeding
@@ -894,11 +937,13 @@ def containment_pairs(
     ex = _exploded_shingles(
         docs, id_col, text_col, shingle_n, extra_cols=blocks, with_size=True
     )
-    plists = (
-        ex.groupBy(*blocks, "shingle")
-        .agg(F.collect_list(F.struct(F.col(id_col), F.col("n_sh"))).alias("mem"))
-        .filter(F.size("mem") >= 2)
+    pruned = _prune_unique_postings(ex, [*blocks, "shingle"])
+    a, b = pruned.alias("a"), pruned.alias("b")
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
+    if block_col:
+        join_cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & join_cond
     # Explicit 4x fan-out over the default parallelism: each
     # partition's incidences are buffered as numpy arrays in one
     # Python worker, so partition size is the worker's memory bound
@@ -912,9 +957,7 @@ def containment_pairs(
     # would send one doc's entire incidence share to a single worker.
     fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
     inc = (
-        plists.select(F.explode("mem").alias("a"), F.col("mem").alias("__mem"))
-        .select("a", F.explode("__mem").alias("b"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b.hint("merge"), join_cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col("a.n_sh").alias("n_a"),

@@ -146,34 +146,30 @@ def ml_minhash_near_dup_pairs(
     )
     if verify_jaccard_sim is None:
         return cand
-    # Exact verify: rejoin the candidate ids to the shingle sets and
-    # score |A&B| / |A|B| -- candidate volume is LSH-bounded, so the
-    # rejoin is narrow.  sh is re-derived from the same projections
-    # (cheap at candidate cardinality; vecs stays the persisted branch).
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sh_b"))
-    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
-    union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
-    # shuffle_hash, never broadcast: sa/sb are CORPUS-scaled (every
-    # doc's shingle array), but Catalyst's pre-runtime size estimate
-    # only sees the skinny (id, text) scan under the projection and
-    # happily broadcasts them -- at 500k docs (the r5 sf10 probe) the
-    # two ~0.5 GB builds thrashed the 16 GB driver into GCLocker
-    # retries and killed the session.  A relation that grows with the
-    # corpus can never be a build side on the driver; partition-local
-    # hash builds (n/partitions rows each) hold at any scale, and at
-    # driver SFs the extra exchange on the LSH-bounded candidate set
-    # costs milliseconds.
-    return (
-        cand.select("id_a", "id_b")
-        .join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= verify_jaccard_sim)
+    # Exact verify via the shared COUNT-CARRY shape (llm/dedup
+    # count_carry_jaccard): the r5 form attached the full shingle
+    # arrays to every candidate through two shuffle_hash joins --
+    # never-broadcast was the right half of the lesson (at 500k docs
+    # the ~0.5 GB driver-side builds had GC-thrashed the session), but
+    # at the r7 sf100 probe (5M docs) the partition-local hash builds
+    # of the corpus-scaled array relation OOM'd a 48 GB heap from
+    # LongToUnsafeRowMap.grow: a corpus-scaled ARRAY relation cannot be
+    # a hash build side anywhere, driver or partition.  Counting common
+    # shingles over a candidate-pruned posting explode moves only
+    # skinny rows and is bit-identical (distinct shingles: c/(na+nb-c)
+    # == intersect/union).
+    from .dedup import count_carry_jaccard
+
+    postings = sh.select(
+        F.col(id_col),
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
+    )
+    return count_carry_jaccard(
+        cand.select("id_a", "id_b"),
+        postings,
+        verify_jaccard_sim,
+        id_name=id_col,
     )
 
 
