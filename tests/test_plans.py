@@ -311,8 +311,15 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # size joins, each direction of the union sharing the plan.
     ("q_dedup_containment", 8),
     # q_cross_source_dup_matrix: the LSH pair pipeline + two source
-    # joins + the final rollup.
-    ("q_cross_source_dup_matrix", 6),
+    # joins + the final rollup.  The r7 count-carry verify trades the
+    # old 6-exchange array-attach shape (two joins carrying full
+    # shingle arrays onto pair rows -- 46 GB of sf100 spill) for more
+    # but SKINNY exchanges: candidate-id semi-join prune, two
+    # posting-key joins, the grouped collision count -- every one of
+    # them pair- or pruned-posting-sized, none carrying arrays.  Node
+    # count went up; bytes-through-exchange collapsed (see the README
+    # sf100 table).  Budget = the measured count of the new shape.
+    ("q_cross_source_dup_matrix", 21),
     # q_curation_blend: the LM pipeline + the lm join + two rank
     # windows over the source partition (windows share the exchange).
     ("q_curation_blend", 8),
