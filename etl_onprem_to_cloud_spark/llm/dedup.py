@@ -929,6 +929,19 @@ def containment_pairs(
     shingles -- blocking (block_col) is the lever when hot shingles
     make that unbounded, exactly as for the pair-keyed forms.
 
+    Fixed-width-box caveat (measured, r7 sf100 probe): with
+    defaultParallelism pinned, per-partition incidence rows grow
+    linearly with the corpus and np.lexsort's n·log n contributes a
+    log-factor drift -- at 10x rows/partition, log(10M)/log(1M) ~
+    1.17x per row, which is the probe's 11.3-11.5x ratio for 10x data
+    (exponent 1.06).  On a cluster, parallelism scales with the fleet
+    and per-partition n stays bounded, so the drift is a single-box
+    probe artifact, not a plan property.  The probe also measured the
+    spill-free variant (AQE initialPartitionNum = 8x cores: 49.4 GB
+    sort spill -> 0) at IDENTICAL wall-clock -- the sorts fully
+    overlap spill I/O locally; on a real cluster prefer the zero-spill
+    conf (session.py's 2-3x-cores shuffle-partition guidance).
+
     ``id_col`` must be an integral type (the Arrow batch schema types
     ids as long, like the fixture tables' BIGINT keys); string ids
     would need a dictionary-encode pre-pass.
