@@ -25,6 +25,7 @@ engine can reproduce every stage bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import doc_fingerprint, shingles_from_tokens, tokens
 
@@ -336,13 +337,30 @@ def count_carry_jaccard(
     should block first).  Array-attach verifies -- collect_set arrays
     joined onto every pair -- were caught twice at the third decade
     (r7 sf100, 5M docs): exponent 1.10 / 46 GB spill on the native
-    path and a partition-local hash-build OOM on the MLlib twin."""
+    path and a partition-local hash-build OOM on the MLlib twin.
+
+    Both shared relations are PINNED (pinned.py): ``cand`` feeds three
+    plan branches (each union leg of the id prune + the verify join)
+    and the pruned posting stream feeds two (pa/pb), and Catalyst does
+    not subtree-reuse across them -- unpinned, every branch re-executes
+    the candidate GENERATOR, which for the MLlib twin is the whole
+    approxSimilarityJoin explode-join (measured 1.19 s -> 10.3 s at
+    sf0.1 when this landed unpinned; the r7 bench caught it).  Both are
+    bounded relations by the argument above (LSH-bounded candidates;
+    candidate-participating postings), and MEMORY_AND_DISK keeps the
+    100 TB spill path rather than recomputation."""
+    from ..pinned import pin
+
+    cand = pin(cand, StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         cand.select(F.col("id_a").alias(id_name))
         .union(cand.select(F.col("id_b").alias(id_name)))
         .distinct()
     )
-    exc = postings.join(cand_ids.hint("shuffle_hash"), id_name, "left_semi")
+    exc = pin(
+        postings.join(cand_ids.hint("shuffle_hash"), id_name, "left_semi"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     pa = exc.select(
         F.col(id_name).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
     )

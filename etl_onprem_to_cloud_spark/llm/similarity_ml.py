@@ -160,11 +160,19 @@ def ml_minhash_near_dup_pairs(
     # == intersect/union).
     from .dedup import count_carry_jaccard
 
+    # explode_outer + isNotNull, NEVER a plain explode over the
+    # expensive shingle expression: InferFiltersFromGenerate puts a
+    # size()>0 filter under an inner Generate and re-inlines the whole
+    # tokens->shingles construction below the collapsed projections
+    # (the _exploded_shingles trap; this line as F.explode measured
+    # 1.4 s -> 11 s at sf0.1 -- the r7 bench caught it).  sh rows are
+    # non-empty by the raw-text filter above, so the two forms emit
+    # identical rows.
     postings = sh.select(
         F.col(id_col),
         F.size("sh").alias("n_sh"),
-        F.explode("sh").alias("shingle"),
-    )
+        F.explode_outer("sh").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     return count_carry_jaccard(
         cand.select("id_a", "id_b"),
         postings,

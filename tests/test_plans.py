@@ -318,8 +318,10 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # posting-key joins, the grouped collision count -- every one of
     # them pair- or pruned-posting-sized, none carrying arrays.  Node
     # count went up; bytes-through-exchange collapsed (see the README
-    # sf100 table).  Budget = the measured count of the new shape.
-    ("q_cross_source_dup_matrix", 21),
+    # sf100 table).  Budget = the measured count of the new shape
+    # (incl. the pinned cand/exc relations' build plans -- the pins
+    # cut EXECUTIONS, not plan nodes).
+    ("q_cross_source_dup_matrix", 23),
     # q_curation_blend: the LM pipeline + the lm join + two rank
     # windows over the source partition (windows share the exchange).
     ("q_curation_blend", 8),
