@@ -339,16 +339,25 @@ def count_carry_jaccard(
     (r7 sf100, 5M docs): exponent 1.10 / 46 GB spill on the native
     path and a partition-local hash-build OOM on the MLlib twin.
 
-    Both shared relations are PINNED (pinned.py): ``cand`` feeds three
-    plan branches (each union leg of the id prune + the verify join)
-    and the pruned posting stream feeds two (pa/pb), and Catalyst does
-    not subtree-reuse across them -- unpinned, every branch re-executes
-    the candidate GENERATOR, which for the MLlib twin is the whole
-    approxSimilarityJoin explode-join (measured 1.19 s -> 10.3 s at
-    sf0.1 when this landed unpinned; the r7 bench caught it).  Both are
-    bounded relations by the argument above (LSH-bounded candidates;
-    candidate-participating postings), and MEMORY_AND_DISK keeps the
-    100 TB spill path rather than recomputation."""
+    ``cand`` is PINNED (pinned.py), ``exc`` deliberately is NOT -- a
+    lesson that took three sf100 measurements.  cand feeds three plan
+    branches (each union leg of the id prune + the verify join);
+    whether that re-executes its generator depends on whether the
+    generator's plan CANONICALIZES: the native banded self-join does,
+    so ReusedExchange already dedupes it, but the MLlib twin's
+    approxSimilarityJoin does not (MinHashLSH's hash UDF defeats
+    canonical equality) and re-ran up to 5x -- at sf0.1 that hid
+    inside a bench regression, at sf100 the repeated explode-join
+    shuffle writes ENOSPC'd a 62 GB disk budget.  Pinning cand is the
+    fix and is ~free for every caller: the candidate relation is
+    LSH-bounded and skinny (two ids), so the cache write is noise
+    where the generator is reusable and decisive where it is not
+    (twin sf100: fail -> 372.8 s / zero spill / 81 GB peak).  The
+    pruned posting stream (pa/pb) gets NO pin: both branches hang off
+    the same canonical semi-join whose corpus-sized exchange IS
+    reused, so a MEMORY_AND_DISK cache of the candidate-participating
+    postings only added I/O -- pinning it cost the native path
+    0.65 -> 0.76 at the sf100 probe and bought nothing."""
     from ..pinned import pin
 
     cand = pin(cand, StorageLevel.MEMORY_AND_DISK)
@@ -357,10 +366,7 @@ def count_carry_jaccard(
         .union(cand.select(F.col("id_b").alias(id_name)))
         .distinct()
     )
-    exc = pin(
-        postings.join(cand_ids.hint("shuffle_hash"), id_name, "left_semi"),
-        StorageLevel.MEMORY_AND_DISK,
-    )
+    exc = postings.join(cand_ids.hint("shuffle_hash"), id_name, "left_semi")
     pa = exc.select(
         F.col(id_name).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
     )
