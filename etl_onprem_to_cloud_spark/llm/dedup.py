@@ -24,6 +24,8 @@ engine can reproduce every stage bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -357,10 +359,18 @@ def count_carry_jaccard(
     the same canonical semi-join whose corpus-sized exchange IS
     reused, so a MEMORY_AND_DISK cache of the candidate-participating
     postings only added I/O -- pinning it cost the native path
-    0.65 -> 0.76 at the sf100 probe and bought nothing."""
+    0.65 -> 0.76 at the sf100 probe and bought nothing.
+
+    A ``cand`` the caller ALREADY persisted keeps its own storage
+    level and unpersist ownership (re-persisting at a different level
+    raises Spark's "cannot change storage level" error, and a
+    registry pin of a caller-owned cache would double-release it);
+    every in-repo caller passes an unpersisted cand, so the harness
+    path always pins."""
     from ..pinned import pin
 
-    cand = pin(cand, StorageLevel.MEMORY_AND_DISK)
+    if cand.storageLevel == StorageLevel.NONE:
+        cand = pin(cand, StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         cand.select(F.col("id_a").alias(id_name))
         .union(cand.select(F.col("id_b").alias(id_name)))
@@ -992,7 +1002,13 @@ def containment_pairs(
     # together (the lexsort key is (id_a, id_b)), and pair-key hashing
     # keeps the bound true under hot-doc skew, where id_a-only hashing
     # would send one doc's entire incidence share to a single worker.
-    fanout = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    # SPARK_GRAFT_CONTAINMENT_FANOUT is a PROBE-ONLY override of the
+    # 4x multiplier: the sf100 fan-out experiment (VERDICT r7 item 1)
+    # holds per-partition incidence rows constant across decades to
+    # isolate the lexsort log factor from real scaling.  Unset (every
+    # production / harness path), the shape is byte-identical to r7.
+    mult = int(os.environ.get("SPARK_GRAFT_CONTAINMENT_FANOUT", "4"))
+    fanout = mult * docs.sparkSession.sparkContext.defaultParallelism
     inc = (
         a.join(b.hint("merge"), join_cond)
         .select(

@@ -14,6 +14,7 @@ hood -- shuffle on hash buckets, never the full cross product.
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame, functions as F
@@ -40,6 +41,49 @@ def _try_import_ml():
 
 
 HAS_ML = _try_import_ml()
+
+# HashingTF.numFeatures is a JVM Int: the adaptive 400x-docs rule
+# crosses 2^31 at ~2.7M docs (400 x 5.4M = 2^31 overflows), so the
+# feature space caps here and collision rate resumes growing linearly
+# with the corpus past that point.
+_HASHINGTF_MAX_FEATURES = 1 << 30
+
+
+def _adaptive_num_features(n_docs: int, num_features: int) -> int:
+    """Scale the HashingTF feature space with the corpus, capped at
+    ``_HASHINGTF_MAX_FEATURES`` -- and WARN at the cap.
+
+    Same lesson as srp_near_dup_pairs' target_occupancy (caught by the
+    r5 sf10 probe at exponent 1.26): with FIXED features the
+    distinct-shingle universe eventually dwarfs the space (500k docs:
+    ~50M shingles into 2^18 buckets = 190x collapse), feature
+    collisions inflate the apparent Jaccard of UNRELATED docs, and
+    spurious candidates grow quadratically.  Keeping features >= ~400
+    x docs holds the collision rate (shingles/features) roughly
+    constant, so spurious candidate volume stays linear.  Only engages
+    above 2^18/400 = 655 docs, so driver-SF results (<= 500 docs) are
+    bit-for-bit unchanged.
+
+    Past the Int cap the rule saturates silently from MLlib's side --
+    the r7 sf100 probe (5M docs) measured the twin at exponent 1.10
+    while the native path read 0.70 -- so a caller in that regime gets
+    a one-line runtime warning naming the production path
+    (q_dedup_minhash_lsh: md5 shingle keys, unbounded key space, same
+    verified output contract).  VERDICT r7 item 5.
+    """
+    if 400 * n_docs > num_features:
+        num_features = 1 << math.ceil(math.log2(400 * n_docs))
+    if num_features > _HASHINGTF_MAX_FEATURES:
+        logging.getLogger(__name__).warning(
+            "ml_minhash_near_dup_pairs: adaptive HashingTF feature space "
+            "capped at 2^30 (JVM Int) for n_docs=%d -- collision rate now "
+            "grows with the corpus and candidate volume re-inflates; past "
+            "~2.7M docs prefer the native q_dedup_minhash_lsh path "
+            "(unbounded md5 shingle keys, same verified output contract).",
+            n_docs,
+        )
+        num_features = _HASHINGTF_MAX_FEATURES
+    return num_features
 
 
 def ml_minhash_near_dup_pairs(
@@ -83,29 +127,12 @@ def ml_minhash_near_dup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    # Scale the HashingTF feature space with the corpus (same lesson as
-    # srp_near_dup_pairs' target_occupancy, caught by the same r5 sf10
-    # probe at exponent 1.26): with FIXED features the distinct-shingle
-    # universe eventually dwarfs the space (500k docs: ~50M shingles
-    # into 2^18 buckets = 190x collapse), feature collisions inflate
-    # the apparent Jaccard of UNRELATED docs, and spurious candidates
-    # grow quadratically.  Keeping features >= ~400 x docs holds the
-    # collision rate (shingles/features) roughly constant, so spurious
-    # candidate volume stays linear.  Only engages above 2^18/400 =
-    # 655 docs, so driver-SF results (<= 500 docs) are bit-for-bit
-    # unchanged; the verified output barely notices either way (exact
-    # Jaccard decides membership, LSH recall at sim 0.8 stays ~1).
-    n_docs = docs.count()
-    if 400 * n_docs > num_features:
-        num_features = 1 << math.ceil(math.log2(400 * n_docs))
-    # HashingTF.numFeatures is a JVM Int: the adaptive rule crosses
-    # 2^31 at ~2.7M docs (400 x 5.4M = 2^31 overflows).  Cap at 2^30 --
-    # beyond the cap the collision rate resumes growing linearly with
-    # the corpus, so the MLlib twin's candidate volume slowly
-    # re-inflates; at that scale the native minhash_lsh path (md5
-    # shingle keys, unbounded key space, same verified output contract)
-    # is the scale path and this twin is the MLlib-compatibility path.
-    num_features = min(num_features, 1 << 30)
+    # Corpus-adaptive feature space + 2^30 saturation warning -- the
+    # rule, its rationale, and the cap regime live in
+    # _adaptive_num_features above.  Driver-SF results (<= 500 docs)
+    # are bit-for-bit unchanged (the rule only engages above 655 docs;
+    # exact Jaccard decides membership either way).
+    num_features = _adaptive_num_features(docs.count(), num_features)
 
     # Spread a compact input before the CPU-heavy shingle expansion: a
     # one-file corpus arrives as 1-2 partitions and would shingle

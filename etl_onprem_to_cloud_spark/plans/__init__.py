@@ -1,4 +1,5 @@
 from .checks import (
+    array_typed_exchanges,
     explain_str,
     has_broadcast_join,
     has_python_udf,
@@ -8,6 +9,7 @@ from .checks import (
 from .metrics import execution_metrics
 
 __all__ = [
+    "array_typed_exchanges",
     "explain_str",
     "execution_metrics",
     "has_broadcast_join",

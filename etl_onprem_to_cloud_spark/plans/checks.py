@@ -41,6 +41,42 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
 
 
+def array_typed_exchanges(df: DataFrame) -> list[str]:
+    """``"NodeName:column"`` for every array-typed column carried
+    through any Exchange in the physical plan (empty = every shuffle
+    moves only scalar columns).
+
+    This is the invariant behind the count-carry verify
+    (llm/dedup.count_carry_jaccard): both r7 sf100 failures -- the
+    native path's 46 GB spill and the MLlib twin's 48 GB-heap hash-
+    build OOM -- were shingle ARRAYS attached to corpus-scaled pair
+    rows and pushed through shuffles.  Exchange-count budgets cannot
+    catch a reintroduction (the skinny shape legitimately has MORE
+    exchanges); the typed walk can.  Descends AQE initial plans and
+    cached (pinned) relations' build plans, so a pinned array relation
+    that shuffles still trips it.
+    """
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.initialPlan())
+        elif name == "InMemoryTableScan":
+            stack.append(node.relation().cachedPlan())
+        elif "Exchange" in name:
+            attrs = node.output()
+            for i in range(attrs.size()):
+                a = attrs.apply(i)
+                if a.dataType().typeName() == "array":
+                    out.append(f"{name}:{a.name()}")
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
 def partition_filters(df: DataFrame) -> list[str]:
     """PartitionFilters lists from every file scan in the plan -- the
     evidence that a filter on a partition column prunes DIRECTORIES

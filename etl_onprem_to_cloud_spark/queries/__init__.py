@@ -117,74 +117,62 @@ from . import finance  # noqa: E402,F401
 
 # --- Evidence-priority ordering -------------------------------------------
 # Policy (fixed after round-2 advice): order the registry purely by
-# VERIFICATION NEED -- entries that are new this round or whose
-# oracle/implementation contract changed come first, then entries that
-# have never received a driver correctness row in any round, then
-# entries already driver-green (CORRECTNESS_r01 + r02).  Known-green
-# queries never outrank unverified ones, so whatever subset the driver
-# checks, it lands on the queries most likely to hide a defect.
-# Re-verification of the green tier happens every round in the local
-# suite (tests/test_oracle_parity.py hash-compares all oracled queries
-# against DuckDB).
-
-# Implementations changed since their last driver row (round 7):
-# - q_multimodal_jpeg_decode: the ONE entry without a driver row
-#   (r6's +1, parked at position 51 after rotation #6 cleared the
-#   backlog) -- its row completes 294/294 cumulative coverage -- AND
-#   the decoder changed this round (0xFF fill bytes, standalone
-#   TEM/RSTn, single-component non-interleaved geometry).
-# - q_dedup_containment: incidence repartition key widened from id_a
-#   to the full (id_a, id_b) pair (ADVICE r6 skew fix); values proven
-#   unchanged at sf0.001/0.01, but the exchange key is new.
-# - q_ann_ivf_topk / q_ann_pq_adc_topk / q_ann_ivfpq_topk: the
-#   _bounded_fit_rows canaries VERDICT r6 item 3 asks for -- their r6
-#   snapshot replaced the over-cap fit raise with deterministic
-#   subsampling, and this round reworked the probe/undershoot path.
-# - q_dedup_ngram_jaccard_blocked / q_ml_minhash_lsh_pairs: the other
-#   two r6-rewritten scale paths (count-carry verify; HashingTF 2^30
-#   cap), re-canaried per VERDICT r6 item 3.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "q_multimodal_jpeg_decode",
-    "q_dedup_containment",
-    "q_ann_ivf_topk",
-    "q_ann_pq_adc_topk",
-    "q_ann_ivfpq_topk",
-    "q_dedup_ngram_jaccard_blocked",
-    "q_ml_minhash_lsh_pairs",
+# VERIFICATION NEED.  Through rotation #7 that meant changed/new/
+# never-checked entries first; rotation #7 reached 294/294 cumulative
+# driver coverage with zero debt, so rotation #8 (VERDICT r7 item 2)
+# switches the criterion to STALENESS: the driver checks the
+# registry's 50-entry prefix, and the stalest evidence is now the
+# oldest driver row -- 48 entries' most recent rows date to r01 and 2
+# to early r02, while shared infrastructure those queries run through
+# (the pin-release gate above, session confs, numeric helpers) has
+# changed for five rounds since.  The prefix below is exactly those
+# 50, ordered by (latest driver-row round, position within that
+# round's CORRECTNESS file); re-verifying them empties the r01
+# staleness bucket.  Entries beyond the prefix keep their rotation-#7
+# relative order (driver-invisible) and keep getting hash-checked
+# against DuckDB every local session (tests/test_oracle_parity.py).
+#
+# Round-8 source changes create NO tier-0 "changed" entries: all three
+# (count_carry_jaccard pre-persisted-cand guard, the MLlib adaptive-
+# feature 2^30 saturation warning, the containment fan-out probe knob)
+# are DEFAULT-INERT on every registered path -- value- and
+# plan-identical with the env knob unset / below the cap / with the
+# harness's always-unpersisted cand -- and each is pinned by a
+# dedicated unit test (test_count_carry_respects_caller_persisted_cand,
+# test_adaptive_features_*, test_containment_fanout_env_override).
+_STALE_PREFIX: tuple[str, ...] = (
+    "q01_pricing_summary", "q03_shipping_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q10_returned_items", "q15_top_supplier",
+    "q18_large_volume_customer", "q_star_revenue_by_region_year",
+    "q_semi_join_active_customers", "q_anti_join_dormant_customers",
+    "q_left_join_nation_coverage", "q_rollup_customer_geo",
+    "q_cube_order_status_priority", "q_grouping_sets_order_dims",
+    "q_count_distinct_segments", "q_setops_building_vs_finished",
+    "q_window_rank_orders", "q_window_lag_lead",
+    "q_window_running_sum", "q_window_range_frame",
+    "q_topk_orders_global", "q_topk_per_group_customer_orders",
+    "q_string_functions_part", "q_case_when_order_buckets",
+    "q_date_functions_orders", "q_orders_per_month",
+    "q_full_outer_join_nation_activity", "q_theta_join_price_bands",
+    "q_correlated_exists_sql", "q_in_subquery_sql",
+    "q_scalar_subquery_sql", "q_math_functions_lineitem",
+    "q_minmax_by_nation", "q_conditional_agg_orders",
+    "q_collect_sorted_regions", "q_percentiles_orders",
+    "q_stats_moments_lineitem", "q_pivot_status_by_priority",
+    "q_posexplode_tokens", "q_array_functions_docs",
+    "q_map_functions_events", "q_string_extract_position",
+    "q_bitwise_ops", "q_histogram_doc_lengths",
+    "q_token_doc_frequency", "q_window_distribution_funcs",
+    "q_window_first_last_nth", "q_cross_join_region_matrix",
+    "q_dedup_minhash_lsh", "q_ann_brute_force_topk",
 )
 
-# Never driver-checked: EMPTY as of rotation #7 -- rotation #6 cleared
-# the 46-entry backlog, and the one remaining row-less entry
-# (q_multimodal_jpeg_decode) is promoted into _CHANGED_THIS_ROUND
-# above, so its r7 row completes 294/294 cumulative driver coverage.
-_NEVER_CHECKED: tuple[str, ...] = ()
-
-# New queries added this round sort AFTER the never-checked backlog,
-# per the fixed policy: each addition is locally oracle-verified at
-# BOTH sf0.001 and sf0.01 when built and rotates toward the front next
-# round.  Round 7 adds none (registry effectively frozen per VERDICT
-# r6 item 6: evidence hygiene, not breadth, is the constraint).
-_NEW_THIS_ROUND: tuple[str, ...] = ()
-
-
-def _tier(name: str) -> int:
-    if name in _CHANGED_THIS_ROUND:
-        return 0
-    if name in _NEVER_CHECKED:
-        return 1
-    if name in _NEW_THIS_ROUND:
-        return 2
-    return 3
-
-
-_prio = {
-    n: i
-    for i, n in enumerate(_CHANGED_THIS_ROUND + _NEVER_CHECKED + _NEW_THIS_ROUND)
-}
+_prefix_rank = {n: i for i, n in enumerate(_STALE_PREFIX)}
 QUERIES = dict(
-    sorted(
+    sorted(  # stable: non-prefix entries keep their rotation-#7 order
         QUERIES.items(),
-        key=lambda kv: (_tier(kv[0]), _prio.get(kv[0], 0)),
+        key=lambda kv: _prefix_rank.get(kv[0], len(_STALE_PREFIX)),
     )
 )
 

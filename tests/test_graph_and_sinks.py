@@ -382,3 +382,77 @@ class TestStreamingQualityMonitor:
         )
         assert streamed == grouped
         assert any(v > 0 for (_, v, _, _) in streamed)  # violations bite
+
+
+def test_count_carry_respects_caller_persisted_cand(spark):
+    """ADVICE r7: count_carry_jaccard pins cand only when the caller
+    has NOT already persisted it -- re-persisting at a different level
+    raises Spark's 'cannot change storage level', and a registry pin
+    of a caller-owned cache would double-release it.  A pre-persisted
+    cand must flow through untouched (same values, same level, still
+    cached after release_pinned()); an unpersisted cand must still get
+    the registry pin the sf100 probe proved decisive."""
+    from pyspark.storagelevel import StorageLevel
+
+    from etl_onprem_to_cloud_spark.llm.dedup import count_carry_jaccard
+    from etl_onprem_to_cloud_spark.pinned import release_pinned
+
+    postings = spark.createDataFrame(
+        [(1, "a", 3), (1, "b", 3), (1, "c", 3),
+         (2, "a", 3), (2, "b", 3), (2, "d", 3)],
+        ["id", "shingle", "n_sh"],
+    )
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+
+    baseline = sorted(
+        tuple(r) for r in count_carry_jaccard(cand, postings, 0.4).collect()
+    )
+    release_pinned()
+    assert baseline == [(1, 2, 0.5)]
+
+    pre = cand.persist(StorageLevel.DISK_ONLY)
+    try:
+        got = sorted(
+            tuple(r)
+            for r in count_carry_jaccard(pre, postings, 0.4).collect()
+        )
+        assert got == baseline
+        release_pinned()  # must NOT release the caller's cache
+        assert pre.storageLevel == StorageLevel.DISK_ONLY
+    finally:
+        pre.unpersist()
+
+
+def test_containment_fanout_env_override(spark, monkeypatch):
+    """SPARK_GRAFT_CONTAINMENT_FANOUT is the probe-only knob behind the
+    sf100 matched-per-partition-n experiment (VERDICT r7 item 1): it
+    must scale the incidence repartition width, keep values identical,
+    and default to the byte-identical 4x shape when unset."""
+    import re
+
+    from etl_onprem_to_cloud_spark.llm.dedup import containment_pairs
+    from etl_onprem_to_cloud_spark.plans import explain_str
+
+    w = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(w[:12])), (2, " ".join(w[:10]))], ["doc_id", "text"]
+    )
+    par = spark.sparkContext.defaultParallelism
+
+    def fanout_width(df):
+        m = re.findall(
+            r"hashpartitioning\(id_a#\d+L?, id_b#\d+L?, (\d+)\)",
+            explain_str(df, "simple"),
+        )
+        assert m, "incidence pair-key repartition missing from plan"
+        return {int(x) for x in m}
+
+    base = containment_pairs(docs, threshold=0.8)
+    assert fanout_width(base) == {4 * par}
+
+    monkeypatch.setenv("SPARK_GRAFT_CONTAINMENT_FANOUT", "8")
+    wide = containment_pairs(docs, threshold=0.8)
+    assert fanout_width(wide) == {8 * par}
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, base.collect())
+    )

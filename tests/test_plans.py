@@ -319,8 +319,13 @@ def test_r04_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_dir):
     # them pair- or pruned-posting-sized, none carrying arrays.  Node
     # count went up; bytes-through-exchange collapsed (see the README
     # sf100 table).  Budget = the measured count of the new shape
-    # (incl. the pinned cand/exc relations' build plans -- the pins
-    # cut EXECUTIONS, not plan nodes).
+    # (incl. the pinned cand relation's build plan -- exc is
+    # INTENTIONALLY unpinned, the posting-stream pin measured as a
+    # regression at sf100, native 0.65 -> 0.76; pins cut EXECUTIONS,
+    # not plan nodes).  The count alone has ~4x headroom over the old
+    # shape, so the regression actually feared -- arrays reattached to
+    # pair rows -- is asserted separately by
+    # test_count_carry_exchanges_are_array_free below.
     ("q_cross_source_dup_matrix", 23),
     # q_curation_blend: the LM pipeline + the lm join + two rank
     # windows over the source partition (windows share the exchange).
@@ -337,6 +342,28 @@ def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_
     assert not has_python_udf(df)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q_dedup_minhash_lsh",
+    "q_ml_minhash_lsh_pairs",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard_blocked",
+    "q_cross_source_dup_matrix",
+])
+def test_count_carry_exchanges_are_array_free(name, spark, sf_dir):
+    """The shape invariant behind the count-carry verify (VERDICT r7
+    item 4): NO exchange anywhere in these plans -- including pinned
+    relations' build plans -- may carry an array-typed column.  The
+    exchange-count budgets above have headroom by design (skinny
+    exchanges are cheap); this is the test that fails if anyone
+    reattaches shingle arrays to pair rows, the exact regression that
+    cost 46 GB of sf100 spill (native) and a 48 GB-heap hash-build OOM
+    (MLlib twin) in round 7, regardless of exchange arithmetic."""
+    from etl_onprem_to_cloud_spark.plans import array_typed_exchanges
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert array_typed_exchanges(df) == []
 
 
 def test_q01_map_side_combine_measured(spark, sf_dir):
