@@ -963,18 +963,24 @@ def containment_pairs(
     shingles -- blocking (block_col) is the lever when hot shingles
     make that unbounded, exactly as for the pair-keyed forms.
 
-    Fixed-width-box caveat (measured, r7 sf100 probe): with
-    defaultParallelism pinned, per-partition incidence rows grow
-    linearly with the corpus and np.lexsort's n·log n contributes a
-    log-factor drift -- at 10x rows/partition, log(10M)/log(1M) ~
-    1.17x per row, which is the probe's 11.3-11.5x ratio for 10x data
-    (exponent 1.06).  On a cluster, parallelism scales with the fleet
-    and per-partition n stays bounded, so the drift is a single-box
-    probe artifact, not a plan property.  The probe also measured the
-    spill-free variant (AQE initialPartitionNum = 8x cores: 49.4 GB
-    sort spill -> 0) at IDENTICAL wall-clock -- the sorts fully
-    overlap spill I/O locally; on a real cluster prefer the zero-spill
-    conf (session.py's 2-3x-cores shuffle-partition guidance).
+    Fixed-width-box caveat (measured, r7 sf100 probe + r8 fan-out
+    experiment): the third decade reads exponent ~1.05-1.06, and the
+    ~13% residual over linear is invariant to every partition-level
+    mechanism tested -- fan-out width (r8: per-partition n held
+    constant via a 10x fan-out, SPARK_GRAFT_CONTAINMENT_FANOUT=40 ->
+    1280 partitions, exponent 1.054 vs 1.059 at 128; the lexsort
+    log-factor hypothesis r7 wrote here is REFUTED), sort spill (r7:
+    AQE initialPartitionNum = 8x cores turned 49.4 GB of spill into 0
+    at identical wall-clock), and heap size (r8: an 80g heap spilled
+    44% less and ran 12% SLOWER than 48g).  The heap anti-correlation
+    points at page cache: one box's RAM must hold heap + input +
+    shuffle at once, and the sf100 working set no longer fits beside
+    the heap.  The plan itself moves linear bytes (collision volume
+    exactly linear, no array-typed exchanges), so on a cluster --
+    where per-node working sets stay bounded by adding nodes -- the
+    residual is a one-box memory-system ceiling; prefer the
+    zero-spill conf there (session.py's 2-3x-cores shuffle-partition
+    guidance).  Full table: README "1000x probe" section, note (c).
 
     ``id_col`` must be an integral type (the Arrow batch schema types
     ids as long, like the fixture tables' BIGINT keys); string ids
