@@ -963,24 +963,24 @@ def containment_pairs(
     shingles -- blocking (block_col) is the lever when hot shingles
     make that unbounded, exactly as for the pair-keyed forms.
 
-    Fixed-width-box caveat (measured, r7 sf100 probe + r8 fan-out
-    experiment): the third decade reads exponent ~1.05-1.06, and the
-    ~13% residual over linear is invariant to every partition-level
-    mechanism tested -- fan-out width (r8: per-partition n held
-    constant via a 10x fan-out, SPARK_GRAFT_CONTAINMENT_FANOUT=40 ->
-    1280 partitions, exponent 1.054 vs 1.059 at 128; the lexsort
-    log-factor hypothesis r7 wrote here is REFUTED), sort spill (r7:
-    AQE initialPartitionNum = 8x cores turned 49.4 GB of spill into 0
-    at identical wall-clock), and heap size (r8: an 80g heap spilled
-    44% less and ran 12% SLOWER than 48g).  The heap anti-correlation
-    points at page cache: one box's RAM must hold heap + input +
-    shuffle at once, and the sf100 working set no longer fits beside
-    the heap.  The plan itself moves linear bytes (collision volume
-    exactly linear, no array-typed exchanges), so on a cluster --
-    where per-node working sets stay bounded by adding nodes -- the
-    residual is a one-box memory-system ceiling; prefer the
-    zero-spill conf there (session.py's 2-3x-cores shuffle-partition
-    guidance).  Full table: README "1000x probe" section, note (c).
+    Fixed-width-box caveat (measured, r7 sf100 probe + r8 experiment
+    campaign): the third decade reads exponent 1.04-1.17 depending on
+    the run, and the residual over linear survives every mechanism
+    tested by direct experiment -- fan-out width (per-partition n
+    held constant via SPARK_GRAFT_CONTAINMENT_FANOUT=40 -> 1280
+    partitions: exponent 1.054 vs 1.059 at 128, so the lexsort
+    log-factor hypothesis r7 wrote here is REFUTED), sort spill (AQE
+    initialPartitionNum = 8x cores: 0 B spilled, not faster), spill
+    write-back (the fastest sf100 run spilled 45.7 GB), heap size
+    (80g: less spill, slower), and read I/O (diskstats: ~0.08 GB
+    physical reads at BOTH decades -- all cache-served).  Every byte
+    counter is linear (shuffle 10.2-10.8x for 10x data; collision
+    volume exactly linear; no array-typed exchanges), while
+    nominally-equivalent sf100 runs spread 26% (595-753 s) -- wider
+    than the residual itself.  Conclusion: one-box run-to-run
+    variance under a 10x working set, not a plan property; a cluster
+    bounds per-node volumes by adding nodes.  Full table: README
+    "1000x probe" section, note (c).
 
     ``id_col`` must be an integral type (the Arrow batch schema types
     ids as long, like the fixture tables' BIGINT keys); string ids
