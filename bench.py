@@ -288,6 +288,24 @@ ANCHORS = [
 ]
 
 
+def calibrate(spark) -> tuple[float, float]:
+    """Host-speed calibration (see module docstring): one fixed
+    CPU-bound Python loop and one fixed Spark job, both independent of
+    SF.  ONE definition on purpose -- scripts/anchor_drift_probe.py
+    attaches these numbers to standalone timings so they stay
+    comparable to bench rows; a drifted copy would quietly break that
+    arithmetic."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    py_calib = round(time.perf_counter() - t0, 3)
+    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()  # warm
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    return py_calib, round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -308,17 +326,7 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
         release_pinned()
 
-    # Host-speed calibration (see module docstring): one fixed CPU-bound
-    # Python loop and one fixed Spark job, both independent of SF.
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(10_000_000):
-        acc += i
-    py_calib = round(time.perf_counter() - t0, 3)
-    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()  # warm
-    t0 = time.perf_counter()
-    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
-    spark_calib = round(time.perf_counter() - t0, 3)
+    py_calib, spark_calib = calibrate(spark)
     print(f"# calib: py_loop {py_calib}s, spark_range {spark_calib}s", file=sys.stderr)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))

@@ -52,9 +52,13 @@ def array_typed_exchanges(df: DataFrame) -> list[str]:
     build OOM -- were shingle ARRAYS attached to corpus-scaled pair
     rows and pushed through shuffles.  Exchange-count budgets cannot
     catch a reintroduction (the skinny shape legitimately has MORE
-    exchanges); the typed walk can.  Descends AQE initial plans and
-    cached (pinned) relations' build plans, so a pinned array relation
-    that shuffles still trips it.
+    exchanges); the typed walk can.  Descends AQE initial plans,
+    cached (pinned) relations' build plans, and subquery plans, so a
+    pinned array relation that shuffles -- or one hidden in a scalar/
+    IN subquery -- still trips it.  The type check is on the type's
+    simpleString, so arrays NESTED inside structs/maps (and map
+    columns, the other unbounded-width payload) are caught too: the
+    r7 regression wrapped in a struct is still the r7 regression.
     """
     out: list[str] = []
     stack = [df._jdf.queryExecution().executedPlan()]
@@ -69,8 +73,12 @@ def array_typed_exchanges(df: DataFrame) -> list[str]:
             attrs = node.output()
             for i in range(attrs.size()):
                 a = attrs.apply(i)
-                if a.dataType().typeName() == "array":
+                ts = a.dataType().simpleString()
+                if "array<" in ts or "map<" in ts:
                     out.append(f"{name}:{a.name()}")
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            stack.append(sq.apply(i))
         ch = node.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))

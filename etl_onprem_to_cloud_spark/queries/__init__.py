@@ -128,9 +128,11 @@ from . import finance  # noqa: E402,F401
 # changed for five rounds since.  The prefix below is exactly those
 # 50, ordered by (latest driver-row round, position within that
 # round's CORRECTNESS file); re-verifying them empties the r01
-# staleness bucket.  Entries beyond the prefix keep their rotation-#7
-# relative order (driver-invisible) and keep getting hash-checked
-# against DuckDB every local session (tests/test_oracle_parity.py).
+# staleness bucket.  Entries beyond the prefix revert to registration
+# order -- rotation #7's changed-first head dissolves back into its
+# registration slots (driver-invisible either way; the driver reads
+# only the prefix) -- and keep getting hash-checked against DuckDB
+# every local session (tests/test_oracle_parity.py).
 #
 # Round-8 source changes create NO tier-0 "changed" entries: all three
 # (count_carry_jaccard pre-persisted-cand guard, the MLlib adaptive-

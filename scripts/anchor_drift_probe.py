@@ -29,6 +29,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import calibrate  # ONE calib definition; see its docstring
+
 from etl_onprem_to_cloud_spark.pinned import release_pinned
 from etl_onprem_to_cloud_spark.queries import QUERIES
 from etl_onprem_to_cloud_spark.session import get_spark
@@ -46,15 +48,7 @@ def main() -> None:
         QUERIES[name].fn(spark, warm).count()
     release_pinned()
 
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(10_000_000):
-        acc += i
-    py_calib = round(time.perf_counter() - t0, 3)
-    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
-    t0 = time.perf_counter()
-    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
-    spark_calib = round(time.perf_counter() - t0, 3)
+    py_calib, spark_calib = calibrate(spark)
 
     timings: dict[str, float] = {}
     for name in ANCHORS:

@@ -407,7 +407,10 @@ def test_count_carry_respects_caller_persisted_cand(spark):
     baseline = sorted(
         tuple(r) for r in count_carry_jaccard(cand, postings, 0.4).collect()
     )
-    release_pinned()
+    # Exactly ONE pin on the unpersisted path -- if the storage-level
+    # guard ever stops matching, the decisive cand pin silently
+    # disappears and only this assertion notices.
+    assert release_pinned() == 1
     assert baseline == [(1, 2, 0.5)]
 
     pre = cand.persist(StorageLevel.DISK_ONLY)
@@ -417,7 +420,8 @@ def test_count_carry_respects_caller_persisted_cand(spark):
             for r in count_carry_jaccard(pre, postings, 0.4).collect()
         )
         assert got == baseline
-        release_pinned()  # must NOT release the caller's cache
+        # nothing registered on this path; the caller's cache survives
+        assert release_pinned() == 0
         assert pre.storageLevel == StorageLevel.DISK_ONLY
     finally:
         pre.unpersist()
