@@ -976,8 +976,10 @@ def containment_pairs(
     physical reads at BOTH decades -- all cache-served).  Every byte
     counter is linear (shuffle 10.2-10.8x for 10x data; collision
     volume exactly linear; no array-typed exchanges), while
-    nominally-equivalent sf100 runs spread 26% (595-753 s) -- wider
-    than the residual itself.  Conclusion: one-box run-to-run
+    nominally-equivalent sf100 runs spread 29% (595-767 s over four
+    runs, incl. a same-day exact replication of the fastest pair
+    reading 1.14) -- wider than the residual itself.  Conclusion:
+    one-box run-to-run
     variance under a 10x working set, not a plan property; a cluster
     bounds per-node volumes by adding nodes.  Full table: README
     "1000x probe" section, note (c).

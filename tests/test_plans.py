@@ -359,6 +359,12 @@ def test_r05_span_queries_bounded_shuffles_no_udf(name, max_shuffles, spark, sf_
     ("q_dedup_clusters", frozenset()),
     ("q_dedup_ngram_jaccard_blocked", frozenset()),
     ("q_cross_source_dup_matrix", frozenset()),
+    # Beyond the count-carry family: the other corpus-pair dedup paths
+    # whose incidence/verify streams must also stay scalar-only.
+    ("q_dedup_containment", frozenset()),
+    ("q_dedup_ngram_jaccard", frozenset()),
+    ("q_dedup_exact_keep", frozenset()),
+    ("q_semantic_dedup_clusters", frozenset()),
 ])
 def test_count_carry_exchanges_are_array_free(name, allowed, spark, sf_dir):
     """The shape invariant behind the count-carry verify (VERDICT r7
