@@ -71,6 +71,11 @@ SHIFT = 1_000_000_000
 
 # Cheapest-first so partial runs still land evidence.
 PROBE = [
+    # r8 extension: the end-to-end prep pipeline (dedup -> quality
+    # gate -> split -> rollup in one plan) -- sub-linear through two
+    # decades (0.17, 0.26), and the single row a user asking "does
+    # the WHOLE pipeline hold at 100 TB" cares about most.
+    "q_training_data_pipeline",
     "q_dedup_minhash_lsh",
     "q_kcore_copurchase",
     "q_ann_ivfpq_topk",
