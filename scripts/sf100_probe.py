@@ -74,8 +74,14 @@ PROBE = [
     # r8 extension: the end-to-end prep pipeline (dedup -> quality
     # gate -> split -> rollup in one plan) -- sub-linear through two
     # decades (0.17, 0.26), and the single row a user asking "does
-    # the WHOLE pipeline hold at 100 TB" cares about most.
+    # the WHOLE pipeline hold at 100 TB" cares about most -- plus the
+    # two judged first-class curation paths with no decade rows yet:
+    # benchmark decontamination (corpus n-gram explode semi-joined
+    # against the broadcast eval set) and the curation blend
+    # (per-source percentile windows).
     "q_training_data_pipeline",
+    "q_decontaminate_ngram_overlap",
+    "q_curation_blend",
     "q_dedup_minhash_lsh",
     "q_kcore_copurchase",
     "q_ann_ivfpq_topk",
