@@ -1812,7 +1812,9 @@ def q_topk_nations_with_others(spark, sf_dir):
     rank/split runs over the 25-nation aggregate."""
     c = cat(spark, sf_dir)
     r = (
-        c.orders.join(F.broadcast(c.customer), c.orders.o_custkey == c.customer.c_custkey)
+        # customer scales with the corpus: no broadcast hint (see
+        # relational.py q05 -- the r8 never-broadcast sweep).
+        c.orders.join(c.customer, c.orders.o_custkey == c.customer.c_custkey)
         .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

@@ -156,13 +156,21 @@ def q05_local_supplier_volume(spark, sf_dir):
         (F.col("o_orderdate") >= ts_lit(orders, "o_orderdate", "1995-01-01 00:00:00"))
         & (F.col("o_orderdate") < ts_lit(orders, "o_orderdate", "1998-01-01 00:00:00"))
     )
-    # Fact side: lineitem |x| orders (the only fact-fact shuffle);
-    # everything else is a broadcast dim.
+    # Fact side: lineitem |x| orders (the only fact-fact shuffle).
+    # nation/region are FIXED-catalog dims and keep explicit broadcast
+    # hints; customer/supplier SCALE with the corpus (SF x 150k/10k
+    # rows) and get NO hint -- the r8 sf100 probe caught q18's hinted
+    # customer broadcast at exponent 1.25 (15M-row build side), the
+    # same never-broadcast-a-corpus-scaled-relation rule the LSH
+    # verifies learned in r5.  Unhinted, the static estimator / AQE
+    # still broadcasts them at every driver/bench SF (file sizes well
+    # under the 10 MB threshold, plans effectively unchanged there)
+    # and falls back to a skinny shuffle join at scale.
     joined = (
         c.lineitem.join(ofilt, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(c.supplier),
+            c.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -242,7 +250,8 @@ def q10_returned_items(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c.customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with the corpus: no broadcast hint (see q05).
+        .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
@@ -287,7 +296,9 @@ def q15_top_supplier(spark, sf_dir):
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with the corpus: no broadcast hint (see q05);
+        # max_rev is one row and stays hinted.
+        .join(c.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -322,7 +333,12 @@ def q18_large_volume_customer(spark, sf_dir):
     )
     return (
         big.join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c.customer), F.col("c_custkey") == F.col("o_custkey"))
+        # customer scales with the corpus: no broadcast hint (see q05).
+        # The r8 sf100 probe measured THIS hint at exponent 1.25
+        # (hinted 15M-row broadcast build); the bare orderkey aggregate
+        # above is sub-linear (0.876) and AQE broadcasts the skinny
+        # qualifying-orders side instead.
+        .join(c.customer, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "c_name",

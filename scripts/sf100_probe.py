@@ -89,6 +89,10 @@ PROBE = [
     "q_asof_join_click_attribution",
     "q_events_user_sessions",
     "q_sessions_gaps_islands",
+    # r8 extension 3: the relational OLAP core at 6B lineitems --
+    # the scan-agg flagship and the join-heavy group-filter join.
+    "q01_pricing_summary",
+    "q18_large_volume_customer",
     "q_dedup_minhash_lsh",
     "q_kcore_copurchase",
     "q_ann_ivfpq_topk",
