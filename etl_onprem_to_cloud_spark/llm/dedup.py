@@ -1015,7 +1015,16 @@ def containment_pairs(
     # holds per-partition incidence rows constant across decades to
     # isolate the lexsort log factor from real scaling.  Unset (every
     # production / harness path), the shape is byte-identical to r7.
-    mult = int(os.environ.get("SPARK_GRAFT_CONTAINMENT_FANOUT", "4"))
+    # Parse defensively (ADVICE r8): a garbage or <1 value -- e.g. a
+    # probe process that died before clearing the env var, or a typo
+    # -- falls back to the production 4x instead of raising or
+    # driving repartition(<=0).
+    try:
+        mult = int(os.environ.get("SPARK_GRAFT_CONTAINMENT_FANOUT", "4"))
+    except ValueError:
+        mult = 4
+    if mult < 1:
+        mult = 4
     fanout = mult * docs.sparkSession.sparkContext.defaultParallelism
     inc = (
         a.join(b.hint("merge"), join_cond)

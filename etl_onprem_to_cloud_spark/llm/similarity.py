@@ -60,8 +60,15 @@ def brute_force_top_k(
     twin the pandas path is differential-tested against
     (tests/test_similarity_ml.py).  Both round to 1e-6 before ranking,
     so their outputs are identical."""
-    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    # .limit(len(query_ids)) is a VALUE no-op (ids are unique, the
+    # filter already yields at most that many rows) that makes the
+    # bound explicit in the plan, so the corpus-broadcast guard
+    # (plans/checks.corpus_broadcast_hints) can prove the hinted side
+    # bounded instead of allowlisting it by name.
+    queries = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .limit(len(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
@@ -532,8 +539,12 @@ def ivf_top_k(
             cents = _centroids(embeddings, cell_col, vec_col)
     else:
         cents = _centroids(embeddings, cell_col, vec_col)
-    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    # limit = value no-op explicit bound (ids unique); see
+    # brute_force_top_k for why the corpus-broadcast guard needs it.
+    queries = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .limit(len(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
     # Rank cells per query by centroid similarity (tiny cross join).
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -990,8 +1001,10 @@ def _rerank_shortlist(e, shortlist, query_ids: list[int], k: int):
     is (query_id, neighbor_id).  Reads only |shortlist| full vectors
     via broadcast joins; output (query_id, neighbor_id, cosine, rank),
     1e-6 portable rounding, desc-cosine/asc-id tie-break."""
-    qv = e.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    qv = (
+        e.filter(F.col("id").isin(query_ids))
+        .limit(len(query_ids))  # explicit bound; ids unique -> value no-op
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
     )
     cand = e.join(
         F.broadcast(shortlist), F.col("id") == F.col("neighbor_id")
@@ -1090,9 +1103,12 @@ def pq_top_k(
         *[F.col(f"pos_{m}") for m in range(num_subspaces)],
     )
 
-    # Per-query ADC lookup tables (tiny, broadcast).
-    q = e.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    # Per-query ADC lookup tables (tiny, broadcast; limit = explicit
+    # value-no-op bound for the corpus-broadcast guard).
+    q = (
+        e.filter(F.col("id").isin(query_ids))
+        .limit(len(query_ids))
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
     )
     for m, book in enumerate(books):
         q = q.withColumn(
@@ -1117,8 +1133,13 @@ def pq_top_k(
         return ranked.filter(F.col("rank") <= k).select(
             "query_id", "neighbor_id", "adc_dist2", "rank"
         )
-    shortlist = ranked.filter(F.col("rank") <= rerank).select(
-        "query_id", "neighbor_id"
+    # limit = value no-op (the rank filter yields at most
+    # |queries|*rerank rows); makes the broadcast side's bound
+    # explicit in the plan for the corpus-broadcast guard.
+    shortlist = (
+        ranked.filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+        .limit(len(query_ids) * rerank)
     )
     return _rerank_shortlist(e, shortlist, query_ids, k)
 
@@ -1339,8 +1360,11 @@ def ivfpq_top_k(
 
     # Probes: nprobe nearest coarse cells per query, each carrying the
     # query's residual against THAT cell and its ADC lookup tables.
-    q = e.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    # (limit = explicit value-no-op bound for the corpus-broadcast guard)
+    q = (
+        e.filter(F.col("id").isin(query_ids))
+        .limit(len(query_ids))
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
     )
     probes = (
         q.crossJoin(F.broadcast(cents_df))
@@ -1381,6 +1405,7 @@ def ivfpq_top_k(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= rerank)
         .select("query_id", "neighbor_id")
+        .limit(len(query_ids) * rerank)  # value no-op explicit bound
     )
     return _rerank_shortlist(e, shortlist, query_ids, k)
 

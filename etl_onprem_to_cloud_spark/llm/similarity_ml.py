@@ -252,7 +252,7 @@ def ml_brp_near_neighbors(
         seed=seed,
     )
     model = brp.fit(vecs)
-    queries = vecs.filter(F.col(id_col).isin(query_ids))
+    queries = vecs.filter(F.col(id_col).isin(query_ids)).limit(len(query_ids))
     threshold = float("inf") if radius is None else float(radius)
     joined = model.approxSimilarityJoin(queries, vecs, threshold, "eucl_dist")
     pairs = joined.filter(

@@ -1,5 +1,7 @@
 from .checks import (
+    CORPUS_TABLES,
     array_typed_exchanges,
+    corpus_broadcast_hints,
     explain_str,
     has_broadcast_join,
     has_python_udf,
@@ -9,7 +11,9 @@ from .checks import (
 from .metrics import execution_metrics
 
 __all__ = [
+    "CORPUS_TABLES",
     "array_typed_exchanges",
+    "corpus_broadcast_hints",
     "explain_str",
     "execution_metrics",
     "has_broadcast_join",

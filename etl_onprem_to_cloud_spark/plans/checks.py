@@ -62,11 +62,29 @@ def array_typed_exchanges(df: DataFrame) -> list[str]:
     """
     out: list[str] = []
     stack = [df._jdf.queryExecution().executedPlan()]
+    seen: set[int] = set()  # SparkPlan.id(): initial/executed plans share
+    # nodes before execution; dedupe so each physical node reports once.
     while stack:
         node = stack.pop()
+        nid = node.id()
+        if nid in seen:
+            continue
+        seen.add(nid)
         name = node.nodeName()
         if name == "AdaptiveSparkPlan":
+            # Walk BOTH the initial plan and the current executed plan.
+            # Before execution the two coincide; after execution the
+            # executed plan is the AQE re-optimized tree, so a caller
+            # checking a materialized DataFrame also covers runtime
+            # rewrites.  (AQE preserves exchange output types, so the
+            # initial plan alone was sound -- ADVICE r8 asked that the
+            # guard not silently depend on that invariant.)  We never
+            # touch finalPhysicalPlan, which would FORCE execution.
             stack.append(node.initialPlan())
+            try:
+                stack.append(node.executedPlan())
+            except Exception:
+                pass  # pre-4.x shims without the accessor
         elif name == "InMemoryTableScan":
             stack.append(node.relation().cachedPlan())
         elif "Exchange" in name:
@@ -82,6 +100,90 @@ def array_typed_exchanges(df: DataFrame) -> list[str]:
         ch = node.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
+    return out
+
+
+#: Fixture tables whose row counts scale linearly with SF.  nation and
+#: region are FIXED catalogs (25 / 5 rows at every SF) and are absent.
+CORPUS_TABLES = frozenset(
+    {"customer", "supplier", "part", "orders", "lineitem",
+     "documents", "embeddings", "events"}
+)
+
+#: Logical nodes that BOUND the rows flowing out of a subtree
+#: independently of the corpus size underneath: a global/grouped
+#: aggregate (output = one row, or one row per group over a
+#: bounded-cardinality key -- the residual risk of a corpus-keyed
+#: groupBy being re-broadcast is accepted and documented here) and
+#: limits (top-k).
+_BOUNDING_NODES = frozenset({"Aggregate", "GlobalLimit", "LocalLimit"})
+
+
+def _leaf_source_names(node) -> set[str]:
+    """Basenames (without extension) of the files a LEAF logical node
+    reads, e.g. ``{"lineitem"}`` for a parquet scan of
+    ``.../lineitem.parquet``; empty for in-memory leaves."""
+    names: set[str] = set()
+    try:
+        paths = node.relation().location().rootPaths()
+        for i in range(paths.size()):
+            names.add(paths.apply(i).getName().split(".")[0])
+        return names
+    except Exception:
+        pass
+    for m in re.finditer(r"([A-Za-z0-9_]+)\.(?:parquet|csv|json|orc)", node.toString()):
+        names.add(m.group(1))
+    return names
+
+
+def corpus_broadcast_hints(
+    df: DataFrame, corpus_tables: frozenset[str] = CORPUS_TABLES
+) -> list[str]:
+    """``"hint->table"`` for every explicit broadcast hint in the
+    ANALYZED logical plan whose subtree reaches a corpus-scaled fixture
+    table without passing through a bounding node (aggregate / limit).
+
+    The invariant behind the r8/r9 never-broadcast sweeps: an
+    ``F.broadcast`` hint DISABLES the size estimator, so a hint on a
+    relation that scales with the corpus passes every test SF and then
+    builds a multi-GB broadcast at deployment scale -- the r8 sf100
+    probe measured q18's hinted customer (15M rows) at scaling exponent
+    1.25 vs 1.04 unhinted.  Hints on nation/region (fixed catalogs),
+    1-row or grouped aggregates, and top-k outputs are legitimate and
+    pass.  Walks subquery plans too.  Empty list = the plan obeys the
+    rule.
+    """
+    out: list[str] = []
+    hint_children = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.nodeName() == "ResolvedHint"
+            and "broadcast" in node.hints().toString().lower()
+        ):
+            hint_children.append(node.child())
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            stack.append(sq.apply(i))
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    for hc in hint_children:
+        stack = [hc]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in _BOUNDING_NODES:
+                continue  # bounded: do not descend past it
+            if node.children().size() == 0:
+                for t in sorted(_leaf_source_names(node) & corpus_tables):
+                    out.append(f"broadcast->{t}")
+            # NOTE: expression subqueries are NOT walked here -- a
+            # scalar/IN subquery inside a hinted subtree contributes a
+            # value to a predicate, not rows to the broadcast build.
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
     return out
 
 

@@ -163,16 +163,19 @@ WHERE vr = 1 ORDER BY query_id
 )
 def q_knn_label_vote(spark, sf_dir):
     """Scale shape: reuses brute_force_top_k (broadcast query rows x
-    streamed corpus, one narrow top-k shuffle on query_id); the label
-    join is a broadcast (k x |queries| rows vs the corpus only for the
-    20 query rows).  Voting aggregates 200 rows -- driver-trivial but
-    expressed distributed so |queries| can grow to millions."""
+    streamed corpus, one narrow top-k shuffle on query_id).  The label
+    map is the FULL corpus (vec_id -> label), so the label and truth
+    joins carry no broadcast hint: the nn/picked side is the bounded
+    one (k x |queries| rows), and at test SFs the estimator broadcasts
+    whichever side is small.  Voting aggregates 200 rows --
+    driver-trivial but expressed distributed so |queries| can grow to
+    millions."""
     emb = cat(spark, sf_dir).embeddings
     nn = brute_force_top_k(emb, _KNN_QUERY_IDS, k=10)
     labels = emb.select("vec_id", "label")
     votes = (
         nn.join(
-            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            labels.withColumnRenamed("vec_id", "neighbor_id"),
             "neighbor_id",
         )
         .groupBy("query_id", "label")
@@ -184,7 +187,7 @@ def q_knn_label_vote(spark, sf_dir):
         "label", "true_label"
     )
     return (
-        picked.join(F.broadcast(truth), "query_id")
+        picked.join(truth, "query_id")
         .select(
             "query_id",
             F.col("label").cast("int").alias("predicted_label"),

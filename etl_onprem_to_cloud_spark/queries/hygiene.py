@@ -58,10 +58,15 @@ FROM tr LEFT JOIN m ON tr.doc_id = m.doc_id
     ),
 )
 def q_decontaminate_ngram_overlap(spark, sf_dir):
+    """broadcast_bench=False: the registered query's bench split is
+    CARVED FROM THE CORPUS (doc_id % 97), so its gram set scales with
+    SF and must not carry a broadcast hint (estimator/AQE still
+    broadcasts it at test SFs).  A real deployment with a FIXED
+    benchmark suite keeps the API default True."""
     docs = cat(spark, sf_dir).documents
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
-    return DC.ngram_overlap_stats(train, bench, n=4)
+    return DC.ngram_overlap_stats(train, bench, n=4, broadcast_bench=False)
 
 
 @query(

@@ -100,8 +100,11 @@ ORDER BY check_name
 def q_data_quality_orders(spark, sf_dir):
     """All row-predicate checks fold into ONE aggregation pass
     (map-side partials, 1-row exchange, unpivot); uniqueness adds a
-    groupBy on the key and referential integrity a broadcast anti-join
-    -- the minimum shuffle set for these semantics at any scale."""
+    groupBy on the key and referential integrity an anti-join on the
+    parent KEY SET -- which is the full o_orderkey set, i.e. corpus-
+    scaled, so ``broadcast_parent=False``: the estimator/AQE still
+    broadcasts it at test SFs, and at 100x the plan degrades to a
+    shuffled anti-join instead of broadcasting billions of keys."""
     c = cat(spark, sf_dir)
     orders, lineitem = c.orders, c.lineitem
     preds = predicate_report(
@@ -115,7 +118,12 @@ def q_data_quality_orders(spark, sf_dir):
     )
     uniq = uniqueness_report(orders, "orders.orderkey.unique", ["o_orderkey"])
     ref = referential_report(
-        lineitem, "lineitem.orderkey.referential", "l_orderkey", orders, "o_orderkey"
+        lineitem,
+        "lineitem.orderkey.referential",
+        "l_orderkey",
+        orders,
+        "o_orderkey",
+        broadcast_parent=False,
     )
     return (
         preds.unionByName(uniq)
@@ -2978,8 +2986,10 @@ FROM m, intra, dsum
 )
 def q_modularity_brand_copurchase(spark, sf_dir):
     """Edge build = the k-core query's self-join (exchange-reused
-    across the degree and intra-edge branches); brand lookup is a
-    broadcast dim join; the rest is three scalar aggregates."""
+    across the degree and intra-edge branches); the brand lookup is a
+    CORPUS-SCALED part projection, so its joins carry no broadcast
+    hint (estimator/AQE broadcasts at test SFs, falls back to shuffle
+    at 100x); the rest is three scalar aggregates."""
     c = cat(spark, sf_dir)
     li = c.lineitem.select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
@@ -3002,18 +3012,18 @@ def q_modularity_brand_copurchase(spark, sf_dir):
     m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     intra = (
         edges.join(
-            F.broadcast(brand.withColumnRenamed("node", "x").withColumnRenamed("brand", "brand_x")),
+            brand.withColumnRenamed("node", "x").withColumnRenamed("brand", "brand_x"),
             "x",
         )
         .join(
-            F.broadcast(brand.withColumnRenamed("node", "y").withColumnRenamed("brand", "brand_y")),
+            brand.withColumnRenamed("node", "y").withColumnRenamed("brand", "brand_y"),
             "y",
         )
         .filter(F.col("brand_x") == F.col("brand_y"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("l_intra"))
     )
     dsum = (
-        deg.join(F.broadcast(brand), "node")
+        deg.join(brand, "node")
         .groupBy("brand")
         .agg(F.sum("d").cast("bigint").alias("bd"))
         .agg(F.sum(F.col("bd") * F.col("bd")).cast("bigint").alias("sum_d2"))
@@ -4636,13 +4646,14 @@ FROM m ORDER BY brand
     ),
 )
 def q_price_elasticity_brand(spark, sf_dir):
-    """One fact-dim join (part side broadcastable) + one brand-keyed
-    moment rollup + a 25-row projection; the ln quantization happens
-    inside the aggregate's input projection, so the whole query is
-    one data-scale pass."""
+    """One fact-dim join (part is corpus-scaled, so the estimator
+    picks the strategy -- broadcast at test SFs, shuffle at 100x) +
+    one brand-keyed moment rollup + a 25-row projection; the ln
+    quantization happens inside the aggregate's input projection, so
+    the whole query is one data-scale pass."""
     c = cat(spark, sf_dir)
     pts = c.lineitem.join(
-        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        c.part.select("p_partkey", "p_brand"),
         F.col("p_partkey") == F.col("l_partkey"),
     ).select(
         F.col("p_brand").alias("brand"),

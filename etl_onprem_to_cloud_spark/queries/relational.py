@@ -364,14 +364,21 @@ JOIN region ON r_regionkey = n_regionkey
 GROUP BY r_name, year(o_orderdate)
 """,
     tags=("join", "agg", "broadcast"),
-    description="Full star join: fact |x| fact shuffle + 3 broadcast dims.",
+    description="Full star join: fact |x| fact shuffle, customer join "
+    "left to the estimator (corpus-scaled), 2 hinted catalog dims.",
 )
 def q_star_revenue_by_region_year(spark, sf_dir):
+    """customer is NOT routed through star_join: the operator's
+    contract is always-broadcast, and customer scales with the corpus
+    (the table behind the r8 q18 exponent-1.25 catch).  The estimator
+    still broadcasts it at driver/bench SFs; nation/region are fixed
+    catalogs and keep their hints."""
     c = cat(spark, sf_dir)
     joined = star_join(
-        c.lineitem.join(c.orders, F.col("o_orderkey") == F.col("l_orderkey")),
+        c.lineitem.join(c.orders, F.col("o_orderkey") == F.col("l_orderkey")).join(
+            c.customer, F.col("c_custkey") == F.col("o_custkey")
+        ),
         [
-            (c.customer, F.col("c_custkey") == F.col("o_custkey")),
             (c.nation, F.col("n_nationkey") == F.col("c_nationkey")),
             (c.region, F.col("r_regionkey") == F.col("n_regionkey")),
         ],

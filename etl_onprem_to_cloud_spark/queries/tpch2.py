@@ -11,6 +11,19 @@ aliases, pinned rounding).
 Together with relational.py's Q1/Q3/Q5/Q6/Q10/Q15/Q18 this covers all
 22 TPC-H query shapes, each adapted to what the fixture schema can
 express.
+
+Broadcast policy (r9 sweep, completing the r8 relational.py sweep):
+``F.broadcast`` hints are reserved for FIXED catalogs (nation/region
+and their filters) and BOUNDED derived relations (1-row aggregates).
+supplier/part -- and any filtered subset of them -- scale linearly
+with SF and carry NO hint: the r8 sf100 probe measured q18's hinted
+corpus-scaled customer at exponent 1.25 (a 15M-row broadcast build)
+vs 1.04 unhinted.  At driver/bench SFs the static estimator still
+broadcasts these relations (file sizes well under the 10 MB
+``autoBroadcastJoinThreshold``), so plans there are unchanged; at
+scale the estimator falls back to a shuffle join instead of
+silently building a multi-GB broadcast.  Enforced by
+tests/test_plans.py::test_no_broadcast_hint_on_corpus_scaled_relation.
 """
 
 from __future__ import annotations
@@ -69,7 +82,7 @@ def q02_min_cost_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", "n_name")
     )
     offers = c.lineitem.join(
-        F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey")
+        eu_supp, F.col("s_suppkey") == F.col("l_suppkey")
     ).select(
         F.col("l_partkey").alias("partkey"),
         "s_suppkey",
@@ -87,12 +100,10 @@ def q02_min_cost_supplier(spark, sf_dir):
     )
     return (
         pick.join(
-            F.broadcast(
-                c.part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
-            ),
+            c.part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")),
             F.col("p_partkey") == F.col("partkey"),
         )
-        .join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("pick_suppkey"))
+        .join(eu_supp, F.col("s_suppkey") == F.col("pick_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "n_name", "min_unit_price")
     )
 
@@ -162,7 +173,7 @@ def q07_volume_shipping(spark, sf_dir):
     n1 = F.broadcast(c.nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(c.nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")))
     joined = (
-        li.join(F.broadcast(c.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(n1, F.col("nk1") == F.col("s_nationkey"))
@@ -207,10 +218,10 @@ def q08_market_share(spark, sf_dir):
     n2 = F.broadcast(c.nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")))
     joined = (
         c.lineitem.join(
-            F.broadcast(c.part.filter(F.col("p_type") == "PROMO")),
+            c.part.filter(F.col("p_type") == "PROMO"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(c.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(n1, F.col("nk1") == F.col("c_nationkey"))
@@ -260,9 +271,9 @@ def q09_product_type_profit(spark, sf_dir):
         * F.lit(0.8).cast("decimal(2,1)")
     )
     joined = (
-        c.lineitem.join(F.broadcast(c.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        c.lineitem.join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
-            F.broadcast(c.part.filter(F.col("p_name").like("%bolt%"))),
+            c.part.filter(F.col("p_name").like("%bolt%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -330,7 +341,7 @@ def q14_promo_revenue(spark, sf_dir):
     )
     vol = _disc_price_col()
     return (
-        li.join(F.broadcast(c.part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(c.part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -363,7 +374,7 @@ def q16_supplier_cnt_by_part(spark, sf_dir):
         & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
     )
     return (
-        c.lineitem.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        c.lineitem.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -394,7 +405,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
     return (
         c.lineitem.join(
-            F.broadcast(c.part.filter(F.col("p_brand") == "Brand#23")),
+            c.part.filter(F.col("p_brand") == "Brand#23"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(pa, F.col("pk") == F.col("l_partkey"))
@@ -436,7 +447,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        c.lineitem.join(F.broadcast(c.part), F.col("p_partkey") == F.col("l_partkey"))
+        c.lineitem.join(c.part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(b)
         .agg(F.round(F.sum(_disc_price_col()), 2).cast("double").alias("revenue"))
     )
@@ -473,7 +484,7 @@ def q21_waiting_supplier(spark, sf_dir):
             c.orders.filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(c.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
@@ -561,7 +572,7 @@ def q11_important_parts(spark, sf_dir):
         F.broadcast(nations), F.col("n_nationkey") == F.col("s_nationkey")
     ).select("s_suppkey")
     per_part = (
-        c.lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        c.lineitem.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(dec("l_extendedprice")).alias("val"))
     )
@@ -642,7 +653,8 @@ ORDER BY s_suppkey
     "who shipped more than a threshold quantity of 'cold%'-named parts in "
     "1996.  No partsupp availqty in the fixtures, so the Q20 half-of-"
     "shipped predicate becomes a fixed qty threshold over observed "
-    "shipments; part dim is broadcast, one shuffle on suppkey.",
+    "shipments; part/supplier are corpus-scaled so the estimator picks "
+    "the join strategy (no hint), one shuffle on suppkey.",
 )
 def q20_heavy_part_suppliers(spark, sf_dir):
     c = cat(spark, sf_dir)
@@ -653,14 +665,14 @@ def q20_heavy_part_suppliers(spark, sf_dir):
             (F.col("l_shipdate") >= ts_lit(li, "l_shipdate", "1996-01-01 00:00:00"))
             & (F.col("l_shipdate") < ts_lit(li, "l_shipdate", "1997-01-01 00:00:00"))
         )
-        .join(F.broadcast(cold_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cold_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 400)
     )
     return (
         shipped.join(
-            F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+            c.supplier, F.col("l_suppkey") == F.col("s_suppkey")
         )
         .select(
             "s_suppkey",

@@ -58,18 +58,10 @@ LEGS = [
 ]
 
 
-def main() -> None:
-    for d in (SF10, SF100):
-        if not os.path.isdir(f"{d}/documents.parquet"):
-            print(f"# missing derived data at {d}; build first", file=sys.stderr)
-            sys.exit(1)
-
-    spark = get_spark(app_name="containment-fanout-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    fn = QUERIES[QUERY].fn
-    results: dict[str, dict[str, float]] = {}
-    print("| leg | fan-out mult | partitions | best (s) | spill |")
-    print("|---|---|---|---|---|")
+def _run_legs(spark, fn, results: dict[str, dict[str, float]]):
+    """Run every leg, filling ``results``; returns the (possibly
+    re-minted) session.  The caller clears the fan-out env knob in a
+    ``finally`` so a leg dying here can never leave it engaged."""
     for i, (label, sf_dir, mult, runs) in enumerate(LEGS):
         if i > 0:
             spark = _mint(spark)
@@ -105,7 +97,28 @@ def main() -> None:
             f"{best_m['spill_bytes']:,} B |",
             flush=True,
         )
-    os.environ.pop("SPARK_GRAFT_CONTAINMENT_FANOUT", None)
+    return spark
+
+
+def main() -> None:
+    for d in (SF10, SF100):
+        if not os.path.isdir(f"{d}/documents.parquet"):
+            print(f"# missing derived data at {d}; build first", file=sys.stderr)
+            sys.exit(1)
+
+    spark = get_spark(app_name="containment-fanout-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = QUERIES[QUERY].fn
+    results: dict[str, dict[str, float]] = {}
+    print("| leg | fan-out mult | partitions | best (s) | spill |")
+    print("|---|---|---|---|---|")
+    try:
+        spark = _run_legs(spark, fn, results)
+    finally:
+        # ALWAYS clear the knob (ADVICE r8): a leg that dies mid-loop
+        # must not leave the override engaged for later in-process
+        # production calls.
+        os.environ.pop("SPARK_GRAFT_CONTAINMENT_FANOUT", None)
 
     out: dict[str, object] = {"metric": "containment_fanout_probe",
                               "legs": results}

@@ -93,6 +93,14 @@ PROBE = [
     # the scan-agg flagship and the join-heavy group-filter join.
     "q01_pricing_summary",
     "q18_large_volume_customer",
+    # r9 extension: the two heaviest queries of the completed tpch2
+    # never-broadcast sweep (VERDICT r8 item 1) -- q09 (lineitem x
+    # part x supplier x orders x nation profit rollup) and q21
+    # (lineitem self-aggregate + orders + supplier).  Their swept
+    # plans must hold the third decade the way q18's did after the
+    # same fix (1.25 hinted -> 1.04 unhinted).
+    "q09_product_type_profit",
+    "q21_waiting_supplier",
     "q_dedup_minhash_lsh",
     "q_kcore_copurchase",
     "q_ann_ivfpq_topk",
@@ -113,9 +121,17 @@ CORPUS_OUTPUT = {"q_events_user_sessions", "q_sessions_gaps_islands"}
 
 
 def _bounded(df):
+    # F.hash throws on MAP-typed columns (ADVICE r8): serialize any
+    # column whose type contains a map to its canonical JSON first, so
+    # a future CORPUS_OUTPUT query with a map column probes instead of
+    # crashing the leg.  All other types hash natively.
+    cols = [
+        F.to_json(F.col(f.name)) if "map<" in f.dataType.simpleString() else F.col(f.name)
+        for f in df.schema.fields
+    ]
     return df.groupBy().agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.hash(*[F.col(c) for c in df.columns])).alias("row_hash"),
+        F.sum(F.hash(*cols)).alias("row_hash"),
     )
 
 

@@ -460,3 +460,10 @@ def test_containment_fanout_env_override(spark, monkeypatch):
     assert sorted(map(tuple, wide.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+    # Defensive parse (ADVICE r8): garbage or <1 values -- a dead
+    # probe's leftover env, a typo -- clamp to the production 4x
+    # instead of raising ValueError / repartition(<=0).
+    for bad in ("garbage", "0", "-3"):
+        monkeypatch.setenv("SPARK_GRAFT_CONTAINMENT_FANOUT", bad)
+        assert fanout_width(containment_pairs(docs, threshold=0.8)) == {4 * par}

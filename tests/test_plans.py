@@ -941,3 +941,87 @@ def test_r04_batch89_plan_shape(name, max_shuffles, spark, sf_dir):
     assert shuffle_count(df) <= max_shuffles
     assert not has_python_udf(df)
     assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+# ---------------------------------------------------------------------------
+# Never-broadcast-a-corpus-scaled-relation (VERDICT r8 item 4)
+# ---------------------------------------------------------------------------
+
+def test_no_broadcast_hint_on_corpus_scaled_relation(spark, sf_dir):
+    """NO registered query's analyzed logical plan may carry an
+    explicit broadcast hint whose subtree reaches a corpus-scaled
+    fixture table without a bounding aggregate/limit in between.
+
+    An ``F.broadcast`` hint disables the size estimator, so a hinted
+    relation that scales with the corpus passes every test SF and then
+    builds a multi-GB broadcast at deployment scale: the r8 sf100
+    probe measured q18's hinted customer (15M rows) at scaling
+    exponent 1.25 vs 1.04 unhinted, and the r9 sweep removed the same
+    class from queries/tpch2.py (supplier/part), relational.py's star
+    join (customer), the GDPR tombstone and referential-integrity key
+    sets, the brand/part lookups in mining.py, the decontamination
+    bench grams, and the kNN label map.  Bounded hinted sides (fixed
+    catalogs, 1-row or grouped aggregates, top-k / explicit limits)
+    pass structurally -- there is deliberately NO name-keyed
+    allowlist, so a reintroduction anywhere in the registry fails
+    here."""
+    from etl_onprem_to_cloud_spark.plans import corpus_broadcast_hints
+
+    bad = {}
+    for name, spec in QUERIES.items():
+        v = corpus_broadcast_hints(spec.fn(spark, sf_dir))
+        if v:
+            bad[name] = sorted(set(v))
+    assert bad == {}, f"corpus-scaled broadcast hints: {bad}"
+
+
+def test_corpus_broadcast_guard_positive_controls(spark, sf_dir):
+    """The guard must SEE the q18 shape or the sweep assertion above
+    is vacuous: a hinted raw corpus table, a hinted filtered subset
+    (still linear in SF), and a hint hidden inside a subquery must all
+    be flagged; fixed catalogs, 1-row aggregates, grouped aggregates,
+    and explicit limits must pass."""
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.plans import corpus_broadcast_hints
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    key = F.col("l_suppkey") == F.col("c_custkey")
+
+    # q18 class: raw corpus table hinted.
+    assert corpus_broadcast_hints(li.join(F.broadcast(cust), key)) == [
+        "broadcast->customer"
+    ]
+    # Filtered subset: still linear in SF, still flagged.
+    assert corpus_broadcast_hints(
+        li.join(F.broadcast(cust.filter(F.col("c_acctbal") > 0)), key)
+    ) == ["broadcast->customer"]
+    # Hint inside a scalar-subquery plan is still found.
+    li.createOrReplaceTempView("__bh_li")
+    cust.createOrReplaceTempView("__bh_cust")
+    sub = spark.sql(
+        "SELECT l_orderkey FROM __bh_li WHERE l_extendedprice > ("
+        "  SELECT /*+ BROADCAST(c) */ max(c.c_acctbal)"
+        "  FROM __bh_cust x JOIN __bh_cust c ON x.c_custkey = c.c_custkey)"
+    )
+    assert corpus_broadcast_hints(sub) == ["broadcast->customer"]
+
+    # Fixed catalog: passes.
+    ok = li.join(F.broadcast(nation), F.col("l_suppkey") == F.col("n_nationkey"))
+    assert corpus_broadcast_hints(ok) == []
+    # 1-row and grouped aggregates: bounded, pass.
+    assert corpus_broadcast_hints(
+        li.crossJoin(F.broadcast(cust.agg(F.avg("c_acctbal").alias("a"))))
+    ) == []
+    assert corpus_broadcast_hints(
+        li.join(
+            F.broadcast(cust.groupBy("c_nationkey").count()),
+            F.col("l_suppkey") == F.col("c_nationkey"),
+        )
+    ) == []
+    # Explicit limit (top-k / bounded query side): passes.
+    assert corpus_broadcast_hints(
+        li.join(F.broadcast(cust.orderBy("c_custkey").limit(5)), key)
+    ) == []
