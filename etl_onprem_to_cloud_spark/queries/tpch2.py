@@ -28,6 +28,7 @@ tests/test_plans.py::test_no_broadcast_hint_on_corpus_scaled_relation.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec, dsum_round
@@ -468,24 +469,46 @@ JOIN supplier ON s_suppkey = l_suppkey
 WHERE o_orderstatus = 'F' AND l_shipdate = max_ship AND n_supp >= 2
 GROUP BY s_name
 """,
-    tags=("join", "agg", "subquery", "tpch"),
+    tags=("join", "agg", "subquery", "tpch", "window"),
     description="TPC-H Q21 analogue: supplier holding up multi-supplier "
     "'F' orders = owns the max shipdate (no commit/receipt dates).",
 )
 def q21_waiting_supplier(spark, sf_dir):
+    """ONE corpus-width exchange, never join the raw fact back to its
+    own aggregate: the original shape (per-order agg joined to FULL
+    lineitem on (orderkey, shipdate=max)) read the r9 sf100 probe at
+    exponent 1.348 with 122 GB of sort spill -- at the third decade
+    the join falls out of broadcast range and sort-merge sorts all 6B
+    fact rows twice.  An intermediate aggregate-then-window shape
+    ((orderkey, suppkey) pre-aggregate + window) measured 2.1x faster
+    (150 s) but still pushed the fact through TWO exchanges, because
+    the pre-aggregate reduces almost nothing: lineitem's suppkey is
+    nearly unique within an order.  Final shape: a single window over
+    lineitem partitioned by orderkey -- max(shipdate) and
+    size(collect_set(suppkey)) over the same window (the set lives
+    only inside the window buffer, ~4 rows per order; no array ever
+    crosses an exchange) -- then filter to max-date lines of
+    multi-supplier orders.  Duplicate (order, supplier) winner rows
+    (same supplier, two lines on the max date) survive to the final
+    aggregate, whose count(DISTINCT orderkey) dedupes them by
+    construction.  Re-probed post-fix: see README sf100 table."""
     c = cat(spark, sf_dir)
-    per_order = c.lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.count_distinct("l_suppkey").alias("n_supp"),
+    w = Window.partitionBy("l_orderkey")
+    winners = (
+        c.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter(
+            (F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2)
+        )
+        .select("l_orderkey", "l_suppkey")
     )
     return (
-        c.lineitem.join(per_order, F.col("ok") == F.col("l_orderkey"))
-        .join(
+        winners.join(
             c.orders.filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
     )

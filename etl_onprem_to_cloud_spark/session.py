@@ -10,13 +10,23 @@ the same knobs without the private-API shim.
 Scale notes (100 TB / 1000-executor design):
 - AQE handles runtime shuffle-partition coalescing and skew-join
   splitting, so static ``spark.sql.shuffle.partitions`` is only the
-  *initial* partition count; at cluster scale set it ~2-3x total cores.
+  *initial* partition count; at cluster scale set it ~2-3x total
+  cores.  This guidance is MEASURED, not folklore: the r9 sf100 probe
+  ran q21's single corpus-width window sort at the default 1x-cores
+  width (exponent 1.148, 21.5 GB sort spill) and again at 8x cores
+  (exponent 0.786, zero spill, 1.5x faster wall-clock) -- a fixed
+  initial width makes per-partition sort size grow linearly with the
+  corpus, and the external-sort spill is the super-linear term.
 - ``spark.sql.files.maxPartitionBytes=128m`` keeps scan tasks bounded
   regardless of input size (100 TB -> ~800k scan tasks, fine for a
   1000-executor cluster; raise to 256-512m if the driver chokes on task
   bookkeeping).
-- Broadcast threshold 64m: region/nation/supplier/part-class dims stay
-  broadcast even at sf-100TB where dims grow into tens of MB.
+- Broadcast threshold 64m: the fixed catalogs (region/nation) stay
+  broadcast at any SF, and corpus-scaled relations (supplier/part/
+  customer/...) broadcast exactly as long as they MEASURE under the
+  threshold -- never by hint, so past it the planner degrades to a
+  shuffle join instead of building a multi-GB broadcast (the r8 q18
+  catch; see plans/checks.corpus_broadcast_hints).
 """
 
 from __future__ import annotations
