@@ -71,6 +71,14 @@ WHERE p_size <= 15 AND p_type = 'LARGE'
     "the lowest suppkey for determinism.",
 )
 def q02_min_cost_supplier(spark, sf_dir):
+    """min-per-group via a WINDOW over the offers stream, not a
+    groupBy-then-join-back: the self-join shape ran two sort-merge
+    joins of the corpus-width offers stream even at bench SF (the q21
+    r9 lesson -- joining a fact to its own aggregate sorts the fact
+    per join side at scale).  One partkey exchange now feeds the
+    window, the equality filter, and the (partkey, price) pick
+    aggregate without re-shuffling (partkey partitioning satisfies
+    the pick grouping)."""
     c = cat(spark, sf_dir)
     eu_supp = (
         c.supplier.join(
@@ -89,13 +97,10 @@ def q02_min_cost_supplier(spark, sf_dir):
         "s_suppkey",
         F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
     )
-    best = offers.groupBy("partkey").agg(F.min("unit_price").alias("min_unit_price"))
+    w = Window.partitionBy("partkey")
     pick = (
-        offers.join(
-            best.withColumnRenamed("partkey", "bpk"),
-            (F.col("partkey") == F.col("bpk"))
-            & (F.col("unit_price") == F.col("min_unit_price")),
-        )
+        offers.withColumn("min_unit_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_unit_price"))
         .groupBy("partkey", "min_unit_price")
         .agg(F.min("s_suppkey").alias("pick_suppkey"))
     )
@@ -400,16 +405,25 @@ WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
     "lineitems (per-part average via exact decimal sum).",
 )
 def q17_small_quantity_revenue(spark, sf_dir):
+    """Per-part average via a WINDOW over lineitem, not a
+    groupBy-then-join-back (the q21 r9 lesson): the aggregate side is
+    part-grain -- corpus-scaled at deployment -- so the join-back
+    would leave broadcast range and sort the full fact; the window
+    form is one partkey exchange at every scale.  The decimal-sum /
+    count division happens per row but over window aggregates, so the
+    value is bit-identical to the oracle's per-group computation."""
     c = cat(spark, sf_dir)
-    pa = c.lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty")
+    w = Window.partitionBy("l_partkey")
+    li = c.lineitem.withColumn(
+        "avg_qty",
+        F.sum(dec("l_quantity")).over(w).cast("double")
+        / F.count("l_quantity").over(w),
     )
     return (
-        c.lineitem.join(
+        li.join(
             c.part.filter(F.col("p_brand") == "Brand#23"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(pa, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
