@@ -101,6 +101,10 @@ PROBE = [
     # same fix (1.25 hinted -> 1.04 unhinted).
     "q09_product_type_profit",
     "q21_waiting_supplier",
+    # r9 extension 2: q02 after its join-back-to-own-aggregate
+    # rewrite (min-over-window on the corpus-width offers stream) --
+    # same single-sort stress class as the fixed q21.
+    "q02_min_cost_supplier",
     "q_dedup_minhash_lsh",
     "q_kcore_copurchase",
     "q_ann_ivfpq_topk",
