@@ -7,6 +7,7 @@ from .checks import (
     has_python_udf,
     pushed_filters,
     shuffle_count,
+    unpartitioned_corpus_windows,
 )
 from .metrics import execution_metrics
 
@@ -20,4 +21,5 @@ __all__ = [
     "has_python_udf",
     "pushed_filters",
     "shuffle_count",
+    "unpartitioned_corpus_windows",
 ]

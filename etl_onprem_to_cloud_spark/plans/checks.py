@@ -187,6 +187,51 @@ def corpus_broadcast_hints(
     return out
 
 
+def unpartitioned_corpus_windows(
+    df: DataFrame, corpus_tables: frozenset[str] = CORPUS_TABLES
+) -> list[str]:
+    """``"window->table"`` for every GLOBAL window (empty
+    ``partitionBy``) in the analyzed logical plan whose input reaches
+    a corpus-scaled fixture table without a bounding aggregate/limit.
+
+    A window with no partition spec executes as ONE task holding every
+    input row (`WindowExec: No Partition Defined` at runtime) -- fine
+    over a bounded stream (a global rank of 25 nation rollups), a
+    scale-killer over a corpus-width one (a global rank of raw
+    lineitem never finishes at 100 TB).  Same bounding walk as
+    :func:`corpus_broadcast_hints`: aggregates and limits between the
+    window and the scan bound the stream; anything else corpus-rooted
+    is flagged.  Sibling of the broadcast-hint guard, enforced
+    registry-wide in tests/test_plans.py."""
+    out: list[str] = []
+    window_children = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().size() == 0:
+            window_children.append(node.child())
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            stack.append(sq.apply(i))
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    for wc in window_children:
+        stack = [wc]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in _BOUNDING_NODES:
+                continue
+            if node.children().size() == 0:
+                for t in sorted(_leaf_source_names(node) & corpus_tables):
+                    out.append(f"window->{t}")
+            # expression subqueries feed predicates, not window rows
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+    return out
+
+
 def partition_filters(df: DataFrame) -> list[str]:
     """PartitionFilters lists from every file scan in the plan -- the
     evidence that a filter on a partition column prunes DIRECTORIES

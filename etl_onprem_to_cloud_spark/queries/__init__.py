@@ -137,25 +137,34 @@ from . import finance  # noqa: E402,F401
 # Rotation #9 (exactly 50 names = the driver's checked window; the
 # r8 prefix listed 51 and the 51st fell off -- VERDICT r8 missing #2).
 # Three tiers:
-#   * tier-0 CHANGED (23): this round's never-broadcast sweep
-#     completion.  queries/tpch2.py loses its corpus-scaled
-#     supplier/part hints (q02/q07/q08/q09/q11/q14/q16/q17/q19/q20/
-#     q21); the new plan guard (plans/checks.corpus_broadcast_hints +
-#     tests/test_plans.py) then caught the same class in 7 more
-#     registered queries (star-join customer, GDPR tombstones,
-#     referential orderkey set, modularity/elasticity part lookups,
-#     decontam bench grams, kNN label map) -- all fixed -- and the
-#     ANN family gained explicit .limit() bounds on its hinted query
-#     sides (value no-ops; plans change, so they re-verify).  All 23
-#     re-oracled at sf0.001 + sf0.01 locally; at driver/bench SFs the
-#     estimator still broadcasts every swept relation (measured, see
-#     PLANS.md).  Led by q_ann_brute_force_topk, the entry the r8
-#     rotation intended and missed.
+#   * tier-0 CHANGED (26): this round's never-broadcast sweep
+#     completion plus its two follow-on sweeps.  queries/tpch2.py
+#     loses its corpus-scaled supplier/part hints (q02/q07/q08/q09/
+#     q11/q14/q16/q17/q19/q20/q21); the new plan guard
+#     (plans/checks.corpus_broadcast_hints + tests/test_plans.py)
+#     then caught the same class in 7 more registered queries
+#     (star-join customer, GDPR tombstones, referential orderkey
+#     set, modularity/elasticity part lookups, decontam bench grams,
+#     kNN label map) -- all fixed -- and the ANN family gained
+#     explicit .limit() bounds on its hinted query sides (value
+#     no-ops; plans change, so they re-verify).  The sf100 probe then
+#     caught q21's fact-to-own-aggregate join-back (exponent 1.348,
+#     122 GB spill) -- q21/q02/q17 rewrote to windows -- and the
+#     sibling global-window guard (unpartitioned_corpus_windows)
+#     moved the two z-order ntiles and the curriculum ntile to
+#     operators/ranks.blocked_global_ntile.  All 26 re-oracled at
+#     sf0.001 + sf0.01 locally; at driver/bench SFs the estimator
+#     still broadcasts every swept relation (measured, see PLANS.md).
+#     Led by q_ann_brute_force_topk, the entry the r8 rotation
+#     intended and missed.
 #   * the 16 remaining r02-stale entries -- after this round the
 #     oldest driver evidence anywhere is r03.
-#   * the 11 oldest r03-stale entries.
+#   * the 8 oldest r03-stale entries (the next three --
+#     q_multimodal_frame_sample/audio_chunks/metadata -- lead
+#     rotation #10).
 _STALE_PREFIX: tuple[str, ...] = (
-    # tier-0: changed this round (broadcast sweep + ANN bounds)
+    # tier-0: changed this round (broadcast sweep + ANN bounds +
+    # join-back/window rewrites + global-window sweep)
     "q_ann_brute_force_topk",
     "q02_min_cost_supplier", "q07_volume_shipping",
     "q08_market_share", "q09_product_type_profit",
@@ -168,6 +177,8 @@ _STALE_PREFIX: tuple[str, ...] = (
     "q_decontaminate_ngram_overlap", "q_knn_label_vote",
     "q_ann_ivf_topk", "q_ann_ivf_label_cells",
     "q_ann_pq_adc_topk", "q_ann_ivfpq_topk",
+    "q_curriculum_shards", "q_zorder_layout_stats",
+    "q_zorder_pruning_ratio",
     # r02-stale remainder
     "q_text_stats", "q_events_user_sessions",
     "q_dedup_clusters", "q_events_tumbling_hourly",
@@ -182,8 +193,6 @@ _STALE_PREFIX: tuple[str, ...] = (
     "q_events_retention_cohorts", "q_events_json_extract",
     "q_events_json_struct", "q_dedup_simhash",
     "q_srp_near_dup_pairs", "q_multimodal_decode_features",
-    "q_multimodal_frame_sample", "q_multimodal_audio_chunks",
-    "q_multimodal_metadata",
 )
 
 _prefix_rank = {n: i for i, n in enumerate(_STALE_PREFIX)}

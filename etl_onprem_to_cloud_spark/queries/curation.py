@@ -22,6 +22,7 @@ from pyspark.sql import Window, functions as F
 
 from ..functions.text import tokens
 from ..llm.similarity import brute_force_top_k
+from ..operators import ranks as RK
 from ..operators.sampling import duck_hash_gate, hash_gate
 from ._util import cat, duck_tokens, duck_word_ngrams
 from . import query
@@ -920,12 +921,13 @@ ORDER BY stage, shard
     ),
 )
 def q_curriculum_shards(spark, sf_dir):
-    """The global ntile needs a total-order window -- a single-
-    partition sort of (score, doc_id) pairs ONLY (two ints per doc,
-    never the text).  At 100 TB swap ntile for the equi-depth cutpoint
-    approach of q_equidepth_global_prices (distributed histogram ->
-    broadcast cutpoints) with the same output contract; the per-stage
-    shard agg is an ordinary keyed shuffle either way."""
+    """The global ntile runs through operators/ranks.
+    blocked_global_ntile, blocked on the score itself (the leading
+    sort key): ranking happens within equal-score groups in parallel
+    and the only global window is over the bounded per-score count
+    aggregate -- exact ntile semantics, no single-partition corpus
+    sort (r9 global-window sweep; the prior shape's 'only two ints
+    per doc' defense still put every doc in ONE task)."""
     docs = cat(spark, sf_dir).documents
     s = docs.select(
         "doc_id",
@@ -934,9 +936,8 @@ def q_curriculum_shards(spark, sf_dir):
         .cast("int")
         .alias("shard"),
     )
-    st = s.withColumn(
-        "stage",
-        F.ntile(_CURR_STAGES).over(Window.orderBy("score", "doc_id")),
+    st = RK.blocked_global_ntile(
+        s, F.col("score"), ["doc_id"], _CURR_STAGES, out_col="stage"
     )
     return (
         st.groupBy(F.col("stage").cast("int").alias("stage"), "shard")

@@ -18,10 +18,11 @@ are Ring C / 100 TB extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum_round
 from ..operators import layout as LY
+from ..operators import ranks as RK
 from ..operators import sketches as SK
 from ._util import cat, duck_dsum
 from . import query
@@ -159,6 +160,13 @@ FROM b GROUP BY bucket
     ),
 )
 def q_zorder_layout_stats(spark, sf_dir):
+    """The global ntile runs through operators/ranks.
+    blocked_global_ntile: zval has a BOUNDED domain (2^(2*bits) =
+    65 536 values), so blocking on it ranks within z-cells in
+    parallel and the only global window is over the <=65 536-row
+    per-cell count aggregate -- no single task ever holds the
+    corpus (the r9 global-window sweep; a bare Window.orderBy here
+    is one task sorting all 6B lineitems at the third decade)."""
     li = cat(spark, sf_dir).lineitem
     x = (F.col("l_partkey") % 256).cast("int")
     y = (F.col("l_suppkey") % 256).cast("int")
@@ -169,8 +177,9 @@ def q_zorder_layout_stats(spark, sf_dir):
         y.alias("y"),
         LY.morton_code(x, y, _Z_BITS).alias("zval"),
     )
-    w = Window.orderBy("zval", "l_orderkey", "l_linenumber")
-    b = z.select("x", "y", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+    b = RK.blocked_global_ntile(
+        z, F.col("zval"), ["l_orderkey", "l_linenumber"], _Z_BUCKETS
+    ).select("x", "y", "bucket")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("min_x"),
@@ -242,7 +251,12 @@ def q_zorder_pruning_ratio(spark, sf_dir):
     """Scale shape: same single-pass bucket stats as
     q_zorder_layout_stats, twice (z-order and arrival order), each
     collapsed to 64 bounding boxes; the 3 query boxes join against
-    64-row relations (broadcast both ways, cost ~0)."""
+    64-row relations (broadcast both ways, cost ~0).  Both ntiles go
+    through blocked_global_ntile (the r9 global-window sweep): the z
+    layout blocks on the bounded-domain zval, the arrival layout on
+    l_orderkey DIV 100000 (the events.py/learn.py block convention --
+    monotone in the sort key, so the blocked order IS arrival
+    order)."""
     li = cat(spark, sf_dir).lineitem
     x = (F.col("l_partkey") % 256).cast("int")
     y = (F.col("l_suppkey") % 256).cast("int")
@@ -254,10 +268,12 @@ def q_zorder_pruning_ratio(spark, sf_dir):
         LY.morton_code(x, y, _Z_BITS).alias("zval"),
     )
 
-    def bucket_stats(order_cols):
-        w = Window.orderBy(*order_cols)
+    def bucket_stats(block):
+        b = RK.blocked_global_ntile(
+            z, block, ["l_orderkey", "l_linenumber"], _Z_BUCKETS
+        )
         return (
-            z.select("x", "y", F.ntile(_Z_BUCKETS).over(w).alias("bucket"))
+            b.select("x", "y", "bucket")
             .groupBy("bucket")
             .agg(
                 F.min("x").alias("min_x"),
@@ -267,8 +283,8 @@ def q_zorder_pruning_ratio(spark, sf_dir):
             )
         )
 
-    zs = bucket_stats(["zval", "l_orderkey", "l_linenumber"])
-    ls = bucket_stats(["l_orderkey", "l_linenumber"])
+    zs = bucket_stats(F.col("zval"))
+    ls = bucket_stats(F.expr("l_orderkey DIV 100000"))
     boxes = spark.createDataFrame(
         [(i, *b) for i, b in enumerate(_PRUNE_BOXES)],
         "box_id: int, x0: int, x1: int, y0: int, y1: int",

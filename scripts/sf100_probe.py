@@ -105,6 +105,10 @@ PROBE = [
     # rewrite (min-over-window on the corpus-width offers stream) --
     # same single-sort stress class as the fixed q21.
     "q02_min_cost_supplier",
+    # r9 extension 3: the curriculum ntile after the global-window
+    # sweep (blocked_global_ntile -- no single-partition corpus
+    # window anywhere in the plan).
+    "q_curriculum_shards",
     "q_dedup_minhash_lsh",
     "q_kcore_copurchase",
     "q_ann_ivfpq_topk",

@@ -1025,3 +1025,65 @@ def test_corpus_broadcast_guard_positive_controls(spark, sf_dir):
     assert corpus_broadcast_hints(
         li.join(F.broadcast(cust.orderBy("c_custkey").limit(5)), key)
     ) == []
+
+
+def test_no_global_window_over_corpus_stream(spark, sf_dir):
+    """Sibling of the broadcast-hint sweep: NO registered query may
+    run a GLOBAL window (empty partitionBy -- a single task holding
+    every input row) over a corpus-scaled stream.  Bounded inputs
+    (aggregates, limits) pass; the r9 sweep moved the three offenders
+    (both z-order ntiles, the curriculum ntile) to
+    operators/ranks.blocked_global_ntile, whose only global window is
+    over a per-block count aggregate."""
+    from etl_onprem_to_cloud_spark.plans import unpartitioned_corpus_windows
+
+    bad = {}
+    for name, spec in QUERIES.items():
+        v = unpartitioned_corpus_windows(spec.fn(spark, sf_dir))
+        if v:
+            bad[name] = sorted(set(v))
+    assert bad == {}, f"global windows over corpus streams: {bad}"
+
+
+def test_global_window_guard_positive_controls(spark, sf_dir):
+    """The guard must see a bare global window over a corpus scan and
+    over a corpus join, and must pass partitioned windows, global
+    windows over aggregates, and the blocked_global_ntile shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.operators import blocked_global_ntile
+    from etl_onprem_to_cloud_spark.plans import unpartitioned_corpus_windows
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    bare = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey"))
+    )
+    assert unpartitioned_corpus_windows(bare) == ["window->lineitem"]
+
+    # Partitioned window over the same scan: fine.
+    ok_part = li.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        ),
+    )
+    assert unpartitioned_corpus_windows(ok_part) == []
+
+    # Global window over a bounded aggregate: fine.
+    agg = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    ok_agg = agg.withColumn(
+        "r", F.rank().over(Window.orderBy(F.col("n").desc()))
+    )
+    assert unpartitioned_corpus_windows(ok_agg) == []
+
+    # The blocked ntile's plan: its only global window sits over the
+    # per-block aggregate, so the guard passes it by construction.
+    ok_blocked = blocked_global_ntile(
+        li.select("l_orderkey", "l_linenumber"),
+        F.expr("l_orderkey DIV 100000"),
+        ["l_orderkey", "l_linenumber"],
+        8,
+    )
+    assert unpartitioned_corpus_windows(ok_blocked) == []

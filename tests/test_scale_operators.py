@@ -191,3 +191,46 @@ def test_srp_adaptive_bits_keeps_occupancy_bounded(spark):
         ).collect()
     }
     assert same == fixed, "occupancy governor must not engage below 2^bits*occ"
+
+
+# ---------------------------------------------------------------------------
+# blocked_global_ntile (operators/ranks.py, r9 global-window sweep)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,k", [(100, 7), (64, 64), (5, 8), (97, 4), (1, 3)])
+def test_blocked_global_ntile_matches_ntile(spark, n, k):
+    """Differential twin: the block-carry ntile must be row-identical
+    to Spark's own global-window ntile over the same total order, for
+    n % k != 0, n == k, n < k, and n == 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.operators import blocked_global_ntile
+
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 13).alias("score"),  # many ties -> doc_id breaks them
+    )
+    want = df.withColumn(
+        "bucket", F.ntile(k).over(Window.orderBy("score", "id"))
+    )
+    got = blocked_global_ntile(df, F.col("score"), ["id"], k)
+    assert sorted(map(tuple, got.select("id", "bucket").collect())) == sorted(
+        map(tuple, want.select("id", "bucket").collect())
+    )
+
+
+def test_blocked_global_ntile_div_block(spark):
+    """The DIV-width block convention (arrival order over a growing
+    id) must also reproduce ntile exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.operators import blocked_global_ntile
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 7 % 999).alias("v"))
+    want = df.withColumn("bucket", F.ntile(9).over(Window.orderBy("id", "v")))
+    got = blocked_global_ntile(df, F.expr("id DIV 100"), ["id", "v"], 9)
+    assert sorted(map(tuple, got.select("id", "bucket").collect())) == sorted(
+        map(tuple, want.select("id", "bucket").collect())
+    )
