@@ -9,9 +9,10 @@ tokenizer libraries, retrieval chunkers with overlap rules, ...).
 TokenChunks itself IS expressible with pure exprs (sequence + slice),
 which is deliberate: it gives the UDTF path a value-exact SQL oracle,
 so the driver verifies the whole lateral-join machinery (per-row fanout,
-column alignment, empty inputs) rather than trusting it.  Hot paths
-should still prefer the expression form -- a Python UDTF is row-at-a-
-time Python; this is API coverage, measured honest.
+column alignment, empty inputs) rather than trusting it.  The UDTF is
+Arrow-batched where pyspark supports it (ArrowEvalPythonUDTF -- rows
+cross the Python boundary in Arrow batches, the same escape-hatch tier
+as pandas_udf); hot paths should still prefer the expression form.
 """
 
 from __future__ import annotations
@@ -21,8 +22,7 @@ CHUNK_SIZE = 10
 try:  # pyspark >= 3.5
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_no: int, chunk_text: string, n_tokens: int")
-    class TokenChunks:
+    class _TokenChunks:
         """One row per CHUNK_SIZE-token chunk of the input text.
 
         Token rule matches queries/_util.duck_tokens(lower=False):
@@ -33,6 +33,17 @@ try:  # pyspark >= 3.5
             for i in range(0, len(toks), CHUNK_SIZE):
                 chunk = toks[i : i + CHUNK_SIZE]
                 yield i // CHUNK_SIZE, " ".join(chunk), len(chunk)
+
+    _RET = "chunk_no: int, chunk_text: string, n_tokens: int"
+    try:
+        # Arrow-batched UDTF (ArrowEvalPythonUDTF): rows cross the
+        # Python boundary in Arrow batches instead of pickled one at
+        # a time -- same eval contract, same values, and it keeps the
+        # registry's no-BatchEvalPython invariant intact
+        # (tests/test_plans.py::test_registry_wide_scale_discipline).
+        TokenChunks = udtf(_TokenChunks, returnType=_RET, useArrow=True)
+    except TypeError:  # pragma: no cover - pre-useArrow pyspark
+        TokenChunks = udtf(_TokenChunks, returnType=_RET)
 
     HAS_UDTF = True
 except ImportError:  # pragma: no cover

@@ -137,7 +137,7 @@ from . import finance  # noqa: E402,F401
 # Rotation #9 (exactly 50 names = the driver's checked window; the
 # r8 prefix listed 51 and the 51st fell off -- VERDICT r8 missing #2).
 # Three tiers:
-#   * tier-0 CHANGED (26): this round's never-broadcast sweep
+#   * tier-0 CHANGED (27): this round's never-broadcast sweep
 #     completion plus its two follow-on sweeps.  queries/tpch2.py
 #     loses its corpus-scaled supplier/part hints (q02/q07/q08/q09/
 #     q11/q14/q16/q17/q19/q20/q21); the new plan guard
@@ -152,15 +152,17 @@ from . import finance  # noqa: E402,F401
 #     122 GB spill) -- q21/q02/q17 rewrote to windows -- and the
 #     sibling global-window guard (unpartitioned_corpus_windows)
 #     moved the two z-order ntiles and the curriculum ntile to
-#     operators/ranks.blocked_global_ntile.  All 26 re-oracled at
+#     operators/ranks.blocked_global_ntile; the UDTF went
+#     Arrow-batched (BatchEvalPythonUDTF -> ArrowEvalPythonUDTF,
+#     same eval contract).  All 27 re-oracled at
 #     sf0.001 + sf0.01 locally; at driver/bench SFs the estimator
 #     still broadcasts every swept relation (measured, see PLANS.md).
 #     Led by q_ann_brute_force_topk, the entry the r8 rotation
 #     intended and missed.
 #   * the 16 remaining r02-stale entries -- after this round the
 #     oldest driver evidence anywhere is r03.
-#   * the 8 oldest r03-stale entries (the next three --
-#     q_multimodal_frame_sample/audio_chunks/metadata -- lead
+#   * the 7 oldest r03-stale entries (the multimodal family --
+#     decode_features/frame_sample/audio_chunks/metadata -- leads
 #     rotation #10).
 _STALE_PREFIX: tuple[str, ...] = (
     # tier-0: changed this round (broadcast sweep + ANN bounds +
@@ -178,7 +180,7 @@ _STALE_PREFIX: tuple[str, ...] = (
     "q_ann_ivf_topk", "q_ann_ivf_label_cells",
     "q_ann_pq_adc_topk", "q_ann_ivfpq_topk",
     "q_curriculum_shards", "q_zorder_layout_stats",
-    "q_zorder_pruning_ratio",
+    "q_zorder_pruning_ratio", "q_udtf_token_chunks",
     # r02-stale remainder
     "q_text_stats", "q_events_user_sessions",
     "q_dedup_clusters", "q_events_tumbling_hourly",
@@ -192,7 +194,7 @@ _STALE_PREFIX: tuple[str, ...] = (
     "q12_shipping_lateness", "q_events_funnel",
     "q_events_retention_cohorts", "q_events_json_extract",
     "q_events_json_struct", "q_dedup_simhash",
-    "q_srp_near_dup_pairs", "q_multimodal_decode_features",
+    "q_srp_near_dup_pairs",
 )
 
 _prefix_rank = {n: i for i, n in enumerate(_STALE_PREFIX)}

@@ -947,32 +947,46 @@ def test_r04_batch89_plan_shape(name, max_shuffles, spark, sf_dir):
 # Never-broadcast-a-corpus-scaled-relation (VERDICT r8 item 4)
 # ---------------------------------------------------------------------------
 
-def test_no_broadcast_hint_on_corpus_scaled_relation(spark, sf_dir):
-    """NO registered query's analyzed logical plan may carry an
-    explicit broadcast hint whose subtree reaches a corpus-scaled
-    fixture table without a bounding aggregate/limit in between.
+def test_registry_wide_scale_discipline(spark, sf_dir):
+    """ONE pass over every registered query's plan, four invariants
+    (VERDICT r8 item 4, generalized):
 
-    An ``F.broadcast`` hint disables the size estimator, so a hinted
-    relation that scales with the corpus passes every test SF and then
-    builds a multi-GB broadcast at deployment scale: the r8 sf100
-    probe measured q18's hinted customer (15M rows) at scaling
-    exponent 1.25 vs 1.04 unhinted, and the r9 sweep removed the same
-    class from queries/tpch2.py (supplier/part), relational.py's star
-    join (customer), the GDPR tombstone and referential-integrity key
-    sets, the brand/part lookups in mining.py, the decontamination
-    bench grams, and the kNN label map.  Bounded hinted sides (fixed
-    catalogs, 1-row or grouped aggregates, top-k / explicit limits)
-    pass structurally -- there is deliberately NO name-keyed
-    allowlist, so a reintroduction anywhere in the registry fails
-    here."""
-    from etl_onprem_to_cloud_spark.plans import corpus_broadcast_hints
+    1. no broadcast hint whose subtree reaches a corpus-scaled table
+       without a bounding aggregate/limit (the r8 q18 catch -- an
+       explicit hint disables the size estimator, so a corpus-scaled
+       build side passes every test SF and builds a multi-GB broadcast
+       at deployment scale; swept from tpch2 + 7 more queries in r9);
+    2. no GLOBAL window (empty partitionBy = ONE task holding every
+       input row) over a corpus-scaled stream (r9 sweep: both z-order
+       ntiles and the curriculum ntile moved to
+       operators/ranks.blocked_global_ntile);
+    3. no CartesianProduct anywhere (cross joins must ride a
+       broadcast);
+    4. no row-at-a-time Python (BatchEvalPython) anywhere -- Python
+       hot paths are Arrow-batched or absent.
+
+    Bounded hinted/window inputs (fixed catalogs, aggregates,
+    explicit limits) pass structurally; there is deliberately NO
+    name-keyed allowlist, so a reintroduction anywhere in the
+    registry fails here.  Positive controls for the two walkers live
+    in the two tests below."""
+    from etl_onprem_to_cloud_spark.plans import (
+        corpus_broadcast_hints,
+        unpartitioned_corpus_windows,
+    )
 
     bad = {}
     for name, spec in QUERIES.items():
-        v = corpus_broadcast_hints(spec.fn(spark, sf_dir))
+        df = spec.fn(spark, sf_dir)
+        v = corpus_broadcast_hints(df) + unpartitioned_corpus_windows(df)
+        plan = explain_str(df, "simple")
+        if "CartesianProduct" in plan:
+            v.append("cartesian-product")
+        if "BatchEvalPython" in plan:
+            v.append("row-at-a-time-python-udf")
         if v:
             bad[name] = sorted(set(v))
-    assert bad == {}, f"corpus-scaled broadcast hints: {bad}"
+    assert bad == {}, f"scale-discipline violations: {bad}"
 
 
 def test_corpus_broadcast_guard_positive_controls(spark, sf_dir):
@@ -1025,24 +1039,6 @@ def test_corpus_broadcast_guard_positive_controls(spark, sf_dir):
     assert corpus_broadcast_hints(
         li.join(F.broadcast(cust.orderBy("c_custkey").limit(5)), key)
     ) == []
-
-
-def test_no_global_window_over_corpus_stream(spark, sf_dir):
-    """Sibling of the broadcast-hint sweep: NO registered query may
-    run a GLOBAL window (empty partitionBy -- a single task holding
-    every input row) over a corpus-scaled stream.  Bounded inputs
-    (aggregates, limits) pass; the r9 sweep moved the three offenders
-    (both z-order ntiles, the curriculum ntile) to
-    operators/ranks.blocked_global_ntile, whose only global window is
-    over a per-block count aggregate."""
-    from etl_onprem_to_cloud_spark.plans import unpartitioned_corpus_windows
-
-    bad = {}
-    for name, spec in QUERIES.items():
-        v = unpartitioned_corpus_windows(spec.fn(spark, sf_dir))
-        if v:
-            bad[name] = sorted(set(v))
-    assert bad == {}, f"global windows over corpus streams: {bad}"
 
 
 def test_global_window_guard_positive_controls(spark, sf_dir):
