@@ -109,6 +109,11 @@ PROBE = [
     # sweep (blocked_global_ntile -- no single-partition corpus
     # window anywhere in the plan).
     "q_curriculum_shards",
+    # r9 extension 4: the exact-cosine ANN baseline (broadcast query
+    # rows x streamed corpus) -- the one ANN-family member without a
+    # decade row, and a changed query this round (explicit .limit
+    # bound on the query side).
+    "q_ann_brute_force_topk",
     "q_dedup_minhash_lsh",
     "q_kcore_copurchase",
     "q_ann_ivfpq_topk",
