@@ -937,7 +937,13 @@ def q_curriculum_shards(spark, sf_dir):
         .alias("shard"),
     )
     st = RK.blocked_global_ntile(
-        s, F.col("score"), ["doc_id"], _CURR_STAGES, out_col="stage"
+        s, F.col("score"), ["doc_id"], _CURR_STAGES, out_col="stage",
+        # The block key is the per-doc token COUNT, so its cardinality
+        # is bounded by the longest document, not the corpus (measured
+        # 88-91 distinct scores across sf0.001-0.1); 2^20 is a generous
+        # cap that still broadcasts in ~MBs, and the operator raises
+        # loudly if a future fixture ever exceeds it.
+        max_blocks=1 << 20,
     )
     return (
         st.groupBy(F.col("stage").cast("int").alias("stage"), "shard")

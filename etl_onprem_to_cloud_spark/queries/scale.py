@@ -178,7 +178,13 @@ def q_zorder_layout_stats(spark, sf_dir):
         LY.morton_code(x, y, _Z_BITS).alias("zval"),
     )
     b = RK.blocked_global_ntile(
-        z, F.col("zval"), ["l_orderkey", "l_linenumber"], _Z_BUCKETS
+        z,
+        F.col("zval"),
+        ["l_orderkey", "l_linenumber"],
+        _Z_BUCKETS,
+        # zval's domain is 2^(2*bits) by construction; passing it makes
+        # the carry bound exact (static .limit + runtime raise_error).
+        max_blocks=1 << (2 * _Z_BITS),
     ).select("x", "y", "bucket")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
@@ -253,10 +259,11 @@ def q_zorder_pruning_ratio(spark, sf_dir):
     collapsed to 64 bounding boxes; the 3 query boxes join against
     64-row relations (broadcast both ways, cost ~0).  Both ntiles go
     through blocked_global_ntile (the r9 global-window sweep): the z
-    layout blocks on the bounded-domain zval, the arrival layout on
-    l_orderkey DIV 100000 (the events.py/learn.py block convention --
-    monotone in the sort key, so the blocked order IS arrival
-    order)."""
+    layout blocks on the bounded-domain zval, the arrival layout on a
+    range_block of l_orderkey (monotone in the sort key, so the
+    blocked order IS arrival order -- and bounded at 4096 blocks at
+    ANY scale, unlike the r9 DIV-width block whose count grew
+    linearly with the key range)."""
     li = cat(spark, sf_dir).lineitem
     x = (F.col("l_partkey") % 256).cast("int")
     y = (F.col("l_suppkey") % 256).cast("int")
@@ -268,9 +275,10 @@ def q_zorder_pruning_ratio(spark, sf_dir):
         LY.morton_code(x, y, _Z_BITS).alias("zval"),
     )
 
-    def bucket_stats(block):
+    def bucket_stats(src, block, max_blocks):
         b = RK.blocked_global_ntile(
-            z, block, ["l_orderkey", "l_linenumber"], _Z_BUCKETS
+            src, block, ["l_orderkey", "l_linenumber"], _Z_BUCKETS,
+            max_blocks=max_blocks,
         )
         return (
             b.select("x", "y", "bucket")
@@ -283,8 +291,17 @@ def q_zorder_pruning_ratio(spark, sf_dir):
             )
         )
 
-    zs = bucket_stats(F.col("zval"))
-    ls = bucket_stats(F.expr("l_orderkey DIV 100000"))
+    zs = bucket_stats(z, F.col("zval"), 1 << (2 * _Z_BITS))
+    # Arrival order blocks on the key's VALUE RANGE, not `key DIV
+    # width`: a DIV-width block count grows linearly with the key
+    # range across decades (ADVICE r9), while range_block is bounded
+    # by construction at any SF -- and since any monotone block of the
+    # leading sort key yields the identical ntile, the values are
+    # unchanged.
+    za = RK.range_block(
+        z, F.col("l_orderkey"), n_blocks=4096, out_col="__ablk"
+    )
+    ls = bucket_stats(za, F.col("__ablk"), 4096)
     boxes = spark.createDataFrame(
         [(i, *b) for i, b in enumerate(_PRUNE_BOXES)],
         "box_id: int, x0: int, x1: int, y0: int, y1: int",

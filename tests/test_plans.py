@@ -708,8 +708,11 @@ def test_contrastive_pairs_plan_shape(spark, sf_dir):
     # bootstrap: the width-pinning repartition + B-group partial agg
     # + B-row rank window + scalar crossJoins.
     ("q_bootstrap_mean_ci", 6),
-    # curriculum: skinny (score, id) global ntile + (stage, shard) agg.
-    ("q_curriculum_shards", 4),
+    # curriculum: skinny (score, id) global ntile + (stage, shard) agg
+    # + the r10 carry-bound guard's block-count scalar aggregate (the
+    # exchange that buys the static .limit + runtime raise_error bound
+    # on the carry -- see operators/ranks._guarded_carry).
+    ("q_curriculum_shards", 5),
     # RRF: inverted-index overlap + three rank windows over candidates.
     ("q_retrieval_rrf_fusion", 10),
     # kappa: map-only classify + two marginal rollups + scalar joins.

@@ -234,3 +234,83 @@ def test_blocked_global_ntile_div_block(spark):
     assert sorted(map(tuple, got.select("id", "bucket").collect())) == sorted(
         map(tuple, want.select("id", "bucket").collect())
     )
+
+
+def test_blocked_global_ntile_raises_on_unbounded_block(spark):
+    """The cardinality contract is ENFORCED, not documented (ADVICE r9
+    medium): blocking on a near-unique key -- which would silently
+    degrade to one row per block, i.e. a corpus-sized carry and a
+    corpus-sized global window one level up -- must raise at runtime,
+    naming max_blocks, instead of returning a result."""
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.operators import blocked_global_ntile
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    bad = blocked_global_ntile(df, F.col("id"), ["v"], 4, max_blocks=64)
+    with pytest.raises(Exception, match="max_blocks"):
+        bad.collect()
+
+
+def test_range_block_ntile_matches_ntile_desc(spark):
+    """range_block gives a BOUNDED monotone block for any numeric sort
+    key (including descending order), and any monotone block yields
+    the identical ntile -- the differential twin for the r10 rewrite
+    of value-ranked queries (RFM, Pareto)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.operators import (
+        blocked_global_ntile,
+        range_block,
+    )
+
+    df = spark.range(713).select(
+        F.col("id"), ((F.col("id") * 37) % 101).cast("double").alias("m")
+    )
+    want = df.withColumn(
+        "b", F.ntile(4).over(Window.orderBy(F.col("m").desc(), "id"))
+    )
+    rb = range_block(df, F.col("m"), n_blocks=16, descending=True)
+    got = blocked_global_ntile(
+        rb, F.col("__blk"), [F.col("m").desc(), "id"], 4, out_col="b",
+        max_blocks=16,
+    )
+    assert sorted(map(tuple, got.select("id", "b").collect())) == sorted(
+        map(tuple, want.select("id", "b").collect())
+    )
+
+
+def test_blocked_running_matches_global_window(spark):
+    """blocked_running's row_number + inclusive running sum must be
+    row-identical to the single-task global window it replaces, with
+    ties split across block boundaries impossible by construction
+    (equal keys -> equal blocks)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.operators import (
+        blocked_running,
+        range_block,
+    )
+
+    df = spark.range(997).select(
+        F.col("id"),
+        ((F.col("id") * 13) % 50).cast("double").alias("val"),
+    )
+    rb = range_block(df, F.col("val"), n_blocks=8)
+    got = blocked_running(
+        rb, "__blk", [F.col("val"), "id"],
+        running_sums={"cum": "val"}, row_number_col="rn", max_blocks=8,
+    ).select("id", "rn", "cum")
+    w = Window.orderBy("val", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("val").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
