@@ -5,9 +5,12 @@ from .checks import (
     explain_str,
     has_broadcast_join,
     has_python_udf,
+    keyed_agg_suspects,
     pushed_filters,
     shuffle_count,
+    suspect_group_count,
     unpartitioned_corpus_windows,
+    unresolved_corpus_leaves,
 )
 from .metrics import execution_metrics
 
@@ -19,7 +22,10 @@ __all__ = [
     "execution_metrics",
     "has_broadcast_join",
     "has_python_udf",
+    "keyed_agg_suspects",
     "pushed_filters",
     "shuffle_count",
+    "suspect_group_count",
     "unpartitioned_corpus_windows",
+    "unresolved_corpus_leaves",
 ]

@@ -110,13 +110,48 @@ CORPUS_TABLES = frozenset(
      "documents", "embeddings", "events"}
 )
 
-#: Logical nodes that BOUND the rows flowing out of a subtree
-#: independently of the corpus size underneath: a global/grouped
-#: aggregate (output = one row, or one row per group over a
-#: bounded-cardinality key -- the residual risk of a corpus-keyed
-#: groupBy being re-broadcast is accepted and documented here) and
-#: limits (top-k).
-_BOUNDING_NODES = frozenset({"Aggregate", "GlobalLimit", "LocalLimit"})
+def _bounds(node) -> bool:
+    """True when ``node`` BOUNDS the rows flowing out of its subtree
+    independently of the corpus size underneath: limits (top-k) and
+    SCALAR aggregates (no grouping keys -> one row).
+
+    A KEYED aggregate deliberately does NOT bound (VERDICT r9 item 3 /
+    ADVICE r9 medium): its output is one row per group, and whether
+    the group count is bounded (``lang``: 4 values at any SF) or
+    corpus-scaled (``l_orderkey``: 1.5B groups at sf100) is invisible
+    statically -- both are bare attributes.  Keyed aggregates are
+    therefore returned as SUSPECTS (:func:`keyed_agg_suspects`) whose
+    group-count growth across SFs the registry test MEASURES
+    (tests/test_plans.py) -- ratio ~1 over a 10x data step = bounded
+    domain, ratio ~10 = corpus key.  Queries that need a static proof
+    instead carry an explicit ``.limit(n)`` value no-op (the ANN-family
+    idiom; operators/ranks does it for every block carry)."""
+    name = node.nodeName()
+    if name in ("GlobalLimit", "LocalLimit"):
+        return True
+    if name == "Aggregate":
+        try:
+            return node.groupingExpressions().size() == 0
+        except Exception:
+            return False
+    return False
+
+
+#: Leaf logical nodes that are in-memory / generated and therefore
+#: can't be (and don't need to be) resolved to a fixture table:
+#: driver-side literals (createDataFrame), ranges, and the one-row
+#: relation under scalar selects.  Anything ELSE that resolves to no
+#: source name is a guard blind spot and is surfaced by
+#: :func:`unresolved_corpus_leaves` (ADVICE r9: a renamed catalog
+#: table or an RDD-backed relation would otherwise be silently
+#: unguarded).
+#: ``LogicalRDD`` is what ``spark.createDataFrame`` lowers to when the
+#: local data takes the RDD path instead of ``LocalRelation`` -- in
+#: this engine RDD-backed relations only ever come from driver-side
+#: literal fixtures (query boxes, calendars), never from a corpus.
+_BENIGN_LEAVES = frozenset(
+    {"LocalRelation", "OneRowRelation", "Range", "LogicalRDD"}
+)
 
 
 def _leaf_source_names(node) -> set[str]:
@@ -136,12 +171,42 @@ def _leaf_source_names(node) -> set[str]:
     return names
 
 
+def unresolved_corpus_leaves(df: DataFrame) -> list[str]:
+    """Node names of LEAF logical nodes in the full analyzed plan that
+    :func:`_leaf_source_names` cannot resolve to any source name and
+    that are not known in-memory kinds (``_BENIGN_LEAVES``).
+
+    Empty list = every leaf the corpus guards walk is either a
+    resolvable file relation or a benign in-memory relation, so a
+    "pass" from the guards means what it says.  Non-empty = the plan
+    contains a leaf shape the guards are BLIND to (e.g. a catalog
+    table whose string form lacks the path) -- the registry test
+    surfaces it instead of letting the blind spot stay silent."""
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.children().size() == 0:
+            name = node.nodeName()
+            if name not in _BENIGN_LEAVES and not _leaf_source_names(node):
+                out.append(name)
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            stack.append(sq.apply(i))
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return sorted(set(out))
+
+
 def corpus_broadcast_hints(
     df: DataFrame, corpus_tables: frozenset[str] = CORPUS_TABLES
 ) -> list[str]:
     """``"hint->table"`` for every explicit broadcast hint in the
     ANALYZED logical plan whose subtree reaches a corpus-scaled fixture
-    table without passing through a bounding node (aggregate / limit).
+    table without passing through a bounding node (limit / scalar
+    aggregate -- keyed aggregates are not bounds but measured suspects,
+    see :func:`keyed_agg_suspects`).
 
     The invariant behind the r8/r9 never-broadcast sweeps: an
     ``F.broadcast`` hint DISABLES the size estimator, so a hint on a
@@ -149,41 +214,12 @@ def corpus_broadcast_hints(
     builds a multi-GB broadcast at deployment scale -- the r8 sf100
     probe measured q18's hinted customer (15M rows) at scaling exponent
     1.25 vs 1.04 unhinted.  Hints on nation/region (fixed catalogs),
-    1-row or grouped aggregates, and top-k outputs are legitimate and
-    pass.  Walks subquery plans too.  Empty list = the plan obeys the
-    rule.
+    scalar aggregates, and top-k outputs are legitimate and pass;
+    keyed aggregates pass HERE but surface as measured suspects
+    (:func:`keyed_agg_suspects`).  Walks subquery plans too.  Empty
+    list = the plan obeys the rule.
     """
-    out: list[str] = []
-    hint_children = []
-    stack = [df._jdf.queryExecution().analyzed()]
-    while stack:
-        node = stack.pop()
-        if (
-            node.nodeName() == "ResolvedHint"
-            and "broadcast" in node.hints().toString().lower()
-        ):
-            hint_children.append(node.child())
-        sq = node.subqueries()
-        for i in range(sq.size()):
-            stack.append(sq.apply(i))
-        ch = node.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
-    for hc in hint_children:
-        stack = [hc]
-        while stack:
-            node = stack.pop()
-            if node.nodeName() in _BOUNDING_NODES:
-                continue  # bounded: do not descend past it
-            if node.children().size() == 0:
-                for t in sorted(_leaf_source_names(node) & corpus_tables):
-                    out.append(f"broadcast->{t}")
-            # NOTE: expression subqueries are NOT walked here -- a
-            # scalar/IN subquery inside a hinted subtree contributes a
-            # value to a predicate, not rows to the broadcast build.
-            ch = node.children()
-            for i in range(ch.size()):
-                stack.append(ch.apply(i))
+    out, _ = _guard_walk(df, "ResolvedHint", corpus_tables)
     return out
 
 
@@ -199,37 +235,117 @@ def unpartitioned_corpus_windows(
     over a bounded stream (a global rank of 25 nation rollups), a
     scale-killer over a corpus-width one (a global rank of raw
     lineitem never finishes at 100 TB).  Same bounding walk as
-    :func:`corpus_broadcast_hints`: aggregates and limits between the
-    window and the scan bound the stream; anything else corpus-rooted
-    is flagged.  Sibling of the broadcast-hint guard, enforced
-    registry-wide in tests/test_plans.py."""
-    out: list[str] = []
-    window_children = []
+    :func:`corpus_broadcast_hints`: limits and scalar aggregates
+    between the window and the scan bound the stream; keyed aggregates
+    become measured suspects; anything else corpus-rooted is flagged.
+    Sibling of the broadcast-hint guard, enforced registry-wide in
+    tests/test_plans.py."""
+    out, _ = _guard_walk(df, "Window", corpus_tables)
+    return out
+
+
+def _guard_walk(
+    df: DataFrame, root_kind: str, corpus_tables: frozenset[str]
+) -> tuple[list[str], list[tuple[str, str, object]]]:
+    """Shared walk behind both guards.  Finds every guarded root
+    (broadcast ``ResolvedHint`` or global ``Window``), then descends
+    its input subtree:
+
+    * a bounding node (:func:`_bounds`: limit / scalar aggregate)
+      stops the walk -- provably bounded;
+    * a KEYED aggregate on a corpus path stops the walk but is
+      recorded as a SUSPECT ``(kind, grouping_keys_sql, java_node)``
+      whose group-count growth the registry test measures;
+    * a corpus leaf reached with NO bound in between is a hard flag.
+
+    Expression subqueries inside a guarded subtree are NOT walked --
+    a scalar/IN subquery contributes a value to a predicate, not rows
+    to the broadcast build / window input."""
+    kind = "broadcast" if root_kind == "ResolvedHint" else "window"
+    flags: list[str] = []
+    suspects: list[tuple[str, str, object]] = []
+    roots = []
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
-        if node.nodeName() == "Window" and node.partitionSpec().size() == 0:
-            window_children.append(node.child())
+        nm = node.nodeName()
+        if root_kind == "ResolvedHint" and nm == "ResolvedHint":
+            if "broadcast" in node.hints().toString().lower():
+                roots.append(node.child())
+        elif root_kind == "Window" and nm == "Window":
+            if node.partitionSpec().size() == 0:
+                roots.append(node.child())
         sq = node.subqueries()
         for i in range(sq.size()):
             stack.append(sq.apply(i))
         ch = node.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
-    for wc in window_children:
-        stack = [wc]
+    for root in roots:
+        stack = [root]
         while stack:
             node = stack.pop()
-            if node.nodeName() in _BOUNDING_NODES:
+            if _bounds(node):
+                continue
+            if node.nodeName() == "Aggregate":
+                # keyed aggregate: suspect if its subtree reaches a
+                # corpus table; either way the walk stops here (its
+                # own cardinality is the question, not its input's).
+                reach = set()
+                s2 = [node]
+                while s2:
+                    n2 = s2.pop()
+                    if n2.children().size() == 0:
+                        reach |= _leaf_source_names(n2) & corpus_tables
+                    c2 = n2.children()
+                    for i in range(c2.size()):
+                        s2.append(c2.apply(i))
+                if reach:
+                    ges = node.groupingExpressions()
+                    keys = ",".join(
+                        ges.apply(i).sql() for i in range(ges.size())
+                    )
+                    suspects.append((kind, keys, node))
                 continue
             if node.children().size() == 0:
                 for t in sorted(_leaf_source_names(node) & corpus_tables):
-                    out.append(f"window->{t}")
-            # expression subqueries feed predicates, not window rows
+                    flags.append(f"{kind}->{t}")
             ch = node.children()
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
-    return out
+    return flags, suspects
+
+
+def keyed_agg_suspects(
+    df: DataFrame, corpus_tables: frozenset[str] = CORPUS_TABLES
+) -> list[tuple[str, str, object]]:
+    """Every keyed Aggregate that is the ONLY thing standing between a
+    broadcast hint / global window and a corpus-scaled table:
+    ``(kind, grouping_keys_sql, java_logical_node)``.
+
+    These are the guards' former vacuous-pass mode (ADVICE r9 medium):
+    statically they prove nothing -- ``lang`` (4 groups at any SF) and
+    ``l_orderkey`` (1.5B groups at sf100) look identical.  The registry
+    test closes the hole by MEASURING each suspect's group count at two
+    SFs (:func:`suspect_group_count`): a bounded domain reads ~1x over
+    a 10x data step (or saturates: zval's 2^16 domain reads 2.8x while
+    filling in), a corpus key reads ~10x.  The threshold and SF pair
+    live with the test."""
+    _, hs = _guard_walk(df, "ResolvedHint", corpus_tables)
+    _, ws = _guard_walk(df, "Window", corpus_tables)
+    return hs + ws
+
+
+def suspect_group_count(spark, java_node) -> int:
+    """Group count of a suspect aggregate: rebuild the logical node as
+    a DataFrame (``Dataset.ofRows``) and count its rows -- one row per
+    group by definition of Aggregate."""
+    from pyspark.sql import DataFrame as PyDataFrame
+
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, java_node
+    )
+    return PyDataFrame(jdf, spark).count()
 
 
 def partition_filters(df: DataFrame) -> list[str]:

@@ -1028,10 +1028,13 @@ def test_corpus_broadcast_guard_positive_controls(spark, sf_dir):
     # Fixed catalog: passes.
     ok = li.join(F.broadcast(nation), F.col("l_suppkey") == F.col("n_nationkey"))
     assert corpus_broadcast_hints(ok) == []
-    # 1-row and grouped aggregates: bounded, pass.
+    # Scalar (1-row) aggregate: statically bounded, passes.
     assert corpus_broadcast_hints(
         li.crossJoin(F.broadcast(cust.agg(F.avg("c_acctbal").alias("a"))))
     ) == []
+    # KEYED aggregate: not a hard flag here, but no longer a silent
+    # pass either -- it surfaces as a measured suspect (r10 tightening;
+    # see test_keyed_agg_suspect_controls).
     assert corpus_broadcast_hints(
         li.join(
             F.broadcast(cust.groupBy("c_nationkey").count()),
@@ -1086,3 +1089,93 @@ def test_global_window_guard_positive_controls(spark, sf_dir):
         8,
     )
     assert unpartitioned_corpus_windows(ok_blocked) == []
+
+
+def test_keyed_agg_suspect_controls(spark, sf_dir):
+    """The r10 guard tightening (VERDICT r9 item 3): a keyed Aggregate
+    no longer silently bounds a hinted/window subtree.  The prescribed
+    control -- a broadcast hint over lineitem.groupBy('l_orderkey') --
+    must surface as a suspect whose MEASURED group count scales with
+    the corpus (ratio ~10 over a 10x SF step), while a bounded-domain
+    key (o_orderpriority, 5 values at any SF) surfaces as a suspect
+    that measures flat; scalar aggregates and limits produce no
+    suspect at all."""
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.plans import (
+        keyed_agg_suspects,
+        suspect_group_count,
+    )
+
+    def per_sf(sf, key):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        agg = li.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        return li.join(F.broadcast(agg), key)
+
+    def growth(key):
+        a, b = (
+            per_sf("/root/testdata/sf0.001", key),
+            per_sf("/root/testdata/sf0.01", key),
+        )
+        sa, sb = keyed_agg_suspects(a), keyed_agg_suspects(b)
+        assert [(k, s) for k, s, _ in sa] == [("broadcast", key)]
+        assert [(k, s) for k, s, _ in sb] == [("broadcast", key)]
+        na = suspect_group_count(spark, sa[0][2])
+        nb = suspect_group_count(spark, sb[0][2])
+        return nb / na
+
+    # Corpus key: the vacuous-pass shape the r9 guard accepted.
+    assert growth("l_orderkey") > 3.0
+    # Bounded domain: same static shape, measures flat.
+    assert growth("l_returnflag") < 1.5
+
+    # Scalar aggregate and explicit limit: statically bounded, no
+    # suspect to measure.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    scalar = li.crossJoin(
+        F.broadcast(li.agg(F.avg("l_extendedprice").alias("a")))
+    )
+    assert keyed_agg_suspects(scalar) == []
+    topk = li.join(
+        F.broadcast(li.select("l_orderkey").orderBy("l_orderkey").limit(5)),
+        "l_orderkey",
+    )
+    assert keyed_agg_suspects(topk) == []
+
+    # The same holds under a global window root (the sibling walk).
+    from pyspark.sql import Window
+
+    agg = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    win = agg.withColumn("r", F.row_number().over(Window.orderBy("n")))
+    ws = keyed_agg_suspects(win)
+    assert [(k, s) for k, s, _ in ws] == [("window", "l_orderkey")]
+
+
+def test_unresolved_leaf_observability(spark, sf_dir):
+    """_leaf_source_names falls back to regexing the node string; a
+    leaf that resolves to nothing would be silently unguarded (ADVICE
+    r9).  unresolved_corpus_leaves makes the blind spot observable:
+    file scans and known in-memory kinds resolve/pass, and a leaf kind
+    outside the benign set is REPORTED (detection path proven by
+    shrinking the benign set)."""
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.plans import checks as C
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert C.unresolved_corpus_leaves(li.groupBy("l_returnflag").count()) == []
+
+    local = spark.createDataFrame([(1,)], "a: int").crossJoin(
+        li.agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert C.unresolved_corpus_leaves(local) == []
+
+    # Detection path: with the benign set emptied, the same in-memory
+    # leaf must be reported -- proving non-benign kinds are not
+    # silently swallowed.
+    orig = C._BENIGN_LEAVES
+    try:
+        C._BENIGN_LEAVES = frozenset()
+        assert C.unresolved_corpus_leaves(local) != []
+    finally:
+        C._BENIGN_LEAVES = orig
