@@ -157,7 +157,7 @@ def blocked_running(
     df: DataFrame,
     block_col: str,
     order_cols: list,
-    running_sums: dict[str, str] | None = None,
+    running_sums: dict[str, str | Column] | None = None,
     row_number_col: str | None = None,
     max_blocks: int = DEFAULT_MAX_BLOCKS,
 ) -> DataFrame:
@@ -167,7 +167,7 @@ def blocked_running(
     ``block_col`` (already attached -- see :func:`range_block`) must
     be monotone in the leading sort key with equal keys in the same
     block, so the blocked order equals the intended total order.
-    ``running_sums``: ``{out_col: value_col}`` -> inclusive
+    ``running_sums``: ``{out_col: value_col_or_expr}`` -> inclusive
     (``UNBOUNDED PRECEDING .. CURRENT ROW``) running sum of
     ``value_col``; subtract the current value for the exclusive form.
     ``row_number_col``: global 1-based row number.

@@ -828,28 +828,32 @@ FROM s CROSS JOIN top WHERE top.rnk = 1
     ),
 )
 def q_skew_profile_orders_custkey(spark, sf_dir):
-    """One grouped count, then two tiny reductions over the per-key
-    table (the profile runs on the KEY domain, not the rows, so its
-    cost is bounded by distinct keys at any fact-table size)."""
+    """One grouped count, then reductions over the per-VALUE table:
+    the per-key table itself scales with the corpus (customers grow
+    10x per decade -- the r10 suspect check refuted the old "bounded
+    by distinct keys" claim), so the p99 rank runs over the
+    rows-per-key VALUE domain instead (distinct counts saturate: ~25
+    values at any SF), where the cumulative window really is
+    bounded."""
     o = cat(spark, sf_dir).orders
     k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
     # Exact discrete p99: the smallest n whose cumulative key count
-    # reaches 99% -- quantile_disc semantics, engine-portable.
-    wv = Window.orderBy("n")
-    ranked = k.select(
-        "n", F.row_number().over(wv).alias("rn")
-    )
+    # reaches 99% -- quantile_disc semantics, engine-portable --
+    # computed over the per-distinct-n counts, never a rank over the
+    # corpus-scaled per-key table.
+    vn = k.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vn.withColumn("cum", F.sum("cnt").over(wv))
     s = k.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("n").cast("bigint").alias("n_rows"),
         F.max("n").cast("bigint").alias("max_rows"),
     )
     p99 = (
-        ranked.crossJoin(F.broadcast(s.select("n_keys")))
-        .filter(
-            F.col("rn")
-            == F.ceil(F.lit(0.99) * F.col("n_keys")).cast("int")
-        )
+        cum.crossJoin(F.broadcast(s.select("n_keys")))
+        .filter(F.col("cum") >= F.ceil(F.lit(0.99) * F.col("n_keys")))
+        .orderBy("n")
+        .limit(1)
         .select(F.col("n").cast("bigint").alias("p99_rows"))
     )
     top = (
@@ -935,7 +939,9 @@ ORDER BY rank
 def q_association_rules_parts(spark, sf_dir):
     """Shuffles: distinct (basket, item), the basket-keyed self-join
     (fan-out <= width^2/2 per basket), the (a, b) rollup; the item
-    count table broadcasts; N is a 1-row broadcast scalar."""
+    count table joins UNHINTED (it scales with the corpus -- the
+    estimator broadcasts it while small, AQE degrades to shuffle past
+    the threshold); N is a 1-row broadcast scalar."""
     from pyspark.sql import Window
 
     li = cat(spark, sf_dir).lineitem
@@ -957,17 +963,17 @@ def q_association_rules_parts(spark, sf_dir):
     def pr6(c):
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
+    # The per-item count table scales with the corpus (items are part
+    # keys: 10x per decade, r10 suspect check), so it must NOT carry a
+    # broadcast hint -- the estimator/AQE still broadcasts it while it
+    # measures small and degrades to a shuffle join past the threshold.
     s = (
         co.join(
-            F.broadcast(
-                n.select(F.col("item").alias("item_a"), F.col("n_i").alias("na"))
-            ),
+            n.select(F.col("item").alias("item_a"), F.col("n_i").alias("na")),
             "item_a",
         )
         .join(
-            F.broadcast(
-                n.select(F.col("item").alias("item_b"), F.col("n_i").alias("nbk"))
-            ),
+            n.select(F.col("item").alias("item_b"), F.col("n_i").alias("nbk")),
             "item_b",
         )
         .crossJoin(F.broadcast(nb))
@@ -991,10 +997,17 @@ def q_association_rules_parts(spark, sf_dir):
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("lift"), "item_a", "item_b")
+    # Top-20 BEFORE ranking: orderBy().limit() plans
+    # TakeOrderedAndProject (per-partition heaps, no global sort), and
+    # the rank window then runs over 20 rows -- the r9 shape ranked the
+    # corpus-scaled pair table in one task first.  The order is total
+    # (lift, item_a, item_b), so limit-then-rank is value-identical.
+    order = [F.desc("lift"), F.asc("item_a"), F.asc("item_b")]
+    w = Window.orderBy(*order)
     return (
-        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
+        s.orderBy(*order)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .orderBy("rank")
     )
 

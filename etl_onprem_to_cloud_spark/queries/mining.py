@@ -22,6 +22,7 @@ from pyspark.sql import Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.numeric import dec, portable_round
+from ..operators import ranks as RK
 from ..operators.sampling import duck_hash_gate, hash_gate
 from ..pinned import pin
 from ..functions.text import tokens
@@ -1732,20 +1733,25 @@ FROM c GROUP BY abc_class ORDER BY abc_class
     ),
 )
 def q_abc_pareto_parts(spark, sf_dir):
-    """One keyed rollup, then windows over the part-level aggregate
-    (~#parts rows, not #lineitems).  The cumulative window is a global
-    order -- at 100 TB you run it on the aggregated (small) relation,
-    which is exactly what this plan does; the fact-sized input never
-    sorts."""
+    """One keyed rollup, then the cumulative revenue over the
+    PART-level aggregate.  That aggregate is NOT small -- parts scale
+    with SF (20M at sf100, measured 10x per decade by the r10 suspect
+    check) -- so the r9 shape's global cumulative window was a single
+    task holding every part.  Now: range_block on revenue (bounded
+    4096 blocks by construction) + operators/ranks.blocked_running --
+    in-block running sums in parallel, one global window over the
+    <=4096-row carry only; the corpus total rides in as a 1-row
+    broadcast instead of a global window."""
     li = cat(spark, sf_dir).lineitem
     r = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("rev"))
-    w_cum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    w = r.withColumn("cum", F.sum("rev").over(w_cum)).withColumn(
-        "total", F.sum("rev").over(w_all)
-    )
+    rb = RK.range_block(r, F.col("rev"), n_blocks=4096, descending=True)
+    w = RK.blocked_running(
+        rb,
+        "__blk",
+        [F.desc("rev"), "l_partkey"],
+        running_sums={"cum": "rev"},
+        max_blocks=4096,
+    ).crossJoin(F.broadcast(r.agg(F.sum("rev").alias("total"))))
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     c = w.withColumn(
         "abc_class",
@@ -2455,15 +2461,23 @@ FROM s
     ),
 )
 def q_revenue_gini_parts(spark, sf_dir):
-    """The global rank window runs over the PART-level aggregate
-    (~#parts rows), never the fact table -- same altitude rule as the
-    Pareto query.  One keyed rollup + one small window + a 1-row
-    reduce."""
+    """The rank runs over the PART-level aggregate -- which SCALES
+    with SF (the r10 suspect check measured 10x per decade), so the
+    r9 global row_number window was a single task holding every part.
+    Now: range_block on revenue + operators/ranks.blocked_running for
+    the exact global rank (in-block row_number in parallel, global
+    window over the bounded carry only); the part count rides in as a
+    1-row broadcast."""
     li = cat(spark, sf_dir).lineitem
     r = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("rev"))
-    k = r.withColumn(
-        "i", F.row_number().over(Window.orderBy("rev", "l_partkey"))
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    rb = RK.range_block(r, F.col("rev"), n_blocks=4096)
+    k = RK.blocked_running(
+        rb,
+        "__blk",
+        ["rev", "l_partkey"],
+        row_number_col="i",
+        max_blocks=4096,
+    ).crossJoin(F.broadcast(r.agg(F.count(F.lit(1)).alias("n"))))
     s = k.agg(
         F.max("n").alias("n"),
         F.sum(F.col("i").cast("decimal(18,0)") * F.col("rev")).alias("irev"),
@@ -2534,10 +2548,10 @@ FROM s
 )
 def q_mannwhitney_purchase_view(spark, sf_dir):
     """One shuffle compresses events to per-distinct-value counts; the
-    rank cumsum is a single-partition window over DISTINCT values
-    (values carry 2 decimals, so the distinct domain is bounded --
-    thousands, not row-count -- which is what makes the global window
-    safe at any scale), then a 1-row reduce."""
+    rank cumsum runs through range_block + blocked_running (the "2
+    decimals = bounded domain" assumption was REFUTED by the r10
+    suspect measurement: distinct values grew 4x per decade), then a
+    1-row reduce."""
     from pyspark.sql import Window
 
     ev = cat(spark, sf_dir).events.filter(
@@ -2552,12 +2566,24 @@ def q_mannwhitney_purchase_view(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
         F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    r = v.select(
+    # The distinct-value domain GROWS with the corpus (the r10 suspect
+    # check measured 4x per decade -- 2-decimal values keep minting new
+    # distinct points), so the rank cumsum cannot be a global window:
+    # range_block on value + blocked_running keep the only global
+    # window on the bounded block carry.  ``less`` is the EXCLUSIVE
+    # prefix = inclusive running sum minus the current row's count.
+    rb = RK.range_block(v, F.col("value"), n_blocks=4096)
+    r = RK.blocked_running(
+        rb,
+        "__blk",
+        ["value"],
+        running_sums={"inc": F.col("c1") + F.col("c2")},
+        max_blocks=4096,
+    ).select(
         "c1",
         "c2",
         (F.col("c1") + F.col("c2")).alias("c"),
-        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+        (F.col("inc") - (F.col("c1") + F.col("c2")))
         .cast("bigint")
         .alias("less"),
     )
@@ -2776,8 +2802,9 @@ FROM n, d
 )
 def q_ks_drift_purchase_view(spark, sf_dir):
     """One shuffle compresses events to per-distinct-value counts; the
-    ECDF cumsum is a single-partition window over the bounded distinct
-    domain (2-decimal values -- thousands of rows), then a 1-row max."""
+    ECDF cumsums run through range_block + blocked_running (the
+    distinct-value domain measured 4x growth per decade -- see
+    q_mannwhitney_purchase_view), then a 1-row max."""
     from pyspark.sql import Window
 
     ev = cat(spark, sf_dir).events.filter(
@@ -2788,10 +2815,20 @@ def q_ks_drift_purchase_view(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
         F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    c = v.select(
-        F.sum("c1").over(w).cast("bigint").alias("cum1"),
-        F.sum("c2").over(w).cast("bigint").alias("cum2"),
+    # Same scale fix as q_mannwhitney_purchase_view: the distinct-value
+    # domain grows ~4x per decade (r10 suspect check), so both ECDF
+    # cumsums run through range_block + blocked_running -- parallel
+    # in-block sums, global window over the bounded carry only.
+    rb = RK.range_block(v, F.col("value"), n_blocks=4096)
+    c = RK.blocked_running(
+        rb,
+        "__blk",
+        ["value"],
+        running_sums={"rc1": "c1", "rc2": "c2"},
+        max_blocks=4096,
+    ).select(
+        F.col("rc1").cast("bigint").alias("cum1"),
+        F.col("rc2").cast("bigint").alias("cum2"),
     )
     n = v.agg(
         F.sum("c1").cast("bigint").alias("n1"),
@@ -4974,21 +5011,24 @@ ORDER BY abc_class, xyz_class
 )
 def q_abc_xyz_matrix(spark, sf_dir):
     """Two part-keyed rollups (revenue; day rollup -> moments) share
-    the part key, the ABC cumulative window runs over the catalog-
-    bounded part aggregate (the q_abc_pareto_parts justification),
-    and the final join/matrix is catalog-sized.  Facts are scanned
-    twice and never sorted."""
+    the part key; the ABC cumulative runs through range_block +
+    blocked_running because the part aggregate is NOT catalog-bounded
+    -- parts scale with SF (r10 suspect check: 10x per decade), so the
+    r9 global cumulative window was a single task holding every part
+    (the q_abc_pareto_parts fix, applied to the same shape here).
+    Facts are scanned twice and never sorted."""
     li = cat(spark, sf_dir).lineitem
     r = li.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("rev"))
-    w_cum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    share = (
-        F.sum("rev").over(w_cum).cast("double")
-        / F.sum("rev").over(w_all).cast("double")
-    )
-    abc = r.select(
+    rb = RK.range_block(r, F.col("rev"), n_blocks=4096, descending=True)
+    cum = RK.blocked_running(
+        rb,
+        "__blk",
+        [F.desc("rev"), "l_partkey"],
+        running_sums={"cum": "rev"},
+        max_blocks=4096,
+    ).crossJoin(F.broadcast(r.agg(F.sum("rev").alias("total"))))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    abc = cum.select(
         "l_partkey",
         "rev",
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")

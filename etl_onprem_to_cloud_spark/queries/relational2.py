@@ -919,15 +919,14 @@ FROM s
     "scores -- the classic marketing segmentation.  Every ntile ORDER BY "
     "carries the customer key as tiebreaker, so bucket boundaries are "
     "total-ordered and engine-independent; monetary in exact DECIMAL.  "
-    "Scale note: a global ntile is a single-partition window -- exact "
-    "and fine for the per-customer aggregate (|customers| rows, not "
-    "|orders|), but at billions of customers the production path swaps "
-    "each ntile for approx_percentile quartile BOUNDARIES broadcast "
-    "into a when-chain, trading boundary exactness for full "
-    "parallelism.",
+    "Scale note: each exact ntile runs through range_block + "
+    "blocked_global_ntile (the per-customer aggregate SCALES with the "
+    "corpus -- 10x per decade, r10 suspect check -- so the r9 global "
+    "windows were three single tasks each holding every customer); "
+    "the only global windows left are over <=4096-row block carries.",
 )
 def q_rfm_segments(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators import ranks as RK
 
     c = cat(spark, sf_dir)
     m = c.orders.groupBy("o_custkey").agg(
@@ -935,14 +934,34 @@ def q_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
-    r_w = Window.orderBy(F.col("last_order").desc(), "o_custkey")
-    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    m_w = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    s = m.select(
-        "o_custkey",
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+    # Exact ntile(4) per metric, each over its own descending range
+    # block: blocks are monotone in the DESC sort key with equal
+    # metrics in equal blocks, so the blocked total order equals the
+    # window's -- value-identical buckets, no single-partition window.
+    # The three ntiles run in PARALLEL off the same rollup and join on
+    # the customer key (chaining them would nest each blocked plan's
+    # ~4 references to its input multiplicatively); the repeated
+    # rollup subtrees canonicalize, so AQE reuses their shuffle stages
+    # at runtime.
+    def score(key, order_col, out):
+        rb = RK.range_block(
+            m, key, n_blocks=4096, descending=True, out_col="__rb"
+        )
+        return RK.blocked_global_ntile(
+            rb,
+            F.col("__rb"),
+            [F.col(order_col).desc(), "o_custkey"],
+            4,
+            out_col=out,
+            max_blocks=4096,
+        ).select("o_custkey", out)
+
+    s = (
+        m.select("o_custkey")
+        .join(score(F.datediff(F.col("last_order"), F.lit("1970-01-01")),
+                    "last_order", "r_score"), "o_custkey")
+        .join(score(F.col("frequency"), "frequency", "f_score"), "o_custkey")
+        .join(score(F.col("monetary"), "monetary", "m_score"), "o_custkey")
     )
     return s.select(
         "o_custkey",

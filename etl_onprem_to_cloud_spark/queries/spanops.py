@@ -87,12 +87,20 @@ def q_repeated_spans(spark, sf_dir):
         F.count_distinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_total"),
     )
-    w = Window.orderBy(F.col("n_docs").desc(), F.col("n_total").desc(), "span")
+    # Top-50 BEFORE ranking: the span domain grows ~10x per decade
+    # (r10 suspect check), so ranking it in a global window first was
+    # a single task holding every distinct span.  orderBy().limit()
+    # plans TakeOrderedAndProject (per-partition heaps), and the rank
+    # window then runs over 50 rows; the order is total (span breaks
+    # ties), so limit-then-rank is value-identical.
+    order = [F.col("n_docs").desc(), F.col("n_total").desc(), F.asc("span")]
+    w = Window.orderBy(*order)
     return (
         counted.filter(F.col("n_docs") >= 2)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .orderBy(F.col("n_docs").desc(), F.col("n_total").desc(), "span")
+        .orderBy(*order)
         .limit(50)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy(*order)
     )
 
 

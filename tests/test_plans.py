@@ -576,9 +576,12 @@ def test_global_equidepth_has_no_sort_before_agg(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name,max_shuffles", [
-    # Pareto: part rollup, then the cumulative window runs over the
-    # part-level AGGREGATE (never sorts the fact table) + class agg.
-    ("q_abc_pareto_parts", 5),
+    # Pareto: part rollup, then range_block + blocked_running for the
+    # cumulative (r10 -- the part aggregate scales with SF, so no
+    # global window).  The static count includes ~5 pre-AQE duplicates
+    # of the canonicalized part rollup (main/bounds/partials/guard/
+    # total); AQE reuses those shuffle stages at runtime.
+    ("q_abc_pareto_parts", 18),
     # top-k + OTHERS: broadcast dim joins, one rollup, 25-row rank.
     ("q_topk_nations_with_others", 5),
 ])
@@ -656,9 +659,11 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     ("q_multitouch_attribution", 5),
     # sliding-window chunker: map-only + the output sort.
     ("q_chunk_sliding_windows", 1),
-    # Mann-Whitney: value-compress agg + single-partition rank window
-    # + 1-row reduce.
-    ("q_mannwhitney_purchase_view", 3),
+    # Mann-Whitney: value-compress agg, then range_block +
+    # blocked_running for the rank cumsum (r10: the distinct-value
+    # domain measured 4x/decade) + 1-row reduce; static count includes
+    # the pre-AQE duplicates of the canonicalized value rollup.
+    ("q_mannwhitney_purchase_view", 6),
     # JS divergence: token counts, vocab grid join, per-pair reduce.
     ("q_js_divergence_sources", 8),
     # windowed dedup: one (user,type,window) rank shuffle + rollup.
@@ -669,7 +674,9 @@ def test_timeseries_bars_bounded_shuffles(name, max_shuffles, spark, sf_dir):
     ("q_k_anonymity_audit", 2),
     # Laspeyres: (part,month) rollup + base-month window + month rollup.
     ("q_laspeyres_price_index", 7),
-    # skew profile: grouped count + key-domain reductions.
+    # skew profile: grouped count + VALUE-domain reductions (r10: the
+    # p99 rank moved off the corpus-scaled per-key table onto the
+    # saturating rows-per-key value domain).
     ("q_skew_profile_orders_custkey", 8),
     # MRR: inverted-index overlap + rank window + per-query min.
     ("q_retrieval_mrr_eval", 9),
@@ -754,8 +761,9 @@ def test_png_decode_is_arrow_batched_map_only(spark, sf_dir):
 @pytest.mark.parametrize("name,max_shuffles", [
     # Heaps: two token-key shuffles + the skinny cumulative window.
     ("q_heaps_vocab_growth", 6),
-    # KS: distinct-value rollup + ECDF window + scalar joins.
-    ("q_ks_drift_purchase_view", 6),
+    # KS: distinct-value rollup, blocked ECDF cumsums (r10, same fix
+    # as Mann-Whitney) + scalar joins; pre-AQE duplicate subtrees.
+    ("q_ks_drift_purchase_view", 8),
     # temporal audit: tag (broadcast cutoff) + split/user rollups.
     ("q_temporal_split_audit", 7),
     # chi2: contingency rollup + marginal windows + 1-row reduce.
@@ -932,9 +940,11 @@ def test_r04_batch5_plan_shape(name, max_shuffles, spark, sf_dir):
     ("q_anova_value_by_dow", 2),
     # Cramer's V: the 35-cell rollup behind a checkpoint + margins.
     ("q_cramers_v_type_dow", 4),
-    # ABC x XYZ: two part-keyed rollups + the catalog-bounded Pareto
-    # window + the matrix join.
-    ("q_abc_xyz_matrix", 5),
+    # ABC x XYZ: two part-keyed rollups + the blocked Pareto cumsum
+    # (r10 -- parts scale with SF, the "catalog-bounded" claim was
+    # refuted by measurement) + the matrix join; static count includes
+    # the pre-AQE duplicates of the revenue rollup.
+    ("q_abc_xyz_matrix", 15),
     # backtest: the checkpointed day rollup + horizon joins on the
     # calendar-bounded series + the 7-group reduce.
     ("q_forecast_backtest_horizons", 3),
@@ -950,13 +960,25 @@ def test_r04_batch89_plan_shape(name, max_shuffles, spark, sf_dir):
 # Never-broadcast-a-corpus-scaled-relation (VERDICT r8 item 4)
 # ---------------------------------------------------------------------------
 
+#: Keyed-aggregate suspects must not grow more than this over the
+#: 10x data step sf0.01 -> sf0.1.  Measured separation (r10 audit over
+#: all 62 suspects): bounded domains read 1.0-1.6x (langs, digits,
+#: design buckets), saturating domains read <= 2.8x while filling in
+#: (zval's 2^16 at 2.83x, survival hours at 2.69x, CMS cells at
+#: 2.27x), corpus keys read 4-13x (custkey/partkey 10x, distinct
+#: event values 4.05x, spans 9.9x).  3.0 splits the clusters.
+_SUSPECT_GROWTH_MAX = 3.0
+_SUSPECT_SF_A = "/root/testdata/sf0.01"
+_SUSPECT_SF_B = "/root/testdata/sf0.1"
+
+
 def test_registry_wide_scale_discipline(spark, sf_dir):
-    """ONE pass over every registered query's plan, four invariants
-    (VERDICT r8 item 4, generalized):
+    """ONE pass over every registered query's plan, six invariants
+    (VERDICT r8 item 4, generalized; r10 items 3 + leaf observability):
 
     1. no broadcast hint whose subtree reaches a corpus-scaled table
-       without a bounding aggregate/limit (the r8 q18 catch -- an
-       explicit hint disables the size estimator, so a corpus-scaled
+       without a bounding limit / scalar aggregate (the r8 q18 catch --
+       an explicit hint disables the size estimator, so a corpus-scaled
        build side passes every test SF and builds a multi-GB broadcast
        at deployment scale; swept from tpch2 + 7 more queries in r9);
     2. no GLOBAL window (empty partitionBy = ONE task holding every
@@ -966,19 +988,35 @@ def test_registry_wide_scale_discipline(spark, sf_dir):
     3. no CartesianProduct anywhere (cross joins must ride a
        broadcast);
     4. no row-at-a-time Python (BatchEvalPython) anywhere -- Python
-       hot paths are Arrow-batched or absent.
+       hot paths are Arrow-batched or absent;
+    5. every KEYED aggregate standing between a hint/window and a
+       corpus table has MEASURED bounded group growth (<= 3x over the
+       10x step sf0.01 -> sf0.1) -- the r9 guards' vacuous-pass mode,
+       closed: the r10 audit caught 9 queries whose "bounded"
+       aggregates grew 4-13x (per-partkey Pareto/Gini/XYZ windows,
+       per-custkey RFM/skew, per-item association rules, per-value
+       rank tests, per-span top-k), all rewritten onto
+       range_block/blocked_running/limit-first shapes;
+    6. every plan LEAF resolves to a known source or a benign
+       in-memory kind, so a guard "pass" can't hide an unwalkable
+       leaf (ADVICE r9).
 
-    Bounded hinted/window inputs (fixed catalogs, aggregates,
-    explicit limits) pass structurally; there is deliberately NO
-    name-keyed allowlist, so a reintroduction anywhere in the
-    registry fails here.  Positive controls for the two walkers live
-    in the two tests below."""
+    Bounded hinted/window inputs (fixed catalogs, scalar aggregates,
+    explicit limits) pass structurally; bounded-DOMAIN keyed
+    aggregates (langs, hours, design buckets) pass by measurement;
+    there is deliberately NO name-keyed allowlist, so a reintroduction
+    anywhere in the registry fails here.  Positive controls for the
+    walkers and the suspect machinery live in the tests below."""
     from etl_onprem_to_cloud_spark.plans import (
         corpus_broadcast_hints,
+        keyed_agg_suspects,
+        suspect_group_count,
         unpartitioned_corpus_windows,
+        unresolved_corpus_leaves,
     )
 
     bad = {}
+    suspect_queries = {}
     for name, spec in QUERIES.items():
         df = spec.fn(spark, sf_dir)
         v = corpus_broadcast_hints(df) + unpartitioned_corpus_windows(df)
@@ -987,9 +1025,38 @@ def test_registry_wide_scale_discipline(spark, sf_dir):
             v.append("cartesian-product")
         if "BatchEvalPython" in plan:
             v.append("row-at-a-time-python-udf")
+        v.extend(f"unresolved-leaf:{u}" for u in unresolved_corpus_leaves(df))
+        if keyed_agg_suspects(df):
+            suspect_queries[name] = spec
         if v:
             bad[name] = sorted(set(v))
     assert bad == {}, f"scale-discipline violations: {bad}"
+
+    # Invariant 5: measure every suspect's group-count growth.  Build
+    # the suspect-bearing queries at the two SFs and pair suspects by
+    # (kind, grouping-keys); a suspect present at one SF but not the
+    # other is itself a failure (the pairing would be silently wrong).
+    grow = {}
+    for name, spec in suspect_queries.items():
+        sa = keyed_agg_suspects(spec.fn(spark, _SUSPECT_SF_A))
+        sb = keyed_agg_suspects(spec.fn(spark, _SUSPECT_SF_B))
+        ca, cb = {}, {}
+        for tagset, counts in ((sa, ca), (sb, cb)):
+            for kind, keys, node in tagset:
+                tag = f"{kind}|{keys}"
+                if tag not in counts:  # same agg under several roots
+                    counts[tag] = suspect_group_count(spark, node)
+        if set(ca) != set(cb):
+            grow[name] = f"suspect sets differ: {sorted(ca)} vs {sorted(cb)}"
+            continue
+        for tag, a in ca.items():
+            b = cb[tag]
+            if b > max(a, 1) * _SUSPECT_GROWTH_MAX:
+                grow[f"{name}::{tag}"] = f"{a} -> {b} (x{b / max(a, 1):.2f})"
+    assert grow == {}, (
+        "keyed-aggregate suspects with corpus-scaled group growth "
+        f"(>{_SUSPECT_GROWTH_MAX}x over sf0.01->sf0.1): {grow}"
+    )
 
 
 def test_corpus_broadcast_guard_positive_controls(spark, sf_dir):
