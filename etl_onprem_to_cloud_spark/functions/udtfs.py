@@ -42,7 +42,14 @@ try:  # pyspark >= 3.5
         # registry's no-BatchEvalPython invariant intact
         # (tests/test_plans.py::test_registry_wide_scale_discipline).
         TokenChunks = udtf(_TokenChunks, returnType=_RET, useArrow=True)
-    except TypeError:  # pragma: no cover - pre-useArrow pyspark
+    except Exception:  # pragma: no cover - pre-useArrow pyspark, or a
+        # build where arrow-UDTF creation raises (e.g. ImportError for
+        # missing pyarrow/pandas) instead of warning-and-falling-back:
+        # ANY failure to build the Arrow variant must degrade to the
+        # row-based UDTF, never lose the operator entirely (ADVICE r9
+        # -- an ImportError here previously escaped to the outer
+        # handler and nulled TokenChunks even though the non-Arrow
+        # form worked).
         TokenChunks = udtf(_TokenChunks, returnType=_RET)
 
     HAS_UDTF = True

@@ -37,6 +37,26 @@ from ..functions.numeric import portable_round
 from ..functions.vectors import cosine_similarity, dot_product
 
 
+def _validated_query_ids(query_ids: list[int]) -> list[int]:
+    """Enforce the precondition behind every ANN entry point's
+    ``.limit(len(query_ids))`` value no-op (ADVICE r9): the bound only
+    holds while the id list is duplicate-free AND ``id_col`` is unique
+    in the embeddings table (the fixture contract: ``vec_id`` is the
+    table's key).  With a duplicate, ``limit`` would silently and
+    NONDETERMINISTICALLY drop rows -- strictly worse than the pre-r9
+    behavior where duplicates propagated visibly and failed parity --
+    so the list side is checked loudly here, and the table side is
+    asserted by tests/test_similarity_ml.py against the fixtures."""
+    ids = list(query_ids)
+    if len(set(ids)) != len(ids):
+        raise ValueError(
+            "query_ids must be duplicate-free: the ANN plans bound "
+            "their broadcast query sides with .limit(len(query_ids)), "
+            "which is only a value no-op for unique ids"
+        )
+    return ids
+
+
 def brute_force_top_k(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -60,11 +80,13 @@ def brute_force_top_k(
     twin the pandas path is differential-tested against
     (tests/test_similarity_ml.py).  Both round to 1e-6 before ranking,
     so their outputs are identical."""
-    # .limit(len(query_ids)) is a VALUE no-op (ids are unique, the
-    # filter already yields at most that many rows) that makes the
-    # bound explicit in the plan, so the corpus-broadcast guard
-    # (plans/checks.corpus_broadcast_hints) can prove the hinted side
-    # bounded instead of allowlisting it by name.
+    # .limit(len(query_ids)) is a VALUE no-op (ids unique -- enforced
+    # for the list by _validated_query_ids, contractually for the
+    # column; the filter already yields at most that many rows) that
+    # makes the bound explicit in the plan, so the corpus-broadcast
+    # guard (plans/checks.corpus_broadcast_hints) can prove the hinted
+    # side bounded instead of allowlisting it by name.
+    query_ids = _validated_query_ids(query_ids)
     queries = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .limit(len(query_ids))
@@ -521,6 +543,7 @@ def ivf_top_k(
     arbitrary category column caps recall at roughly
     nprobe/num_cells).
     """
+    query_ids = _validated_query_ids(query_ids)
     if cell_col is None:
         if quantizer == "lloyd":
             embeddings, cents = lloyd_cells(
@@ -1074,6 +1097,7 @@ def pq_top_k(
     per-subspace terms in ascending-subspace order with explicit
     left-association, so both engines execute the identical IEEE
     sequence before the 1e-6 portable rounding."""
+    query_ids = _validated_query_ids(query_ids)
     spark = embeddings.sparkSession
     e = embeddings.select(
         F.col(id_col).alias("id"),
@@ -1290,6 +1314,7 @@ def ivfpq_top_k(
     plan's zip_with subtraction produces."""
     import numpy as np
 
+    query_ids = _validated_query_ids(query_ids)
     spark = embeddings.sparkSession
     e = embeddings.select(
         F.col(id_col).alias("id"),

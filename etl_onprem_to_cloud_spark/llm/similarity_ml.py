@@ -127,12 +127,53 @@ def ml_minhash_near_dup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    n_docs = docs.count()
+    if (
+        verify_jaccard_sim is not None
+        and 400 * n_docs > _HASHINGTF_MAX_FEATURES
+    ):
+        # Past the JVM-Int feature cap, HashingTF collisions grow with
+        # the corpus and spurious candidate volume re-inflates (the r7
+        # sf100 probe read exponent 1.10 here vs the native path's
+        # 0.70), so the VERIFIED entry point dispatches to the native
+        # md5 banding with a RECALL-MATCHED configuration: bands ==
+        # num_hash_tables with one row per band has the same miss
+        # profile as MinHashLSH's OR'd tables, (1-s)^tables, and the
+        # exact-Jaccard verify already makes the output independent of
+        # which candidate gate ran -- same (id_a, id_b, jaccard)
+        # contract, same DuckDB oracle, no 2^30 boundary (md5 keys are
+        # unbounded).  Driver/bench SFs never reach this branch
+        # (boundary ~2.7M docs), so small-SF plans and oracle parity
+        # are bit-for-bit unchanged.  VERDICT r9 item 5: the twin's
+        # ending is the native path, with MLlib kept below the
+        # boundary as the API-coverage differential.
+        logging.getLogger(__name__).info(
+            "ml_minhash_near_dup_pairs: n_docs=%d is past the HashingTF "
+            "2^30 feature cap; dispatching the verified pipeline to the "
+            "native md5 banding (bands=%d, 1 row/band -- recall-matched "
+            "to the MLlib OR'd tables).",
+            n_docs,
+            num_hash_tables,
+        )
+        from .dedup import minhash_lsh_candidate_pairs
+
+        return minhash_lsh_candidate_pairs(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hash_tables,
+            bands=num_hash_tables,
+            jaccard_threshold=verify_jaccard_sim,
+        )
+
     # Corpus-adaptive feature space + 2^30 saturation warning -- the
     # rule, its rationale, and the cap regime live in
-    # _adaptive_num_features above.  Driver-SF results (<= 500 docs)
-    # are bit-for-bit unchanged (the rule only engages above 655 docs;
-    # exact Jaccard decides membership either way).
-    num_features = _adaptive_num_features(docs.count(), num_features)
+    # _adaptive_num_features above (the warning is now only reachable
+    # from UNVERIFIED calls, where hash-distance output depends on the
+    # feature space and cannot be re-routed).  Driver-SF results
+    # (<= 500 docs) are bit-for-bit unchanged (the rule only engages
+    # above 655 docs; exact Jaccard decides membership either way).
+    num_features = _adaptive_num_features(n_docs, num_features)
 
     # Spread a compact input before the CPU-heavy shingle expansion: a
     # one-file corpus arrives as 1-2 partitions and would shingle

@@ -399,3 +399,62 @@ def test_adaptive_features_silent_below_cap(caplog):
         assert _adaptive_num_features(500, 1 << 18) == 1 << 18
         assert _adaptive_num_features(5_000, 1 << 18) == 1 << 21
     assert caplog.records == []
+
+
+def test_ann_query_ids_must_be_unique(spark, sf_dir):
+    """The ANN family's `.limit(len(query_ids))` bounds are value
+    no-ops ONLY for a duplicate-free id list (ADVICE r9): a duplicate
+    must raise loudly, never silently drop nondeterministic rows."""
+    import pytest as _pytest
+
+    from etl_onprem_to_cloud_spark.llm.similarity import brute_force_top_k
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="duplicate-free"):
+        brute_force_top_k(emb, [0, 1, 1], k=3)
+
+
+def test_embeddings_id_col_is_unique(spark, sf_dir):
+    """The table side of the same precondition: vec_id is the
+    embeddings fixture's key, so the IN-list filter yields at most
+    len(query_ids) rows and every ANN limit stays a value no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    dup = (
+        emb.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_ml_minhash_dispatches_native_past_feature_cap(spark, sf_dir, monkeypatch):
+    """VERDICT r9 item 5: past the HashingTF 2^30 boundary the verified
+    MLlib twin dispatches to the native md5 banding (recall-matched:
+    bands == tables, one row per band).  Differential: with the
+    boundary forced low, the dispatched output must equal the MLlib
+    path's verified output row-for-row -- the exact-Jaccard verify
+    makes both gates emit the same pair set."""
+    from etl_onprem_to_cloud_spark.llm import similarity_ml as SM
+    from etl_onprem_to_cloud_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+    kwargs = dict(
+        num_hash_tables=8,
+        jaccard_distance_threshold=0.5,
+        verify_jaccard_sim=0.8,
+    )
+    want = sorted(
+        map(tuple, SM.ml_minhash_near_dup_pairs(docs, **kwargs).collect())
+    )
+    monkeypatch.setattr(SM, "_HASHINGTF_MAX_FEATURES", 1)  # force dispatch
+    got_df = SM.ml_minhash_near_dup_pairs(docs, **kwargs)
+    # the dispatched plan is the native banding: no MLlib UDF stages
+    from etl_onprem_to_cloud_spark.plans import has_python_udf
+
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+    assert not has_python_udf(got_df)
