@@ -134,67 +134,57 @@ from . import finance  # noqa: E402,F401
 # only the prefix) -- and keep getting hash-checked against DuckDB
 # every local session (tests/test_oracle_parity.py).
 #
-# Rotation #9 (exactly 50 names = the driver's checked window; the
-# r8 prefix listed 51 and the 51st fell off -- VERDICT r8 missing #2).
+# Rotation #10 (exactly 50 names = the driver's checked window).
 # Three tiers:
-#   * tier-0 CHANGED (27): this round's never-broadcast sweep
-#     completion plus its two follow-on sweeps.  queries/tpch2.py
-#     loses its corpus-scaled supplier/part hints (q02/q07/q08/q09/
-#     q11/q14/q16/q17/q19/q20/q21); the new plan guard
-#     (plans/checks.corpus_broadcast_hints + tests/test_plans.py)
-#     then caught the same class in 7 more registered queries
-#     (star-join customer, GDPR tombstones, referential orderkey
-#     set, modularity/elasticity part lookups, decontam bench grams,
-#     kNN label map) -- all fixed -- and the ANN family gained
-#     explicit .limit() bounds on its hinted query sides (value
-#     no-ops; plans change, so they re-verify).  The sf100 probe then
-#     caught q21's fact-to-own-aggregate join-back (exponent 1.348,
-#     122 GB spill) -- q21/q02/q17 rewrote to windows -- and the
-#     sibling global-window guard (unpartitioned_corpus_windows)
-#     moved the two z-order ntiles and the curriculum ntile to
-#     operators/ranks.blocked_global_ntile; the UDTF went
-#     Arrow-batched (BatchEvalPythonUDTF -> ArrowEvalPythonUDTF,
-#     same eval contract).  All 27 re-oracled at
-#     sf0.001 + sf0.01 locally; at driver/bench SFs the estimator
-#     still broadcasts every swept relation (measured, see PLANS.md).
-#     Led by q_ann_brute_force_topk, the entry the r8 rotation
-#     intended and missed.
-#   * the 16 remaining r02-stale entries -- after this round the
-#     oldest driver evidence anywhere is r03.
-#   * the 7 oldest r03-stale entries (the multimodal family --
-#     decode_features/frame_sample/audio_chunks/metadata -- leads
-#     rotation #10).
+#   * the 28 remaining r03-stale entries, LED by the multimodal
+#     decode family (decode_features/frame_sample/audio_chunks/
+#     metadata) -- the oldest driver evidence anywhere (VERDICT r9
+#     item 2); after this round the oldest evidence is r04.
+#   * tier-CHANGED (13): this round's keyed-aggregate guard
+#     tightening (plans/checks.keyed_agg_suspects + the measured
+#     group-growth invariant in tests/test_plans.py) refuted the
+#     boundedness claims behind 9 queries' global windows / broadcast
+#     hints -- per-partkey Pareto/Gini/ABC-XYZ, per-custkey RFM +
+#     skew profile, per-item association rules, per-value
+#     Mann-Whitney/KS, per-span top-k -- all rewritten onto
+#     range_block/blocked_running/limit-first shapes (operators/
+#     ranks.py v2, which also adds the enforced max_blocks carry
+#     bound, re-verifying the three existing blocked-ntile queries:
+#     curriculum + both z-order layouts).  q_ml_minhash_lsh_pairs
+#     re-verifies after gaining the past-2^30 native dispatch (plan
+#     unchanged at driver SFs; re-oracled as insurance).
+#   * the 9 oldest r04-stale entries (alphabetical within r04) --
+#     rotation #11 continues the r04 bucket.
 _STALE_PREFIX: tuple[str, ...] = (
-    # tier-0: changed this round (broadcast sweep + ANN bounds +
-    # join-back/window rewrites + global-window sweep)
-    "q_ann_brute_force_topk",
-    "q02_min_cost_supplier", "q07_volume_shipping",
-    "q08_market_share", "q09_product_type_profit",
-    "q11_important_parts", "q14_promo_revenue",
-    "q16_supplier_cnt_by_part", "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates", "q20_heavy_part_suppliers",
-    "q21_waiting_supplier", "q_star_revenue_by_region_year",
-    "q_gdpr_purge_audit", "q_data_quality_orders",
-    "q_modularity_brand_copurchase", "q_price_elasticity_brand",
-    "q_decontaminate_ngram_overlap", "q_knn_label_vote",
-    "q_ann_ivf_topk", "q_ann_ivf_label_cells",
-    "q_ann_pq_adc_topk", "q_ann_ivfpq_topk",
-    "q_curriculum_shards", "q_zorder_layout_stats",
-    "q_zorder_pruning_ratio", "q_udtf_token_chunks",
-    # r02-stale remainder
-    "q_text_stats", "q_events_user_sessions",
-    "q_dedup_clusters", "q_events_tumbling_hourly",
-    "q_events_sliding_half_hour", "q04_late_shipping_priority",
-    "q13_customer_order_distribution", "q22_dormant_rich_customers",
-    "q_dedup_clusters_star", "q_embedding_outliers",
-    "q_cross_source_dup_matrix", "q_ewma_user_values",
-    "q_resample_match_uniform_length", "q_approx_count_distinct",
-    "q_approx_percentiles_orders", "q_merge_upsert_latest_events",
-    # oldest r03-stale
-    "q12_shipping_lateness", "q_events_funnel",
-    "q_events_retention_cohorts", "q_events_json_extract",
-    "q_events_json_struct", "q_dedup_simhash",
-    "q_srp_near_dup_pairs",
+    # r03-stale, multimodal family first
+    "q_multimodal_decode_features", "q_multimodal_frame_sample",
+    "q_multimodal_audio_chunks", "q_multimodal_metadata",
+    "q_asof_join_click_attribution", "q_dedup_exact_groups",
+    "q_dedup_exact_keep", "q_dedup_keep_best_quality",
+    "q_dedup_ngram_jaccard", "q_events_conversion_latency",
+    "q_events_user_stats", "q_fuzzy_levenshtein_pairs",
+    "q_hll_sketch_rollup", "q_incremental_rollup_merge",
+    "q_interval_join_busy_hours", "q_pack_contexts",
+    "q_resample_hourly_locf", "q_rfm_segments",
+    "q_rolling_1h_sum_per_user", "q_sample_stratified_docs",
+    "q_sessions_gaps_islands", "q_skew_salted_agg",
+    "q_split_train_val_test", "q_text_fingerprint",
+    "q_text_language_id", "q_text_quality_gate",
+    "q_text_repetition", "q_token_budget_per_source",
+    # tier-CHANGED (r10 rewrites + blocked-ntile carry bound;
+    # q_rfm_segments is changed too but already sits in the r03 tier)
+    "q_abc_pareto_parts", "q_revenue_gini_parts", "q_abc_xyz_matrix",
+    "q_mannwhitney_purchase_view", "q_ks_drift_purchase_view",
+    "q_skew_profile_orders_custkey", "q_association_rules_parts",
+    "q_repeated_spans", "q_curriculum_shards",
+    "q_zorder_layout_stats", "q_zorder_pruning_ratio",
+    "q_ml_minhash_lsh_pairs",
+    # oldest r04-stale
+    "q_benford_price_digits", "q_bm25_search", "q_bpe_pair_merges",
+    "q_calendar_arithmetic", "q_cusum_changepoints",
+    "q_dedup_chunk_rewrite", "q_docs_by_source",
+    "q_embedding_near_dup", "q_embedding_quantize_int8",
+    "q_entity_resolution_parts",
 )
 
 _prefix_rank = {n: i for i, n in enumerate(_STALE_PREFIX)}

@@ -120,7 +120,31 @@ PROBE = [
     "q_semantic_dedup_clusters",
     "q_dedup_containment",
     "q_ml_minhash_lsh_pairs",
+    # r10 extension: the multimodal decode path -- the one flagship
+    # family with no decade row before r10 (VERDICT r9 item 4).  Both
+    # are Arrow-batched mapInPandas over the binary column with zero
+    # exchanges (plan-shape says embarrassingly parallel; this row is
+    # the measurement): the md5 pseudo-decode stub and the real JPEG
+    # codec (encode fixture + decode, two chained map stages).
+    "q_multimodal_decode_features",
+    "q_multimodal_jpeg_decode",
 ]
+
+#: VERDICT r9 item 1: a fixed 1x-cores initial shuffle width makes
+#: per-partition SORT size grow linearly with the corpus, and the
+#: external-sort spill is the super-linear term (q21 r9: exponent
+#: 1.148 / 21.5 GB spill at the default vs 0.786 / zero spill at the
+#: session-prescribed 8x-cores width).  Any query whose DEFAULT-conf
+#: sf100 leg spills gets a STANDING second leg at the prescribed conf
+#: -- both rows are committed so the frozen anchors stay comparable
+#: AND the scale-safe number is evidence, not a one-off control.
+def _prescribed_conf() -> dict[str, str]:
+    from etl_onprem_to_cloud_spark.session import default_parallelism
+
+    width = 8 * default_parallelism()
+    return {
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(width),
+    }
 
 # Queries whose OUTPUT is corpus-scaled (a row per session/island):
 # execution_metrics materializes via executeCollect, which caps at
@@ -130,7 +154,14 @@ PROBE = [
 # These probe through a bounded hash-reduce: a global agg over
 # count + sum(hash(all columns)) runs the full underlying plan on the
 # same adaptive SQL path but returns ONE row.
-CORPUS_OUTPUT = {"q_events_user_sessions", "q_sessions_gaps_islands"}
+CORPUS_OUTPUT = {
+    "q_events_user_sessions",
+    "q_sessions_gaps_islands",
+    # decode outputs are one row per document -- same harness artifact
+    # (a real run writes to a sink, never a driver collect).
+    "q_multimodal_decode_features",
+    "q_multimodal_jpeg_decode",
+}
 
 
 def _bounded(df):
@@ -210,7 +241,7 @@ def build(spark) -> None:
         print(f"# built {t}", file=sys.stderr)
 
 
-def _mint(old):
+def _mint(old, extra_conf: dict[str, str] | None = None):
     """Stop ``old`` (dead or alive) and launch a FRESH JVM/session.
 
     Scraps the Py4J gateway handles so get_spark boots a new JVM with
@@ -236,7 +267,7 @@ def _mint(old):
     SparkContext._jvm = None
     SparkSession._instantiatedSession = None
     SparkSession._activeSession = None
-    fresh = get_spark(app_name="sf100-probe")
+    fresh = get_spark(app_name="sf100-probe", extra_conf=extra_conf)
     fresh.sparkContext.setLogLevel("ERROR")
     return fresh
 
@@ -337,6 +368,44 @@ def main() -> None:
             f"{exp:.2f}{flag} | {m['spill_bytes']:,} B |",
             flush=True,
         )
+        if m["spill_bytes"] > 0:
+            # Standing prescribed-conf leg (module doc above the PROBE
+            # list): fresh JVM at the 8x-cores initial shuffle width,
+            # same warm + best-of discipline, recorded BESIDE the
+            # default row.
+            conf = _prescribed_conf()
+            spark = _mint(spark, extra_conf=conf)
+            try:
+                fn(spark, warm).count()
+                release_pinned()
+                p10, _ = best_of(SF10)
+                p100, pm = best_of(SF100)
+            except Exception as e:  # noqa: BLE001
+                release_pinned()
+                results[name]["prescribed_conf"] = {
+                    "error": f"{type(e).__name__}: {e}"
+                }
+                print(f"| {name} [prescribed] | — | FAILED | — | — | {e} |",
+                      flush=True)
+                continue
+            release_pinned()
+            pexp = math.log10(p100 / p10)
+            width = list(conf.values())[0]
+            results[name]["prescribed_conf"] = {
+                "initial_partition_num": int(width),
+                "t_sf10": round(p10, 3),
+                "t_sf100": round(p100, 3),
+                "exponent": round(pexp, 3),
+                "sf100_spill_bytes": int(pm["spill_bytes"]),
+                "sf100_shuffle_bytes": int(pm["shuffle_bytes_written"]),
+            }
+            pflag = " **SUPER-LINEAR**" if pexp > 1.0 else ""
+            print(
+                f"| {name} [prescribed {width}] | {p10:.2f} | {p100:.2f} | "
+                f"{p100 / p10:.2f}x | {pexp:.2f}{pflag} | "
+                f"{pm['spill_bytes']:,} B |",
+                flush=True,
+            )
     print(json.dumps({"metric": "sf100_probe", "sf_ratio": 10, "queries": results}))
     spark.stop()
 
