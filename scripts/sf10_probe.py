@@ -105,6 +105,19 @@ PROBE = [
     "q_isotonic_recalibration",
     "q_nb_roc_auc",
     "q_exact_price_percentiles",
+    # Fifth tier (r10 extension): one representative per rewrite class
+    # from the keyed-aggregate sweep -- the blocked shapes' first
+    # decade rows.  RFM (three parallel range-blocked ntiles over the
+    # per-customer rollup), Pareto (range-blocked cumulative revenue
+    # over per-partkey), association rules (unhinted per-item joins +
+    # limit-first top-k), Mann-Whitney (blocked rank cumsum over the
+    # growing distinct-value domain), repeated spans (limit-first
+    # top-k over the growing span domain).
+    "q_rfm_segments",
+    "q_abc_pareto_parts",
+    "q_association_rules_parts",
+    "q_mannwhitney_purchase_view",
+    "q_repeated_spans",
 ]
 
 DIMS = ["region", "nation", "supplier", "part"]
