@@ -166,6 +166,27 @@ _MINHASH_AB = [
     (1224736769, 122949823),
     (1053818881, 141650939),
     (1051721729, 160481183),
+    # Pairs 10-24: added r10 when the past-2^30 MLlib-twin dispatch
+    # started requesting 3-rows-per-band x 8-band signatures (24
+    # hashes).  The first 9 pairs are frozen -- every committed oracle
+    # hash depends on them.  Constants are distinct fixed values < p;
+    # the affine family only needs a != 0 mod p (the FIELD is prime --
+    # a and b need not be).
+    (179424673, 198491317),
+    (217645177, 236887691),
+    (256203161, 275604541),
+    (295075147, 314606869),
+    (334214459, 353868013),
+    (373587883, 393342739),
+    (413158511, 433024223),
+    (452930459, 472882027),
+    (492876847, 512927357),
+    (533000389, 553105243),
+    (573259391, 593441843),
+    (613651349, 633910099),
+    (654188383, 674506081),
+    (694847533, 715225739),
+    (735632791, 756065159),
 ]
 
 
@@ -178,6 +199,12 @@ def _shingle_base(s: Column) -> Column:
 
 
 def _perm_hash(i: int, base: Column) -> Column:
+    if i >= len(_MINHASH_AB):
+        raise ValueError(
+            f"num_hashes > {len(_MINHASH_AB)}: extend _MINHASH_AB "
+            "(append-only -- the first entries are frozen by committed "
+            "oracle hashes)"
+        )
     a, b = _MINHASH_AB[i]
     return (F.lit(a) * base + F.lit(b)) % _MINHASH_P
 

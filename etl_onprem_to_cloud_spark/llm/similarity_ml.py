@@ -136,22 +136,35 @@ def ml_minhash_near_dup_pairs(
         # the corpus and spurious candidate volume re-inflates (the r7
         # sf100 probe read exponent 1.10 here vs the native path's
         # 0.70), so the VERIFIED entry point dispatches to the native
-        # md5 banding with a RECALL-MATCHED configuration: bands ==
-        # num_hash_tables with one row per band has the same miss
-        # profile as MinHashLSH's OR'd tables, (1-s)^tables, and the
-        # exact-Jaccard verify already makes the output independent of
-        # which candidate gate ran -- same (id_a, id_b, jaccard)
-        # contract, same DuckDB oracle, no 2^30 boundary (md5 keys are
-        # unbounded).  Driver/bench SFs never reach this branch
-        # (boundary ~2.7M docs), so small-SF plans and oracle parity
-        # are bit-for-bit unchanged.  VERDICT r9 item 5: the twin's
-        # ending is the native path, with MLlib kept below the
-        # boundary as the API-coverage differential.
+        # md5 banding -- same (id_a, id_b, jaccard) contract, same
+        # DuckDB oracle, no 2^30 boundary (md5 keys are unbounded).
+        # Band shape: 3 rows per band (the flagship
+        # q_dedup_minhash_lsh gate strength), NOT 1 row per band.  The
+        # first dispatched sf100 run (r10) used 1-row bands to mirror
+        # MinHashLSH's OR'd single-hash tables exactly and OOM'd the
+        # count-carry verify's shuffled-hash build: a 1-row band
+        # admits a pair with probability s PER BAND, and on this
+        # corpus (31-token vocab, typical cross-pair Jaccard ~0.3-0.5)
+        # that gates out almost nothing -- candidates scaled toward
+        # all-pairs and the candidate-keyed LongToUnsafeRowMap could
+        # not be built.  3-row bands admit at s^3 per band (~0.03-0.12
+        # for the unrelated mass), the same per-band strength the
+        # flagship runs at sf100 exponent 0.70 / zero spill with 3
+        # bands; 8 bands here keeps recall at the verify threshold:
+        # miss = (1 - s^3)^8 <= 0.34% at s = 0.8 and falls as s -> 1,
+        # vs MLlib's (1-s)^8 ~ 3e-6 -- marginally weaker exactly at
+        # the threshold boundary, and the exact-Jaccard verify still
+        # makes every EMITTED value bit-identical to the oracle's.
+        # Driver/bench SFs never reach this branch (boundary ~2.7M
+        # docs), so small-SF plans and oracle parity are bit-for-bit
+        # unchanged.  VERDICT r9 item 5: the twin's ending is the
+        # native path, with MLlib kept below the boundary as the
+        # API-coverage differential.
         logging.getLogger(__name__).info(
             "ml_minhash_near_dup_pairs: n_docs=%d is past the HashingTF "
             "2^30 feature cap; dispatching the verified pipeline to the "
-            "native md5 banding (bands=%d, 1 row/band -- recall-matched "
-            "to the MLlib OR'd tables).",
+            "native md5 banding (bands=%d, 3 rows/band -- flagship gate "
+            "strength; miss <= (1-s^3)^bands at the verify threshold).",
             n_docs,
             num_hash_tables,
         )
@@ -161,7 +174,7 @@ def ml_minhash_near_dup_pairs(
             docs,
             id_col=id_col,
             text_col=text_col,
-            num_hashes=num_hash_tables,
+            num_hashes=3 * num_hash_tables,
             bands=num_hash_tables,
             jaccard_threshold=verify_jaccard_sim,
         )

@@ -432,11 +432,12 @@ def test_embeddings_id_col_is_unique(spark, sf_dir):
 
 def test_ml_minhash_dispatches_native_past_feature_cap(spark, sf_dir, monkeypatch):
     """VERDICT r9 item 5: past the HashingTF 2^30 boundary the verified
-    MLlib twin dispatches to the native md5 banding (recall-matched:
-    bands == tables, one row per band).  Differential: with the
-    boundary forced low, the dispatched output must equal the MLlib
-    path's verified output row-for-row -- the exact-Jaccard verify
-    makes both gates emit the same pair set."""
+    MLlib twin dispatches to the native md5 banding (3 rows/band at
+    flagship gate strength; 1-row bands OOM'd the r10 sf100 verify on
+    candidate volume).  Differential: with the boundary forced low,
+    the dispatched output must equal the MLlib path's verified output
+    row-for-row -- the exact-Jaccard verify makes both gates emit the
+    same pair set."""
     from etl_onprem_to_cloud_spark.llm import similarity_ml as SM
     from etl_onprem_to_cloud_spark.sources.io import read_parquet
 
