@@ -8,6 +8,7 @@ from .checks import (
     keyed_agg_suspects,
     pushed_filters,
     shuffle_count,
+    string_buffer_agg_suspects,
     suspect_group_count,
     unpartitioned_corpus_windows,
     unresolved_corpus_leaves,
@@ -25,6 +26,7 @@ __all__ = [
     "keyed_agg_suspects",
     "pushed_filters",
     "shuffle_count",
+    "string_buffer_agg_suspects",
     "suspect_group_count",
     "unpartitioned_corpus_windows",
     "unresolved_corpus_leaves",

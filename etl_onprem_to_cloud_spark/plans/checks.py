@@ -336,6 +336,94 @@ def keyed_agg_suspects(
     return hs + ws
 
 
+#: Declarative aggregate functions whose buffer holds their CHILD's
+#: value: over a string/binary child the buffer attribute is
+#: variable-width, HashAggregate refuses the whole Aggregate (every
+#: buffer slot must be mutable fixed-width), ObjectHashAggregate only
+#: takes TypedImperativeAggregates -- so the rollup lowers to
+#: SortAggregate, whose PARTIAL stage sorts its ENTIRE input stream
+#: within each partition.  Map-side, so no shuffle-width conf can
+#: split the sort: the r10 sf100 probe measured DSIR's
+#: ``first(lang)`` per-doc rollup at 12.9 GB of sort spill / exponent
+#: 1.06 at BOTH initial shuffle widths, invisible at every smaller SF.
+_STRING_BUFFER_AGGS = frozenset({"First", "Last", "Min", "Max"})
+
+
+def string_buffer_agg_suspects(
+    df: DataFrame, corpus_tables: frozenset[str] = CORPUS_TABLES
+) -> list[tuple[str, str, object]]:
+    """Every KEYED Aggregate that will lower to SortAggregate because
+    an aggregate function's buffer is variable-width (First/Last/
+    Min/Max over a string/binary child) and whose input subtree
+    reaches a corpus-scaled table with no bound in between:
+    ``(agg_fns_sql, grouping_keys_sql, child_java_node)``.
+
+    The hazard is the aggregate's INPUT (the partial sort is over the
+    stream, not the groups), so the registry test measures the CHILD's
+    row growth across SFs via :func:`suspect_group_count` -- a
+    pre-reduced input (entity resolution's distinct-name stream)
+    saturates and passes; a corpus-wide stream (DSIR's exploded
+    n-grams before the r10 fix) reads ~10x and fails.  Scalar
+    aggregates are exempt: with no grouping keys SortAggregate needs
+    no input ordering, so no sort is inserted.  Fix patterns: promote
+    a functionally-dependent string to a GROUPING key (grouping keys
+    may be any type -- the DSIR fix), or pre-reduce with a hash-able
+    aggregate on (key, string) first."""
+    out: list[tuple[str, str, object]] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.nodeName() == "Aggregate"
+            and node.groupingExpressions().size() > 0
+        ):
+            fns: list[str] = []
+            exprs = node.expressions()
+            estack = [exprs.apply(i) for i in range(exprs.size())]
+            while estack:
+                e = estack.pop()
+                if e.getClass().getSimpleName() in _STRING_BUFFER_AGGS:
+                    try:
+                        vw = e.dataType().typeName() in ("string", "binary")
+                    except Exception:  # pragma: no cover - defensive
+                        vw = True
+                    if vw:
+                        # .sql() (no expr-ids), so suspects pair up
+                        # across plans built at different SFs.
+                        try:
+                            fns.append(e.sql())
+                        except Exception:  # pragma: no cover
+                            fns.append(e.getClass().getSimpleName())
+                ec = e.children()
+                for i in range(ec.size()):
+                    estack.append(ec.apply(i))
+            if fns:
+                reach = set()
+                s2 = [node.child()]
+                while s2:
+                    n2 = s2.pop()
+                    if _bounds(n2):
+                        continue
+                    if n2.children().size() == 0:
+                        reach |= _leaf_source_names(n2) & corpus_tables
+                    c2 = n2.children()
+                    for i in range(c2.size()):
+                        s2.append(c2.apply(i))
+                if reach:
+                    ges = node.groupingExpressions()
+                    keys = ",".join(
+                        ges.apply(i).sql() for i in range(ges.size())
+                    )
+                    out.append((",".join(sorted(fns)), keys, node.child()))
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            stack.append(sq.apply(i))
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
 def suspect_group_count(spark, java_node) -> int:
     """Group count of a suspect aggregate: rebuild the logical node as
     a DataFrame (``Dataset.ofRows``) and count its rows -- one row per

@@ -179,12 +179,19 @@ _STALE_PREFIX: tuple[str, ...] = (
     "q_repeated_spans", "q_curriculum_shards",
     "q_zorder_layout_stats", "q_zorder_pruning_ratio",
     "q_ml_minhash_lsh_pairs",
+    # tier-CHANGED, late-r10 probe catches: DSIR's per-doc rollup lost
+    # its sort-lowering first(lang) (groupBy doc_id+lang -- the
+    # invariant-7 catch, sf100 1.06/12.9 GB spill -> 0.85/zero), and
+    # BFS checkpoints the deduped edge list instead of the union above
+    # it (sf100 OOM -> 1.25 -> 0.92/zero).  Both re-oracled at both
+    # driver SFs; they take the two last r04 slots (those slide to
+    # rotation #11, which continues the r04 bucket).
+    "q_dsir_importance_resampling", "q_bfs_hops_from_hubs",
     # oldest r04-stale
     "q_benford_price_digits", "q_bm25_search", "q_bpe_pair_merges",
     "q_calendar_arithmetic", "q_cusum_changepoints",
     "q_dedup_chunk_rewrite", "q_docs_by_source",
-    "q_embedding_near_dup", "q_embedding_quantize_int8",
-    "q_entity_resolution_parts",
+    "q_embedding_near_dup",
 )
 
 _prefix_rank = {n: i for i, n in enumerate(_STALE_PREFIX)}

@@ -1215,11 +1215,21 @@ def q_dsir_importance_resampling(spark, sf_dir):
             )
         ).alias("lr_q"),
     )
+    # groupBy (doc_id, lang), NEVER groupBy(doc_id) + first(lang): a
+    # First/Last/min/max aggregate over a STRING has a variable-width
+    # aggregation buffer, which disqualifies HashAggregate and lowers
+    # the whole rollup to SortAggregate -- whose PARTIAL stage sorts
+    # the full exploded n-gram stream within every partition (map-side,
+    # so no shuffle-width conf can split it).  The r10 sf100 probe
+    # measured that sort at 12.9 GB of spill / exponent 1.06 at BOTH
+    # shuffle widths; lang is functionally dependent on doc_id, so
+    # promoting it to a grouping key is value-identical (the oracle's
+    # any_value) and restores the hash-aggregated zero-sort shape.
     docw = (
         fb.filter(F.col("source") != _DSIR_TARGET)
         .join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
-        .agg(F.first("lang").alias("lang"), F.sum("lr_q").alias("logw_q"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lr_q").alias("logw_q"))
     )
     u = (
         F.conv(

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Window, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import dec, portable_round
 from ..operators import ranks as RK
@@ -3534,7 +3535,8 @@ def q_bfs_hops_from_hubs(spark, sf_dir):
     partitioning round to round.  Relaxation carries ALL labelled
     nodes forward (hop set only ever grows), so rounds are idempotent
     past the diameter -- the fixed unrolling stays deterministic.
-    Lineage is cut every other round (the k-core convention)."""
+    Lineage is cut every round (measured faster than the k-core
+    every-other cadence; see the inline comment)."""
     li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
@@ -3544,10 +3546,31 @@ def q_bfs_hops_from_hubs(spark, sf_dir):
         .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
         .distinct()
     )
+    # Checkpoint EDGES (the dedup output), then derive und as two
+    # projections of the checkpointed relation -- never checkpoint
+    # the union itself.  Two r10 sf100 catches live here:
+    # (1) DISK_ONLY, not the default MEMORY_AND_DISK: the
+    #     unthresholded co-purchase edge list is corpus-scaled under
+    #     densification (fixed part catalog, fact-scaled orders), and
+    #     the first r10 leg OOM'd a 48 g heap materializing it into
+    #     heap-priced block storage.  k-core survives the same decade
+    #     because its first cut lands AFTER two degree peels have
+    #     shrunk the list; BFS needs the full graph every round, so
+    #     its blocks belong on disk.
+    # (2) checkpointing und = union(proj(edges), proj(edges)) ran the
+    #     corpus-wide dedup TWICE: ReusedExchange dedupes the shuffle,
+    #     but each union branch re-executes its own post-shuffle
+    #     HashAggregate over the full 1.2B-row shuffle read (measured:
+    #     edge build 96 s at sf100, query 253 s).  Checkpointing the
+    #     dedup output makes both und branches map-only reads of the
+    #     stored blocks.  Bounded checkpoints (the node-keyed hops
+    #     below) keep the memory default.
+    edges = edges.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     und = edges.select(
         F.col("x").alias("node"), F.col("y").alias("nb")
     ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb")))
-    und = und.localCheckpoint(eager=True)
     deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     seeds = (
         deg.orderBy(F.desc("d"), "node")

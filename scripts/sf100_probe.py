@@ -128,6 +128,20 @@ PROBE = [
     # codec (encode fixture + decode, two chained map stages).
     "q_multimodal_decode_features",
     "q_multimodal_jpeg_decode",
+    # r10 extension 2: third-decade rows for the remaining flagship
+    # families that had only sf10 evidence -- the iterative star
+    # closure (O(log^2 n) rounds; does the round count or per-round
+    # cost change regime at 5M docs?), the frontier-only BFS on the
+    # DENSIFIED co-purchase graph (dims copied once, so degree grows
+    # with SF -- the same densification stress the kcore row holds
+    # at 0.76), the in-bucket contrastive-pair verify (history of
+    # regime change: 1.38 + 64 GB spill before the in-bucket rewrite),
+    # and the DSIR importance resampler (data-mix flagship, bounded
+    # 10k-bucket shuffle by construction).
+    "q_dedup_clusters_star",
+    "q_bfs_hops_from_hubs",
+    "q_contrastive_pairs",
+    "q_dsir_importance_resampling",
 ]
 
 #: VERDICT r9 item 1: a fixed 1x-cores initial shuffle width makes
@@ -161,6 +175,14 @@ CORPUS_OUTPUT = {
     # (a real run writes to a sink, never a driver collect).
     "q_multimodal_decode_features",
     "q_multimodal_jpeg_decode",
+    # r10 extension 2: star clusters emit a row per doc, BFS a row per
+    # reached node, contrastive a row per near-dup pair (density
+    # constant by fixture construction => linear in corpus), DSIR a
+    # row per resampled doc.
+    "q_dedup_clusters_star",
+    "q_bfs_hops_from_hubs",
+    "q_contrastive_pairs",
+    "q_dsir_importance_resampling",
 }
 
 

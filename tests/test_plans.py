@@ -999,7 +999,17 @@ def test_registry_wide_scale_discipline(spark, sf_dir):
        range_block/blocked_running/limit-first shapes;
     6. every plan LEAF resolves to a known source or a benign
        in-memory kind, so a guard "pass" can't hide an unwalkable
-       leaf (ADVICE r9).
+       leaf (ADVICE r9);
+    7. every KEYED aggregate that lowers to SortAggregate (a
+       First/Last/min/max over a string/binary child gives the
+       aggregation buffer a variable-width slot, disqualifying
+       HashAggregate) over a corpus-reaching input has MEASURED
+       bounded INPUT growth -- the partial SortAggregate sorts its
+       whole input stream within each partition, map-side, so no
+       shuffle-width conf can split it (the r10 sf100 probe caught
+       DSIR's first(lang) per-doc rollup at 12.9 GB of sort spill /
+       exponent 1.06 at BOTH widths; fixed by promoting lang to a
+       grouping key).
 
     Bounded hinted/window inputs (fixed catalogs, scalar aggregates,
     explicit limits) pass structurally; bounded-DOMAIN keyed
@@ -1010,6 +1020,7 @@ def test_registry_wide_scale_discipline(spark, sf_dir):
     from etl_onprem_to_cloud_spark.plans import (
         corpus_broadcast_hints,
         keyed_agg_suspects,
+        string_buffer_agg_suspects,
         suspect_group_count,
         unpartitioned_corpus_windows,
         unresolved_corpus_leaves,
@@ -1017,6 +1028,7 @@ def test_registry_wide_scale_discipline(spark, sf_dir):
 
     bad = {}
     suspect_queries = {}
+    sba_queries = {}
     for name, spec in QUERIES.items():
         df = spec.fn(spark, sf_dir)
         v = corpus_broadcast_hints(df) + unpartitioned_corpus_windows(df)
@@ -1028,6 +1040,8 @@ def test_registry_wide_scale_discipline(spark, sf_dir):
         v.extend(f"unresolved-leaf:{u}" for u in unresolved_corpus_leaves(df))
         if keyed_agg_suspects(df):
             suspect_queries[name] = spec
+        if string_buffer_agg_suspects(df):
+            sba_queries[name] = spec
         if v:
             bad[name] = sorted(set(v))
     assert bad == {}, f"scale-discipline violations: {bad}"
@@ -1056,6 +1070,34 @@ def test_registry_wide_scale_discipline(spark, sf_dir):
     assert grow == {}, (
         "keyed-aggregate suspects with corpus-scaled group growth "
         f"(>{_SUSPECT_GROWTH_MAX}x over sf0.01->sf0.1): {grow}"
+    )
+
+    # Invariant 7: measure every sort-lowered aggregate's INPUT
+    # growth (the partial SortAggregate sorts its whole input stream;
+    # the group count is irrelevant, the stream size is the hazard).
+    sba_grow = {}
+    for name, spec in sba_queries.items():
+        sa = string_buffer_agg_suspects(spec.fn(spark, _SUSPECT_SF_A))
+        sb = string_buffer_agg_suspects(spec.fn(spark, _SUSPECT_SF_B))
+        ca, cb = {}, {}
+        for tagset, counts in ((sa, ca), (sb, cb)):
+            for fns, keys, child in tagset:
+                tag = f"{fns}|{keys}"
+                if tag not in counts:
+                    counts[tag] = suspect_group_count(spark, child)
+        if set(ca) != set(cb):
+            sba_grow[name] = (
+                f"suspect sets differ: {sorted(ca)} vs {sorted(cb)}"
+            )
+            continue
+        for tag, a in ca.items():
+            b = cb[tag]
+            if b > max(a, 1) * _SUSPECT_GROWTH_MAX:
+                sba_grow[f"{name}::{tag}"] = f"{a} -> {b} (x{b / max(a, 1):.2f})"
+    assert sba_grow == {}, (
+        "sort-lowered string-buffer aggregates with corpus-scaled "
+        f"INPUT growth (>{_SUSPECT_GROWTH_MAX}x over sf0.01->sf0.1): "
+        f"{sba_grow}"
     )
 
 
@@ -1216,6 +1258,71 @@ def test_keyed_agg_suspect_controls(spark, sf_dir):
     win = agg.withColumn("r", F.row_number().over(Window.orderBy("n")))
     ws = keyed_agg_suspects(win)
     assert [(k, s) for k, s, _ in ws] == [("window", "l_orderkey")]
+
+
+def test_string_buffer_agg_suspect_controls(spark, sf_dir):
+    """Invariant-7 positive controls (the DSIR sf100 catch): a keyed
+    first/min-over-STRING aggregate over a corpus stream must surface
+    as a suspect whose MEASURED input grows with the corpus; the
+    grouping-key form of the same rollup (the fix), a scalar
+    string-min (no sort inserted without grouping keys), a
+    fixed-width first(), and a limit-bounded input must not."""
+    from pyspark.sql import functions as F
+
+    from etl_onprem_to_cloud_spark.plans import (
+        string_buffer_agg_suspects,
+        suspect_group_count,
+    )
+
+    def docs(sf):
+        return spark.read.parquet(f"{sf}/documents.parquet")
+
+    def bad(sf):  # the pre-fix DSIR shape
+        return docs(sf).groupBy("doc_id").agg(
+            F.first("lang").alias("lang"), F.count(F.lit(1)).alias("n")
+        )
+
+    # documents is flat 0.001->0.01 (500 rows at both), so the growth
+    # control uses the same SF pair as the registry measurement.
+    sa = string_buffer_agg_suspects(bad(_SUSPECT_SF_A))
+    sb = string_buffer_agg_suspects(bad(_SUSPECT_SF_B))
+    assert [(f, k) for f, k, _ in sa] == [("first(lang)", "doc_id")]
+    assert [(f, k) for f, k, _ in sb] == [("first(lang)", "doc_id")]
+    na = suspect_group_count(spark, sa[0][2])
+    nb = suspect_group_count(spark, sb[0][2])
+    assert nb / na > 3.0  # input stream scales with the corpus
+
+    d = docs(sf_dir)
+    # The fix: functionally-dependent string promoted to grouping key.
+    fixed = d.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n"))
+    assert string_buffer_agg_suspects(fixed) == []
+    # Scalar string-min: SortAggregate needs no input ordering when
+    # there are no grouping keys, so no sort and no suspect.
+    assert string_buffer_agg_suspects(d.agg(F.min("lang").alias("m"))) == []
+    # Fixed-width buffer (first over a bigint): hash-aggregable.
+    assert (
+        string_buffer_agg_suspects(
+            d.groupBy("lang").agg(F.first("doc_id").alias("d"))
+        )
+        == []
+    )
+    # Limit-bounded input: statically bounded, no suspect.
+    assert (
+        string_buffer_agg_suspects(
+            d.orderBy("doc_id")
+            .limit(5)
+            .groupBy("source")
+            .agg(F.min("lang").alias("m"))
+        )
+        == []
+    )
+    # min over a string is still CAUGHT when keyed and corpus-fed
+    # (the entity-resolution shape -- measured saturating, but it
+    # must surface to BE measured).
+    sus = string_buffer_agg_suspects(
+        d.groupBy("source").agg(F.min("lang").alias("m"))
+    )
+    assert [(f, k) for f, k, _ in sus] == [("min(lang)", "source")]
 
 
 def test_unresolved_leaf_observability(spark, sf_dir):
