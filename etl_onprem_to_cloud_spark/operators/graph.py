@@ -126,6 +126,25 @@ def duck_pagerank_sql(
     )
 
 
+def spread_pairs_input(df, key_col: str):
+    """Spread an under-partitioned input across the cluster parallelism
+    before CPU-heavy pair generation (r10 optimization, guide §2.5
+    "input skew": one compact file -> one scan task).  The bench-scale
+    parquet inputs are single-row-group files, so the self-join's pair
+    emission + partial pair aggregation otherwise run in ONE task no
+    matter the core count.  Same auto-detect idiom as
+    ``llm/dedup._exploded_shingles``: well-partitioned inputs -- the
+    100 TB case -- skip the shuffle entirely, so nothing here is tuned
+    to local mode.  Hash-partitioning on the join key also co-partitions
+    both self-join sides through one shared (reused) exchange."""
+    from pyspark.sql import functions as F
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(key_col))
+    return df
+
+
 def copurchase_edges(lineitem, min_support: int = 2, weight: bool = False):
     """Support-thresholded part co-purchase edge list (x < y), the
     shared substrate of the support-2 graph queries (LPA, Adamic-Adar,
@@ -143,7 +162,9 @@ def copurchase_edges(lineitem, min_support: int = 2, weight: bool = False):
     """
     from pyspark.sql import functions as F
 
-    li = lineitem.select("l_orderkey", "l_partkey")
+    li = spread_pairs_input(
+        lineitem.select("l_orderkey", "l_partkey"), "l_orderkey"
+    )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     base = (

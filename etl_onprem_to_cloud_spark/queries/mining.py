@@ -986,13 +986,27 @@ ORDER BY core_degree DESC, node"""
     ),
 )
 def q_kcore_copurchase(spark, sf_dir):
-    """Edge build: lineitem self-join on the order key (one shuffle).
+    """Edge build: lineitem self-join on the order key (one shuffle,
+    spread across the parallelism when the scan is under-partitioned).
     Each peeling round is one shuffle on the node key (degree count)
-    plus two semi-join filters of the edge list; lineage is cut every
-    other round (the CC/star convention) so the unrolled loop cannot
-    stack 2^rounds plan growth.  At 100 TB the peeling loop runs until
-    no change with the same per-round plan."""
-    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    plus two SHUFFLE-HASH semi-join filters of the edge list (the keep
+    side can never broadcast -- it derives from the corpus-scaled
+    degree rollup -- and sort-merge re-sorted the full edge list twice
+    per round; the r10 before-plan carried 100 declared exchanges with
+    12 edge-wide sorts).  Lineage is cut EVERY round: edges is consumed
+    twice next round (degree rollup + semi-join chain), and without the
+    cut each consumer re-executes the previous round's plan (the BFS
+    every-round lesson, measured there at 4.8 s vs 5.4 s).  Round 0 is
+    cut on DISK (the unthresholded pair list is corpus-scaled under
+    densification -- the BFS DISK_ONLY rationale); later rounds hold
+    the k-shrunk list and keep the memory default.  At 100 TB the
+    peeling loop runs until no change with the same per-round plan."""
+    from ..operators.graph import spread_pairs_input
+
+    li = spread_pairs_input(
+        cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     edges = (
@@ -1000,6 +1014,7 @@ def q_kcore_copurchase(spark, sf_dir):
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
         .distinct()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = (
@@ -1010,11 +1025,19 @@ def q_kcore_copurchase(spark, sf_dir):
         )
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
         edges = (
-            edges.join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
-            .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
+            edges.join(
+                keep.withColumnRenamed("node", "x").hint("shuffle_hash"),
+                "x",
+                "left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("node", "y").hint("shuffle_hash"),
+                "y",
+                "left_semi",
+            )
             .select("x", "y")
         )
-        if i % 2 == 0 and i < _KCORE_ROUNDS:
+        if i < _KCORE_ROUNDS:
             edges = edges.localCheckpoint(eager=True)
     return (
         edges.select(F.col("x").alias("node"))
@@ -3309,7 +3332,6 @@ def q_lpa_communities(spark, sf_dir):
     labels = und.select("node").distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "nlbl")
     for i in range(1, _LPA_ROUNDS + 1):
         votes = (
             und.join(
@@ -3319,10 +3341,23 @@ def q_lpa_communities(spark, sf_dir):
             .groupBy("node", "nlbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # argmax by (c DESC, nlbl ASC) as min(struct(-c, nlbl)): struct
+        # ordering is lexicographic, so this is value-identical to the
+        # row_number window it replaces (r10 optimization, guide §2.4) --
+        # but it aggregates map-side to <= one row per node per partition
+        # and never sorts, where the window re-shuffled the (node, nlbl)
+        # vote stream a second time and sorted every partition.
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("nlbl").alias("lbl"))
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.negate(F.col("c")).alias("negc"),
+                        F.col("nlbl").alias("nlbl"),
+                    )
+                ).alias("__m")
+            )
+            .select("node", F.col("__m.nlbl").alias("lbl"))
         )
         if i % 2 == 0 and i < _LPA_ROUNDS:
             labels = labels.localCheckpoint(eager=True)
@@ -3537,7 +3572,12 @@ def q_bfs_hops_from_hubs(spark, sf_dir):
     past the diameter -- the fixed unrolling stays deterministic.
     Lineage is cut every round (measured faster than the k-core
     every-other cadence; see the inline comment)."""
-    li = cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    from ..operators.graph import spread_pairs_input
+
+    li = spread_pairs_input(
+        cat(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     edges = (
