@@ -38,6 +38,22 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def _spread_codec_input(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Spread an under-partitioned input across the cluster parallelism
+    before a per-row Python codec stage (r10 optimization, guide §2.5
+    "input skew" + §4).  A compact corpus (one parquet file -> one scan
+    partition) would otherwise run the encode/decode ``mapInPandas``
+    single-threaded no matter the core count.  Same auto-detect idiom
+    as ``dedup._exploded_shingles``: well-partitioned inputs -- the
+    100 TB case, where maxPartitionBytes bounds scan tasks -- skip the
+    shuffle entirely, so nothing here is tuned to local mode.  Hashing
+    on the id keeps the spread deterministic under retries."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(key_col))
+    return df
+
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -262,6 +278,8 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 ],
             )
 
+    # No spread: same measurement as decode_image_features (0.49 ->
+    # 0.67 s at sf0.1 with it).
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
@@ -553,6 +571,9 @@ def attach_png_payload(
                 }
             )
 
+    # No spread here (unlike the JPEG twin): measured at sf0.1 the
+    # zlib encode+inflate pair costs less single-threaded (0.95 s)
+    # than the spread's extra stage + payload shuffle adds (1.14 s).
     return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
@@ -592,7 +613,12 @@ def attach_jpeg_payload(
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(run, MEDIA_SCHEMA)
+    # Spread: the FDCT + Huffman encoder is the one measured-heavy
+    # in-container codec (3.35 s single-threaded vs 1.29 s spread at
+    # sf0.1); the decode stage downstream inherits the partitioning.
+    return _spread_codec_input(docs.select("doc_id", text_col)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
@@ -644,6 +670,10 @@ def decode_image_features(
                 }
             )
 
+    # No spread: the md5/PPM decoders measured cheaper single-threaded
+    # at bench density than one extra payload shuffle (0.35 -> 0.60 s);
+    # heavy pluggable codecs should spread at their attach stage the
+    # way attach_jpeg_payload does.
     return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
