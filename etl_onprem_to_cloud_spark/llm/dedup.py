@@ -467,6 +467,9 @@ def simhash_table(
     token hashing, partial-sum bit votes through a single groupBy
     shuffle (same rationale as minhash_signature -- the narrow
     fold-per-row version re-runs tokenization ``bits`` times)."""
+    # No spread here (unlike _exploded_shingles): an r10 in-session A/B
+    # measured the 16-bit token hash cheap enough that the extra
+    # exchange is a wash at bench density (1.18 vs 1.20 s min-of-3).
     # explode_outer: see _exploded_shingles for the InferFiltersFromGenerate
     # double-evaluation trap with inner explodes over expensive expressions.
     toks = docs.select(

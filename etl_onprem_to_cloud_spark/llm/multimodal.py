@@ -48,10 +48,9 @@ def _spread_codec_input(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     100 TB case, where maxPartitionBytes bounds scan tasks -- skip the
     shuffle entirely, so nothing here is tuned to local mode.  Hashing
     on the id keeps the spread deterministic under retries."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(key_col))
-    return df
+    from ..operators.layout import spread_input
+
+    return spread_input(df, key_col)
 
 
 MEDIA_SCHEMA = StructType(

@@ -317,10 +317,19 @@ def lloyd_cells(
     collapsed into one broadcast array row and the argmin runs inside
     codegen per row; each distributed UPDATE is one shuffle keyed
     (cell, dim) over the exploded dims."""
+    from ..operators.layout import spread_input
+
     spark = embeddings.sparkSession
-    e = embeddings.select(
-        F.col(id_col).alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    # Spread (r10): the map-only assignment runs heavy per-row codegen
+    # (num_cells x dim dist2 argmin); a one-partition scan made it
+    # single-threaded at bench density.  No-op on well-partitioned
+    # inputs; the fit collect is order-insensitive (lloyd_fit sorts).
+    e = spread_input(
+        embeddings.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        ),
+        "__id",
     )
 
     def assign(cents_df):
@@ -1099,9 +1108,16 @@ def pq_top_k(
     sequence before the 1e-6 portable rounding."""
     query_ids = _validated_query_ids(query_ids)
     spark = embeddings.sparkSession
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    from ..operators.layout import spread_input
+
+    # Spread (r10): same rationale as lloyd_cells -- the per-subspace
+    # encode argmins are heavy codegen over every corpus row.
+    e = spread_input(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ),
+        "id",
     )
     rows = _bounded_fit_rows(e, fit_max_rows, "pq-fit")
     if not rows:
@@ -1316,9 +1332,16 @@ def ivfpq_top_k(
 
     query_ids = _validated_query_ids(query_ids)
     spark = embeddings.sparkSession
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    from ..operators.layout import spread_input
+
+    # Spread (r10): the single map-only encode pass below (coarse
+    # assign + residual + per-subspace argmins) is the heavy stage.
+    e = spread_input(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ),
+        "id",
     )
     rows = _bounded_fit_rows(e, fit_max_rows, "ivfpq-fit")
     if not rows:

@@ -137,12 +137,9 @@ def spread_pairs_input(df, key_col: str):
     100 TB case -- skip the shuffle entirely, so nothing here is tuned
     to local mode.  Hash-partitioning on the join key also co-partitions
     both self-join sides through one shared (reused) exchange."""
-    from pyspark.sql import functions as F
+    from .layout import spread_input
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(key_col))
-    return df
+    return spread_input(df, key_col)
 
 
 def copurchase_edges(lineitem, min_support: int = 2, weight: bool = False):

@@ -24,6 +24,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def spread_input(df: DataFrame, key_col: str) -> DataFrame:
+    """Spread an under-partitioned input across the cluster parallelism
+    before a CPU-heavy map/explode stage (r10 optimization, guide §2.5
+    "input skew": one compact file -> one scan task that no core count
+    can split, because parquet scans are row-group-atomic).  The
+    canonical form of the auto-detect idiom used by
+    ``llm/dedup._exploded_shingles``, ``operators/graph.
+    spread_pairs_input`` and ``llm/multimodal._spread_codec_input``:
+    well-partitioned inputs -- the 100 TB case -- skip the shuffle
+    entirely, so nothing here is tuned to local mode.  Hashing on a
+    stable key keeps the spread deterministic under retries."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(key_col))
+    return df
+
+
 def morton_code(x: Column, y: Column, bits: int = 8) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints.
 

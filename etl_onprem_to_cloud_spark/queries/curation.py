@@ -22,6 +22,7 @@ from pyspark.sql import Window, functions as F
 
 from ..functions.text import tokens
 from ..llm.similarity import brute_force_top_k
+from ..pinned import pin
 from ..operators import ranks as RK
 from ..operators.sampling import duck_hash_gate, hash_gate
 from ._util import cat, duck_tokens, duck_word_ngrams
@@ -1164,7 +1165,13 @@ def q_dsir_importance_resampling(spark, sf_dir):
     Gumbel top-k is a TakeOrdered over one row per raw doc.  Nothing
     data-sized shuffles except the per-doc weight rollup, the same
     single shuffle every per-doc rollup in the suite pays."""
-    docs = cat(spark, sf_dir).documents
+    from ..operators.layout import spread_input
+
+    # Spread the compact input before the tokenize+hash explode (r10):
+    # the n-gram pipeline below runs THREE times (model, totals via
+    # model, per-doc weights) and a one-partition scan made each pass
+    # single-threaded.  No-op on well-partitioned inputs.
+    docs = spread_input(cat(spark, sf_dir).documents, "doc_id")
     t = docs.select(
         "doc_id",
         "lang",
@@ -1187,13 +1194,19 @@ def q_dsir_importance_resampling(spark, sf_dir):
         "source",
         (hash_gate(F.col("ng"), "dsir") % _DSIR_B).alias("b"),
     )
-    model = fb.groupBy("b").agg(
-        F.sum(
-            F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
-        ).alias("c_t"),
-        F.sum(
-            F.when(F.col("source") != _DSIR_TARGET, 1).otherwise(0)
-        ).alias("c_q"),
+    # Pinned (r10): model is bounded (<= {B} bucket rows) but is
+    # consumed twice (totals + the log-ratio projection), and without
+    # the persist the SECOND consumer re-ran the whole corpus explode
+    # (the before-plan carried three Generate+scan subtrees).
+    model = pin(
+        fb.groupBy("b").agg(
+            F.sum(
+                F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
+            ).alias("c_t"),
+            F.sum(
+                F.when(F.col("source") != _DSIR_TARGET, 1).otherwise(0)
+            ).alias("c_q"),
+        )
     )
     totals = model.agg(
         F.sum("c_t").alias("tt"), F.sum("c_q").alias("qq")

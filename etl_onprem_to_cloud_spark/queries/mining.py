@@ -176,7 +176,9 @@ def q_textrank_tokens(spark, sf_dir):
     Vocabulary nodes are the unit of work -- a real corpus has ~1e7
     nodes and ~1e9 edges, well inside this plan's shape (same pattern
     as connected components in llm/dedup.py)."""
-    docs = cat(spark, sf_dir).documents
+    from ..operators.layout import spread_input
+
+    docs = spread_input(cat(spark, sf_dir).documents, "doc_id")
     toks = docs.select(tokens(F.lower(F.col("text"))).alias("toks"))
     pairs = toks.select(
         F.explode(
