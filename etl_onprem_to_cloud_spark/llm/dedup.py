@@ -629,8 +629,12 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iterations):
+        # shuffle_hash on the node-sized label side (r10): sort-merge
+        # re-sorted the edge stream every round; labels derive from a
+        # corpus-scaled subtree so they may never broadcast, but their
+        # per-partition hash build is bounded by the node set.
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -857,8 +861,11 @@ def connected_components_star(
         mins = both.groupBy("src").agg(
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
+        # shuffle_hash (r10): mins is one row per node and leaves its
+        # groupBy already hash-partitioned on src, so the build side
+        # re-reads in place and the edge stream skips its per-phase sort.
         return (
-            both.join(mins, "src")
+            both.join(mins.hint("shuffle_hash"), "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .distinct()
@@ -871,7 +878,7 @@ def connected_components_star(
         smaller = both.filter(F.col("dst") < F.col("src"))
         mins = smaller.groupBy("src").agg(F.min("dst").alias("m"))
         relink = (
-            smaller.join(mins, "src")
+            smaller.join(mins.hint("shuffle_hash"), "src")
             .filter(F.col("dst") != F.col("m"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )

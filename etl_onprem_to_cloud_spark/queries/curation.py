@@ -636,10 +636,26 @@ def _overlap_ranked(docs):
     return tk, q, ranked
 
 
-def _overlap_candidates(docs):
+def _overlap_candidates(docs, with_size: bool = False):
     """Candidate generation shared by the eval metrics and the RRF
     fusion: tokenized corpus, query set (every 101st doc), and the
-    UN-CUT per-(query, candidate) distinct-token overlap counts."""
+    UN-CUT per-(query, candidate) distinct-token overlap counts.
+
+    ``with_size=True`` rides each candidate's distinct-token count
+    (``n_toks``) through the explode and the overlap rollup (the
+    ``_exploded_shingles with_size`` idiom): the RRF consumer needs it
+    and would otherwise re-tokenize the corpus for one size join.
+    Grouping on the functionally-dependent ``n_toks`` is value-
+    identical and keeps the rollup hash-aggregated.  The default False
+    keeps the exploded posting rows 8 bytes narrower for the two
+    consumers that never read sizes (guide §2.3, shuffle fewer
+    bytes)."""
+    from ..operators.layout import spread_input
+
+    # Spread (r10): the corpus-side tokenize+explode feeding the
+    # posting join ran single-threaded on the one-partition bench
+    # corpus.  No-op on well-partitioned inputs.
+    docs = spread_input(docs, "doc_id")
     tk = docs.select(
         "doc_id",
         "source",
@@ -652,11 +668,13 @@ def _overlap_candidates(docs):
         F.col("lang").alias("q_lang"),
         F.col("toks").alias("q_toks"),
     )
-    ex = tk.select("doc_id", F.explode("toks").alias("w"))
+    size_cols = [F.size("toks").alias("n_toks")] if with_size else []
+    ex = tk.select("doc_id", *size_cols, F.explode("toks").alias("w"))
     qx = q.select("q_id", F.explode("q_toks").alias("w"))
+    group_cols = ["q_id", "doc_id"] + (["n_toks"] if with_size else [])
     ov = (
         qx.join(ex, (ex["w"] == qx["w"]) & (ex["doc_id"] != qx["q_id"]))
-        .groupBy("q_id", "doc_id")
+        .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
     return tk, q, ov
@@ -743,7 +761,10 @@ def q_retrieval_ndcg_eval(spark, sf_dir):
 
     docs = cat(spark, sf_dir).documents
     tk, q, ranked = _overlap_ranked(docs)
-    hits = (
+    # Pinned (r10): hits is bounded (<= queries x NDCG_K rows) but is
+    # consumed TWICE (dcg + ideal), and each consumer re-ran the whole
+    # posting-join pipeline before the persist.
+    hits = pin(
         ranked.join(tk.select("doc_id", "source", "lang"), "doc_id")
         .join(q.select("q_id", "q_src", "q_lang"), "q_id")
         .select(
@@ -1022,10 +1043,10 @@ def q_retrieval_rrf_fusion(spark, sf_dir):
     over the candidate set, one fusion window -- no extra shuffles
     beyond the eval family's."""
     docs = cat(spark, sf_dir).documents
-    tk, q, ov = _overlap_candidates(docs)
-    sc = ov.join(
-        tk.select("doc_id", F.size("toks").alias("n_toks")), "doc_id"
-    ).select(
+    # with_size: n_toks rides the posting explode (r10) -- the size
+    # join this replaces re-ran the whole corpus tokenization.
+    tk, q, ov = _overlap_candidates(docs, with_size=True)
+    sc = ov.select(
         "q_id",
         "doc_id",
         "overlap",

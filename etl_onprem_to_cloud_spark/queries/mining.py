@@ -3335,9 +3335,15 @@ def q_lpa_communities(spark, sf_dir):
         "node", F.col("node").alias("lbl")
     )
     for i in range(1, _LPA_ROUNDS + 1):
+        # shuffle_hash on the node-sized label side (r10): sort-merge
+        # re-sorted the edge-sized und stream every round; the label
+        # side can never broadcast (corpus-scaled subtree) but builds a
+        # bounded per-partition hash map.
         votes = (
             und.join(
-                labels.select(F.col("node").alias("nb"), F.col("lbl").alias("nlbl")),
+                labels.select(
+                    F.col("node").alias("nb"), F.col("lbl").alias("nlbl")
+                ).hint("shuffle_hash"),
                 "nb",
             )
             .groupBy("node", "nlbl")
@@ -3628,8 +3634,10 @@ def q_bfs_hops_from_hubs(spark, sf_dir):
         # relaxation at a fraction of the join volume -- the round-1
         # join is 5 seed rows, not the whole labelled set.
         frontier = hops.filter(F.col("hop") == i - 1).select("node")
+        # shuffle_hash on the node-sized frontier (r10): sort-merge
+        # re-sorted the full und stream every round.
         expanded = hops.unionAll(
-            frontier.join(und, "node").select(
+            frontier.hint("shuffle_hash").join(und, "node").select(
                 F.col("nb").alias("node"), F.lit(i).alias("hop")
             )
         )
@@ -4003,7 +4011,9 @@ def q_bellman_ford_cheapest(spark, sf_dir):
     dist = src.select("node", F.lit(0).cast("bigint").alias("dist"))
     frontier = dist
     for i in range(1, _BF_ROUNDS + 1):
-        cand = frontier.join(und, "node").select(
+        # shuffle_hash on the node-sized frontier (r10, the BFS/LPA
+        # rationale): no per-round sort of the und stream.
+        cand = frontier.hint("shuffle_hash").join(und, "node").select(
             F.col("nb").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
         new = (

@@ -810,9 +810,13 @@ def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     ("q_cusum_value_drift", 3),
     ("q_clamped_balance_users", 3),
     # PQ / IVFPQ: encode and ADC are map-only (literal codebooks /
-    # broadcast tables); only the bounded top-k windows shuffle.
-    ("q_ann_pq_adc_topk", 3),
-    ("q_ann_ivfpq_topk", 4),
+    # broadcast tables); only the bounded top-k windows shuffle, plus
+    # the r10 spread_input repartition of an under-partitioned corpus
+    # before the encode pass (a no-op shuffle-count-wise on real,
+    # well-partitioned inputs, but the plan TEXT counts it under each
+    # consumer branch at fixture scale: +3 for pq, +2 for ivfpq).
+    ("q_ann_pq_adc_topk", 6),
+    ("q_ann_ivfpq_topk", 6),
     ("q_holt_linear_forecast", 2),
     ("q_peak_concurrent_sessions", 3),
     # seq patterns: per-(user,type) position rollup + the 2/3-length
