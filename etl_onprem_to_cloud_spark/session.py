@@ -68,6 +68,21 @@ def build_conf(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # r10: let AQE rewrite sort-merge to shuffled-hash when every
+        # post-shuffle partition's build side MEASURES under the
+        # advisory partition size (runtime sizes, not planner
+        # estimates, so this cannot reproduce the estimate-driven
+        # build-side OOM class the MLlib sf10 probe hit; default 0 =
+        # never).  Removes per-partition sorts on small-side joins at
+        # any scale; measured -1 to -2% on the join-heavy bench subset
+        # and plan-confirmed SMJ->SHJ conversions.  The blunter
+        # `spark.sql.join.preferSortMergeJoin=false` measured -8% on
+        # the same subset but picks SHJ from PRE-RUNTIME estimates,
+        # which the r10 probe history shows under-estimating
+        # corpus-scaled sides (hash-build OOM) -- rejected.
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+            64 * 1024 * 1024
+        ),
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Deterministic timestamps (oracle parity with DuckDB naive ts).
         "spark.sql.session.timeZone": "UTC",
