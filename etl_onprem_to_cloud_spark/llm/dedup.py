@@ -580,6 +580,17 @@ def ngram_jaccard_pairs(
 # 5. Transitive closure: near-dup pairs -> dedup clusters
 # --------------------------------------------------------------------------
 
+def _node_build(df: DataFrame) -> DataFrame:
+    """Join-strategy marker for the node-sized build side of a
+    per-round iterative join (labels / mins): ``shuffle_hash`` (r10).
+    The side derives from a corpus-scaled subtree, so it must never be
+    FORCED to broadcast -- but a runtime-measured AQE broadcast (which
+    ignores this hint when the side measures tiny) stays available.
+    One definition so probe scripts can A/B the strategy by
+    monkeypatching (scripts/ab_cc_hint_r11.py)."""
+    return df.hint("shuffle_hash")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -613,6 +624,8 @@ def connected_components(
     """
     if on_nonconvergence not in ("raise", "warn"):
         raise ValueError(f"on_nonconvergence must be 'raise' or 'warn', got {on_nonconvergence!r}")
+    from ..operators.layout import ckpt_partitioned
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -621,6 +634,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r11: store the static edge list hash-partitioned by the per-round
+    # join key so every round's label join streams it WITHOUT an
+    # exchange (ckpt_partitioned docstring; a plain checkpoint under
+    # AQE forgets its layout).  The pair build above keeps its own
+    # AQE-on checkpoint -- the partitioned copy is one cheap extra
+    # materialization of the (near-dup-bounded) pair list, paid once
+    # against an edge-wide exchange per round.
+    edges = ckpt_partitioned(edges, "dst")
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -634,7 +655,7 @@ def connected_components(
         # corpus-scaled subtree so they may never broadcast, but their
         # per-partition hash build is bounded by the node set.
         neighbor_min = (
-            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.node)
+            edges.join(_node_build(labels), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -865,7 +886,7 @@ def connected_components_star(
         # groupBy already hash-partitioned on src, so the build side
         # re-reads in place and the edge stream skips its per-phase sort.
         return (
-            both.join(mins.hint("shuffle_hash"), "src")
+            both.join(_node_build(mins), "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .distinct()
@@ -878,7 +899,7 @@ def connected_components_star(
         smaller = both.filter(F.col("dst") < F.col("src"))
         mins = smaller.groupBy("src").agg(F.min("dst").alias("m"))
         relink = (
-            smaller.join(mins.hint("shuffle_hash"), "src")
+            smaller.join(_node_build(mins), "src")
             .filter(F.col("dst") != F.col("m"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )

@@ -203,8 +203,21 @@ def lloyd_fit(
         return []
     rows = sorted(rows, key=lambda r: r[0])
     V = np.array([r[1] for r in rows], dtype=np.float64)
-    cents = [(j, V[j]) for j in range(min(num_cells, len(rows)))]
+    return _lloyd_fit_np(V, num_cells, n_iter)
 
+
+def _lloyd_fit_np(V, num_cells: int, n_iter: int) -> list[tuple[int, list[float]]]:
+    """:func:`lloyd_fit` inner loop over an ALREADY id-sorted float64
+    matrix (r11, guide §4 driver boundary: the ANN entries now collect
+    the fit set once as Arrow and train coarse + PQ stages off the one
+    parsed matrix instead of re-building Python row lists per stage).
+    Bit-identity is inherited: same seeding (first ``num_cells`` rows
+    of the sorted matrix), same cumsum dots, same fixed-point means."""
+    import numpy as np
+
+    if len(V) == 0:
+        return []
+    cents = [(j, V[j]) for j in range(min(num_cells, len(V)))]
     K = np.floor(V * 1e7 + 0.5).astype(np.int64)
     for _ in range(n_iter):
         # _assign_np is the single source of the assignment math
@@ -273,6 +286,93 @@ def _bounded_fit_rows(
     return [(r[id_name], list(r[vec_name])) for r in gated[:fit_max_rows]]
 
 
+def _fit_arrays(
+    e: DataFrame,
+    fit_max_rows: int,
+    salt: str,
+    id_name: str = "id",
+    vec_name: str = "v",
+    count_df: DataFrame | None = None,
+):
+    """:func:`_bounded_fit_rows` with the driver boundary batched (r11,
+    guide §4/§6): ONE Arrow transfer instead of a pickled-row collect
+    plus per-row Python list conversion, returning the fit set as an
+    id-sorted ``(ids: int64 ndarray, V: float64 matrix)`` pair that the
+    coarse Lloyd fit, the residual step and every per-subspace PQ fit
+    reuse directly (the r10 shape re-built Python row lists and numpy
+    arrays per stage -- ~1 s serial per ANN query at bench density,
+    visible as the 0.54/0.78 8-core scaling ratios).
+
+    Selection is byte-identical to :func:`_bounded_fit_rows`: whole
+    corpus under the cap, deterministic hash-gated subsample truncated
+    by a (gate, id) sort above it.  ``count_df``, when given, must be a
+    same-row-count relation whose count is cheaper to evaluate (the
+    callers pass the raw parquet-backed table, so the size check is a
+    metadata count instead of executing the spread projection).  Values
+    are bit-identical either way: Arrow ships the JVM's float64
+    payload verbatim, exactly like Row -> Python float.  Falls back to
+    the row path for ragged vectors (never the case for the fixed-dim
+    embedding corpus)."""
+    import numpy as np
+
+    def _np(df):
+        tbl = df.toArrow()
+        ids = tbl.column(id_name).combine_chunks().to_numpy(zero_copy_only=False)
+        vec = tbl.column(vec_name).combine_chunks()
+        lens = vec.value_lengths().to_numpy(zero_copy_only=False)
+        if len(lens) and (lens != lens[0]).any():
+            return None  # ragged: caller falls back to the row path
+        flat = vec.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        dim = int(lens[0]) if len(lens) else 0
+        return ids.astype(np.int64, copy=False), flat.reshape(len(lens), dim)
+
+    n = (count_df if count_df is not None else e).count()
+    if n <= fit_max_rows:
+        got = _np(e.select(id_name, vec_name))
+        if got is None:
+            rows = _bounded_fit_rows(e, fit_max_rows, salt, id_name, vec_name)
+            rows.sort(key=lambda r: r[0])
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            V = np.array([r[1] for r in rows], dtype=np.float64)
+            return ids, V
+        ids, V = got
+        order = np.argsort(ids, kind="stable")  # ids unique
+        return ids[order], V[order]
+    from ..operators.sampling import _MOD, hash_gate
+
+    margin = 1.05
+    while True:
+        rate = min(1.0, margin * fit_max_rows / n)
+        gdf = (
+            e.withColumn("__g", hash_gate(F.col(id_name).cast("string"), salt))
+            .filter(F.col("__g") < int(rate * _MOD))
+            .select(id_name, vec_name, "__g")
+        )
+        tbl = gdf.toArrow()
+        if tbl.num_rows >= fit_max_rows or rate >= 1.0:
+            break
+        margin *= 2.0  # binomial undershoot: widen the gate and re-run
+    ids = tbl.column(id_name).combine_chunks().to_numpy(zero_copy_only=False)
+    gs = tbl.column("__g").combine_chunks().to_numpy(zero_copy_only=False)
+    vec = tbl.column(vec_name).combine_chunks()
+    lens = vec.value_lengths().to_numpy(zero_copy_only=False)
+    if len(lens) and (lens != lens[0]).any():  # ragged: row-path fallback
+        rows = _bounded_fit_rows(e, fit_max_rows, salt, id_name, vec_name)
+        rows.sort(key=lambda r: r[0])
+        return (
+            np.array([r[0] for r in rows], dtype=np.int64),
+            np.array([r[1] for r in rows], dtype=np.float64),
+        )
+    flat = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    V = flat.reshape(len(lens), int(lens[0]) if len(lens) else 0)
+    # (gate, id) sort then truncate -- the _bounded_fit_rows order.
+    order = np.lexsort((ids, gs))[:fit_max_rows]
+    keep = order[np.argsort(ids[order], kind="stable")]  # final id sort
+    return ids[keep].astype(np.int64, copy=False), V[keep]
+
+
 def lloyd_cells(
     embeddings: DataFrame,
     num_cells: int = 10,
@@ -281,6 +381,7 @@ def lloyd_cells(
     vec_col: str = "embedding",
     fit: str = "driver",
     fit_max_rows: int = 1_000_000,
+    carry_columns: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """DETERMINISTIC Lloyd k-means quantizer (the IVF 'train' step made
     value-checkable, VERDICT r3 item 6): init centroids are the
@@ -295,7 +396,9 @@ def lloyd_cells(
 
     Returns ``(assigned, cents)``: the input with a ``__cell`` column
     (final assignment against the last centroids) and the ``(cell,
-    centroid)`` table.
+    centroid)`` table.  With ``carry_columns=False`` (r11) ``assigned``
+    is the slim ``(id_col, vec_col-as-double, __cell)`` projection --
+    no corpus re-attach join -- for consumers that read nothing else.
 
     ``fit="driver"`` (default) collects the fit set ONCE and trains in
     vectorized numpy (:func:`lloyd_fit`, bit-identical by
@@ -385,13 +488,13 @@ def lloyd_cells(
         return spark.createDataFrame(rows, "cell int, centroid array<double>")
 
     if fit == "driver":
-        fit_rows = [
-            (int(i), [float(x) for x in v])
-            for i, v in _bounded_fit_rows(
-                e, fit_max_rows, "ivf-fit", "__id", "__v"
-            )
-        ]
-        cents = materialize(lloyd_fit(fit_rows, num_cells, n_iter))
+        # r11: one Arrow transfer + numpy end to end (_fit_arrays);
+        # the size check is a metadata count on the raw table instead
+        # of executing the spread projection a second time.
+        _, fit_v = _fit_arrays(
+            e, fit_max_rows, "ivf-fit", "__id", "__v", count_df=embeddings
+        )
+        cents = materialize(_lloyd_fit_np(fit_v, num_cells, n_iter))
     else:
         # Init: the num_cells smallest-id vectors, cell = rank - 1
         # (the same seeding lloyd_fit applies to its sorted rows).
@@ -416,6 +519,20 @@ def lloyd_cells(
                     for r in update(assign(cents)).collect()
                 ]
             )
+    if not carry_columns:
+        # r11 slim path (ivf_top_k): the consumer only needs
+        # (id, vector, cell), and ``__v`` is the same doubles the
+        # downstream dot products cast the raw vectors to anyway --
+        # so skip the corpus-to-corpus re-attach join entirely
+        # (guide §8 "attach" trap: that join shuffled the payload a
+        # second time at scale just to restore columns the caller
+        # never reads).
+        assigned = assign(cents).select(
+            F.col("__id").alias(id_col),
+            F.col("__v").alias(vec_col),
+            "__cell",
+        )
+        return assigned, cents
     assigned = (
         assign(cents)
         .select("__id", "__cell")
@@ -561,6 +678,10 @@ def ivf_top_k(
                 n_iter=n_iter,
                 id_col=id_col,
                 vec_col=vec_col,
+                # r11: this function reads only (id, vector, cell)
+                # back, and the doubles are what cosine casts to
+                # anyway -- skip the corpus re-attach join.
+                carry_columns=False,
             )
             cell_col = "__cell"
         else:
@@ -1027,6 +1148,33 @@ def pq_fit_codebooks(
     ]
 
 
+def _pq_fit_codebooks_np(V, num_subspaces: int, num_centroids: int, n_iter: int):
+    """:func:`pq_fit_codebooks` over an ALREADY id-sorted float64
+    matrix (r11): each subspace fit slices the one parsed matrix
+    instead of re-building Python row lists and re-sorting per
+    subspace.  Bit-identical -- the slices are the same doubles in the
+    same row order :func:`lloyd_fit` would produce after its sort."""
+    import numpy as np
+
+    if not len(V):
+        return [[] for _ in range(num_subspaces)]
+    dim = V.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(
+            f"pq_fit_codebooks: dim {dim} not divisible by "
+            f"num_subspaces {num_subspaces}"
+        )
+    sub = dim // num_subspaces
+    return [
+        _lloyd_fit_np(
+            np.ascontiguousarray(V[:, m * sub : (m + 1) * sub]),
+            num_centroids,
+            n_iter,
+        )
+        for m in range(num_subspaces)
+    ]
+
+
 def _rerank_shortlist(e, shortlist, query_ids: list[int], k: int):
     """Shared ANN second stage: exact-cosine re-scoring of an ADC
     shortlist.  ``e`` is the (id, v double array) corpus; ``shortlist``
@@ -1119,16 +1267,16 @@ def pq_top_k(
         ),
         "id",
     )
-    rows = _bounded_fit_rows(e, fit_max_rows, "pq-fit")
-    if not rows:
+    _, fit_v = _fit_arrays(e, fit_max_rows, "pq-fit", count_df=embeddings)
+    if not len(fit_v):
         score_col = "adc_dist2" if rerank is None else "cosine"
         return spark.createDataFrame(
             [],
             f"query_id long, neighbor_id long, {score_col} double, rank bigint",
         )
-    dim = len(rows[0][1])
+    dim = fit_v.shape[1]
     sub = dim // num_subspaces
-    books = pq_fit_codebooks(rows, num_subspaces, num_centroids, n_iter)
+    books = _pq_fit_codebooks_np(fit_v, num_subspaces, num_centroids, n_iter)
 
     # ENCODE (map-only): per subspace, position of the first-minimum
     # dist2 within the ascending-cell codebook (1-based).
@@ -1343,24 +1491,22 @@ def ivfpq_top_k(
         ),
         "id",
     )
-    rows = _bounded_fit_rows(e, fit_max_rows, "ivfpq-fit")
-    if not rows:
+    _, V = _fit_arrays(e, fit_max_rows, "ivfpq-fit", count_df=embeddings)
+    if not len(V):
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rank bigint"
         )
-    dim = len(rows[0][1])
+    dim = V.shape[1]
     sub = dim // num_subspaces
 
-    coarse = lloyd_fit(rows, num_cells, n_iter)
-    rows_sorted = sorted(rows, key=lambda r: r[0])
-    V = np.array([r[1] for r in rows_sorted], dtype=np.float64)
+    # r11: coarse fit, residuals and every per-subspace PQ fit all run
+    # off the ONE id-sorted matrix the Arrow collect produced -- no
+    # per-stage Python row lists (guide §4).
+    coarse = _lloyd_fit_np(V, num_cells, n_iter)
     a = _assign_np(V, coarse)
     C = np.array([c for _, c in coarse], dtype=np.float64)
     R = V - C[a]
-    res_rows = [
-        (rows_sorted[i][0], [float(x) for x in R[i]]) for i in range(len(V))
-    ]
-    books = pq_fit_codebooks(res_rows, num_subspaces, num_centroids, n_iter)
+    books = _pq_fit_codebooks_np(R, num_subspaces, num_centroids, n_iter)
 
     cents_df = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in coarse],

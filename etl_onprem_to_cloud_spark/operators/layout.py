@@ -41,6 +41,57 @@ def spread_input(df: DataFrame, key_col: str) -> DataFrame:
     return df
 
 
+def ckpt_partitioned(
+    df: DataFrame,
+    key_col: str,
+    num_partitions: int | None = None,
+    storage_level=None,
+) -> DataFrame:
+    """Eager localCheckpoint hash-partitioned by ``key_col`` with the
+    partitioning VISIBLE to downstream planning (r11 optimization,
+    guide §2.4 "two operations keyed the same way can share one
+    exchange").
+
+    The iterative graph loops (CC min-label, LPA, BFS, Bellman-Ford)
+    join a STATIC checkpointed relation on the SAME key every round,
+    yet re-shuffled it every round: ``Dataset.localCheckpoint``
+    captures ``physicalPlan.outputPartitioning``, and under AQE the
+    physical plan is an ``AdaptiveSparkPlanExec`` whose partitioning
+    reports ``UnknownPartitioning`` -- so the checkpoint forgets its
+    layout and EnsureRequirements re-inserts an edge-wide Exchange in
+    every consumer (measured in scripts/exp_ckpt_partitioning.py:
+    3 exchanges with a plain checkpoint, 2 with this helper; the
+    surviving ones are the changing small side + the downstream
+    rollup).  Planning this one repartition-then-checkpoint with AQE
+    momentarily OFF makes the stored ``hashpartitioning(key, n)``
+    stick, so per-round joins shuffle only the side that changed.
+    The AQE loss is confined to the trivial plan built here (a scan +
+    one exchange -- nothing for AQE to do); callers checkpoint any
+    expensive build subtree FIRST, with AQE on, as before.
+
+    Scale shape: the partition count defaults to the relation's OWN
+    current partition count -- i.e. whatever AQE already sized the
+    upstream materialization to -- so the stored layout is
+    scale-adaptive by construction (a handful of partitions at bench
+    density, cluster-wide at 100 TB; a fixed defaultParallelism here
+    measured ~0.4 s SLOWER per iterative query at sf0.1 from 32-task
+    round stages over KB-sized data).  Each round's node-sized side
+    shuffles TO the stored layout, which is exactly the Pregel-style
+    static-edge placement.  Deterministic: hash partitioning on a
+    stable key."""
+    spark = df.sparkSession
+    n = num_partitions or max(1, df.rdd.getNumPartitions())
+    kwargs = {"eager": True}
+    if storage_level is not None:
+        kwargs["storageLevel"] = storage_level
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(n, F.col(key_col)).localCheckpoint(**kwargs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def morton_code(x: Column, y: Column, bits: int = 8) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints.
 

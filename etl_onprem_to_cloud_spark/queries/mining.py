@@ -24,6 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.numeric import dec, portable_round
 from ..operators import ranks as RK
+from ..operators.layout import ckpt_partitioned
 from ..operators.sampling import duck_hash_gate, hash_gate
 from ..pinned import pin
 from ..functions.text import tokens
@@ -922,6 +923,17 @@ def q_triangle_clustering(spark, sf_dir):
 # k-core decomposition (iterative peeling)
 # --------------------------------------------------------------------------
 
+def _node_build(df):
+    """Join-strategy marker for the node-sized build side of a
+    per-round iterative join (labels / frontier / keep sets):
+    ``shuffle_hash`` (r10) -- the side derives from a corpus-scaled
+    subtree so it must never be FORCED to broadcast, but its
+    per-partition hash build is bounded by the node set.  One
+    definition so probe scripts can A/B the strategy by
+    monkeypatching (the llm/dedup._node_build twin)."""
+    return df.hint("shuffle_hash")
+
+
 _KCORE_K, _KCORE_ROUNDS = 65, 6
 
 # Co-purchase graph: parts appearing in the same order.  (The token
@@ -991,18 +1003,22 @@ def q_kcore_copurchase(spark, sf_dir):
     """Edge build: lineitem self-join on the order key (one shuffle,
     spread across the parallelism when the scan is under-partitioned).
     Each peeling round is one shuffle on the node key (degree count)
-    plus two SHUFFLE-HASH semi-join filters of the edge list (the keep
-    side can never broadcast -- it derives from the corpus-scaled
-    degree rollup -- and sort-merge re-sorted the full edge list twice
-    per round; the r10 before-plan carried 100 declared exchanges with
-    12 edge-wide sorts).  Lineage is cut EVERY round: edges is consumed
+    plus two semi-join filters of the edge list whose strategy AQE
+    picks from RUNTIME sizes (r11: broadcast while the post-threshold
+    keep set measures small, SMJ->SHJ via the session conversion
+    threshold past it; the r10 static shuffle_hash hint foreclosed the
+    broadcast and measured 0.6-0.8 s slower at sf0.1 -- see the inline
+    comment).  Lineage is cut EVERY round: edges is consumed
     twice next round (degree rollup + semi-join chain), and without the
     cut each consumer re-executes the previous round's plan (the BFS
     every-round lesson, measured there at 4.8 s vs 5.4 s).  Round 0 is
     cut on DISK (the unthresholded pair list is corpus-scaled under
     densification -- the BFS DISK_ONLY rationale); later rounds hold
-    the k-shrunk list and keep the memory default.  At 100 TB the
-    peeling loop runs until no change with the same per-round plan."""
+    the k-shrunk list and keep the memory default; each round's
+    materializing action doubles as a convergence check (count
+    unchanged = fixpoint -> remaining rounds are the identity).  At
+    100 TB the peeling loop runs the same per-round plan until that
+    fixpoint."""
     from ..operators.graph import spread_pairs_input
 
     li = spread_pairs_input(
@@ -1018,6 +1034,7 @@ def q_kcore_copurchase(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
+    prev_n = None
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = (
             edges.select(F.col("x").alias("node"))
@@ -1026,21 +1043,34 @@ def q_kcore_copurchase(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        # r11: NO static join hint on the keep sides -- the r10
+        # shuffle_hash hint foreclosed AQE's runtime-measured broadcast
+        # of the (node-bounded, post-threshold) keep set, and the
+        # interleaved A/B read hint 4.78/4.8 vs no-hint 3.98/4.3 s
+        # min/median at sf0.1 in both sessions.  Scale stays safe
+        # without it: AQE decides from RUNTIME sizes (broadcast while
+        # keep measures small, SMJ->SHJ via the session conversion
+        # threshold past it) -- the r10 ban was on ESTIMATE-driven
+        # strategies, which this never reintroduces.
         edges = (
-            edges.join(
-                keep.withColumnRenamed("node", "x").hint("shuffle_hash"),
-                "x",
-                "left_semi",
-            )
-            .join(
-                keep.withColumnRenamed("node", "y").hint("shuffle_hash"),
-                "y",
-                "left_semi",
-            )
+            edges.join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
+            .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
             .select("x", "y")
         )
         if i < _KCORE_ROUNDS:
-            edges = edges.localCheckpoint(eager=True)
+            # r11: fold a convergence check into the round's one
+            # materializing action (the connected_components trick --
+            # lazy checkpoint + count in the same job, so this costs
+            # no extra job vs the eager checkpoint it replaces).
+            # Peeling only ever REMOVES edges, so an unchanged count
+            # means an unchanged edge set and every remaining round is
+            # the identity -- exiting early is value-identical to the
+            # oracle's full unrolling.
+            edges = edges.localCheckpoint(eager=False)
+            n = edges.count()
+            if n == prev_n:
+                break
+            prev_n = n
     return (
         edges.select(F.col("x").alias("node"))
         .unionAll(edges.select(F.col("y").alias("node")))
@@ -3330,7 +3360,13 @@ def q_lpa_communities(spark, sf_dir):
     und = edges.select(
         F.col("x").alias("node"), F.col("y").alias("nb")
     ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb")))
-    und = und.localCheckpoint(eager=True)
+    # r11: the static und list is joined on nb EVERY round; storing it
+    # hash-partitioned by nb (layout.ckpt_partitioned -- a plain
+    # checkpoint under AQE forgets its layout) lets each round's votes
+    # join stream it with no exchange, so only the node-sized label
+    # side shuffles per round.  Same single materialization as the
+    # plain eager checkpoint it replaces.
+    und = ckpt_partitioned(und, "nb")
     labels = und.select("node").distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -3341,9 +3377,11 @@ def q_lpa_communities(spark, sf_dir):
         # bounded per-partition hash map.
         votes = (
             und.join(
-                labels.select(
-                    F.col("node").alias("nb"), F.col("lbl").alias("nlbl")
-                ).hint("shuffle_hash"),
+                _node_build(
+                    labels.select(
+                        F.col("node").alias("nb"), F.col("lbl").alias("nlbl")
+                    )
+                ),
                 "nb",
             )
             .groupBy("node", "nlbl")
@@ -3619,6 +3657,18 @@ def q_bfs_hops_from_hubs(spark, sf_dir):
     und = edges.select(
         F.col("x").alias("node"), F.col("y").alias("nb")
     ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb")))
+    # r11: store und itself, hash-partitioned by node
+    # (layout.ckpt_partitioned): every round's frontier join AND the
+    # degree rollup key on node, so the stored layout removes the
+    # und-wide exchange from each of them and each round reads und's
+    # own blocks once instead of re-reading the edge checkpoint twice
+    # through the union.  Safe w.r.t. the sf100 catches above: und
+    # derives from the ALREADY-CHECKPOINTED dedup output (map-only
+    # union branches -- the double-HashAggregate re-execution cannot
+    # come back), and the copy stays on DISK like the edge list it
+    # doubles (2|E| rows of 2 bigints; the co-purchase pair set is
+    # catalog-bounded, so the extra disk is bounded too).
+    und = ckpt_partitioned(und, "node", storage_level=StorageLevel.DISK_ONLY)
     deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     seeds = (
         deg.orderBy(F.desc("d"), "node")
@@ -3637,7 +3687,7 @@ def q_bfs_hops_from_hubs(spark, sf_dir):
         # shuffle_hash on the node-sized frontier (r10): sort-merge
         # re-sorted the full und stream every round.
         expanded = hops.unionAll(
-            frontier.hint("shuffle_hash").join(und, "node").select(
+            _node_build(frontier).join(und, "node").select(
                 F.col("nb").alias("node"), F.lit(i).alias("hop")
             )
         )
@@ -4002,6 +4052,13 @@ def q_bellman_ford_cheapest(spark, sf_dir):
     und = edges.select(
         F.col("x").alias("node"), F.col("y").alias("nb"), "w"
     ).unionAll(edges.select(F.col("y").alias("node"), F.col("x").alias("nb"), "w"))
+    # r11: store und hash-partitioned by node (layout.ckpt_partitioned):
+    # the relaxation join and the seed-degree rollup both key on node,
+    # so the stored layout removes the und-wide exchange from every
+    # round and und's two union reads of the edge checkpoint happen
+    # once instead of per round.  und is support-thresholded (memory
+    # default is fine -- the unthresholded BFS twin is the DISK case).
+    und = ckpt_partitioned(und, "node")
     deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     src = (
         deg.orderBy(F.desc("d"), "node")
@@ -4013,7 +4070,7 @@ def q_bellman_ford_cheapest(spark, sf_dir):
     for i in range(1, _BF_ROUNDS + 1):
         # shuffle_hash on the node-sized frontier (r10, the BFS/LPA
         # rationale): no per-round sort of the und stream.
-        cand = frontier.hint("shuffle_hash").join(und, "node").select(
+        cand = _node_build(frontier).join(und, "node").select(
             F.col("nb").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
         new = (
