@@ -587,7 +587,7 @@ def _node_build(df: DataFrame) -> DataFrame:
     FORCED to broadcast -- but a runtime-measured AQE broadcast (which
     ignores this hint when the side measures tiny) stays available.
     One definition so probe scripts can A/B the strategy by
-    monkeypatching (scripts/ab_cc_hint_r11.py)."""
+    monkeypatching (scripts/ab_iterative_r11.py)."""
     return df.hint("shuffle_hash")
 
 

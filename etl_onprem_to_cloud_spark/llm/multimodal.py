@@ -39,15 +39,11 @@ from pyspark.sql.types import (
 )
 
 def _spread_codec_input(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
-    """Spread an under-partitioned input across the cluster parallelism
-    before a per-row Python codec stage (r10 optimization, guide §2.5
-    "input skew" + §4).  A compact corpus (one parquet file -> one scan
-    partition) would otherwise run the encode/decode ``mapInPandas``
-    single-threaded no matter the core count.  Same auto-detect idiom
-    as ``dedup._exploded_shingles``: well-partitioned inputs -- the
-    100 TB case, where maxPartitionBytes bounds scan tasks -- skip the
-    shuffle entirely, so nothing here is tuned to local mode.  Hashing
-    on the id keeps the spread deterministic under retries."""
+    """Spread before a per-row Python codec stage (guide §2.5 + §4: a
+    one-file corpus runs the ``mapInPandas`` single-threaded).  Thin
+    alias of :func:`..operators.layout.spread_input` -- see THAT
+    docstring for the canonical rationale and the no-op-at-scale
+    auto-detect (r11 ADVICE: one copy of the rationale, not three)."""
     from ..operators.layout import spread_input
 
     return spread_input(df, key_col)

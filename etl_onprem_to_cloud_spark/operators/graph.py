@@ -127,16 +127,14 @@ def duck_pagerank_sql(
 
 
 def spread_pairs_input(df, key_col: str):
-    """Spread an under-partitioned input across the cluster parallelism
-    before CPU-heavy pair generation (r10 optimization, guide §2.5
-    "input skew": one compact file -> one scan task).  The bench-scale
-    parquet inputs are single-row-group files, so the self-join's pair
-    emission + partial pair aggregation otherwise run in ONE task no
-    matter the core count.  Same auto-detect idiom as
-    ``llm/dedup._exploded_shingles``: well-partitioned inputs -- the
-    100 TB case -- skip the shuffle entirely, so nothing here is tuned
-    to local mode.  Hash-partitioning on the join key also co-partitions
-    both self-join sides through one shared (reused) exchange."""
+    """Spread before CPU-heavy pair generation (guide §2.5: the
+    bench-scale single-row-group inputs run the self-join's pair
+    emission in ONE task).  Thin alias of
+    :func:`..operators.layout.spread_input` -- see THAT docstring for
+    the canonical rationale and the no-op-at-scale auto-detect (r11
+    ADVICE: one copy of the rationale).  Hash-partitioning on the join
+    key additionally co-partitions both self-join sides through one
+    shared (reused) exchange."""
     from .layout import spread_input
 
     return spread_input(df, key_col)

@@ -34,7 +34,14 @@ def spread_input(df: DataFrame, key_col: str) -> DataFrame:
     spread_pairs_input`` and ``llm/multimodal._spread_codec_input``:
     well-partitioned inputs -- the 100 TB case -- skip the shuffle
     entirely, so nothing here is tuned to local mode.  Hashing on a
-    stable key keeps the spread deterministic under retries."""
+    stable key keeps the spread deterministic under retries.
+
+    Cost note (r11 ADVICE): ``df.rdd.getNumPartitions()`` forces a
+    full non-AQE physical planning of the input subtree at query-BUILD
+    time (no job runs).  Acceptable for the scan-adjacent projections
+    every current call site passes; if this is ever applied
+    mid-pipeline to a deep subtree, derive the partition count from
+    the leaf scan instead of planning the whole tree."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, F.col(key_col))
