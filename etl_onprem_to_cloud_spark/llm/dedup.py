@@ -337,6 +337,18 @@ def minhash_lsh_candidate_pairs(
     return count_carry_jaccard(cand, ex, jaccard_threshold, id_name=id_col)
 
 
+def _verify_build(df: DataFrame) -> DataFrame:
+    """Join-strategy marker for the count-carry verify joins' build
+    sides (the candidate-id semi-join prune + the pruned pa/pb posting
+    streams): ``shuffle_hash`` (r7-r10) -- none of these relations may
+    ever be FORCED to broadcast (candidate volume grows with the
+    corpus; the MLlib-twin mis-broadcast lesson), but a
+    runtime-measured AQE broadcast stays available only WITHOUT the
+    static hint.  One definition so probe scripts can A/B the strategy
+    by monkeypatching (the _node_build pattern)."""
+    return df.hint("shuffle_hash")
+
+
 def count_carry_jaccard(
     cand: DataFrame,
     postings: DataFrame,
@@ -403,7 +415,7 @@ def count_carry_jaccard(
         .union(cand.select(F.col("id_b").alias(id_name)))
         .distinct()
     )
-    exc = postings.join(cand_ids.hint("shuffle_hash"), id_name, "left_semi")
+    exc = postings.join(_verify_build(cand_ids), id_name, "left_semi")
     pa = exc.select(
         F.col(id_name).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
     )
@@ -411,8 +423,8 @@ def count_carry_jaccard(
         F.col(id_name).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
     )
     common = (
-        cand.join(pa.hint("shuffle_hash"), "id_a")
-        .join(pb.hint("shuffle_hash"), ["id_b", "shingle"])
+        cand.join(_verify_build(pa), "id_a")
+        .join(_verify_build(pb), ["id_b", "shingle"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )

@@ -3083,8 +3083,16 @@ def q_modularity_brand_copurchase(spark, sf_dir):
     CORPUS-SCALED part projection, so its joins carry no broadcast
     hint (estimator/AQE broadcasts at test SFs, falls back to shuffle
     at 100x); the rest is three scalar aggregates."""
+    from ..operators.graph import spread_pairs_input
+
     c = cat(spark, sf_dir)
-    li = c.lineitem.select("l_orderkey", "l_partkey")
+    # r11: the one co-purchase edge build that still ran its pair
+    # emission in the single scan task (k-core/BFS/copurchase_edges
+    # gained the spread in r10; this inline build was missed).  Same
+    # no-op-at-scale auto-detect (layout.spread_input).
+    li = spread_pairs_input(
+        c.lineitem.select("l_orderkey", "l_partkey"), "l_orderkey"
+    )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     bb = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     edges = (
