@@ -1003,12 +1003,11 @@ def q_kcore_copurchase(spark, sf_dir):
     """Edge build: lineitem self-join on the order key (one shuffle,
     spread across the parallelism when the scan is under-partitioned).
     Each peeling round is one shuffle on the node key (degree count)
-    plus two semi-join filters of the edge list whose strategy AQE
-    picks from RUNTIME sizes (r11: broadcast while the post-threshold
-    keep set measures small, SMJ->SHJ via the session conversion
-    threshold past it; the r10 static shuffle_hash hint foreclosed the
-    broadcast and measured 0.6-0.8 s slower at sf0.1 -- see the inline
-    comment).  Lineage is cut EVERY round: edges is consumed
+    plus two SHUFFLE-HASH semi-join filters of the edge list (the hint
+    was dropped mid-r11 for AQE's runtime choice, then RESTORED on the
+    three-scale A/B: -0.6-0.8 s at sf0.1, wash at sf10, +17% at sf100
+    without it -- see the inline comment).  Lineage is cut EVERY
+    round: edges is consumed
     twice next round (degree rollup + semi-join chain), and without the
     cut each consumer re-executes the previous round's plan (the BFS
     every-round lesson, measured there at 4.8 s vs 5.4 s).  Round 0 is
@@ -1043,18 +1042,28 @@ def q_kcore_copurchase(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
-        # r11: NO static join hint on the keep sides -- the r10
-        # shuffle_hash hint foreclosed AQE's runtime-measured broadcast
-        # of the (node-bounded, post-threshold) keep set, and the
-        # interleaved A/B read hint 4.78/4.8 vs no-hint 3.98/4.3 s
-        # min/median at sf0.1 in both sessions.  Scale stays safe
-        # without it: AQE decides from RUNTIME sizes (broadcast while
-        # keep measures small, SMJ->SHJ via the session conversion
-        # threshold past it) -- the r10 ban was on ESTIMATE-driven
-        # strategies, which this never reintroduces.
+        # shuffle_hash RESTORED (r11, three-scale A/B with
+        # scripts/ab_kcore_sf10_r11.py): dropping the hint for AQE's
+        # runtime choice read 0.6-0.8 s faster at sf0.1 and a wash at
+        # sf10 (13.5 vs 14.0 interleaved), but at sf100 -- fresh JVM
+        # per leg, the standing one-JVM-per-query methodology -- the
+        # no-hint leg cost +17% (161.0 vs 137.3 s; the densified edge
+        # stream pays per-round sort/strategy overhead once its
+        # partitions outgrow AQE's conversion windows).  The hint keeps
+        # the SHJ per-partition build bounded by the node set (keep
+        # derives from a corpus-scaled rollup, so it may never be
+        # FORCED to broadcast).
         edges = (
-            edges.join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
-            .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
+            edges.join(
+                keep.withColumnRenamed("node", "x").hint("shuffle_hash"),
+                "x",
+                "left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("node", "y").hint("shuffle_hash"),
+                "y",
+                "left_semi",
+            )
             .select("x", "y")
         )
         if i < _KCORE_ROUNDS:

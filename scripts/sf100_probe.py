@@ -142,6 +142,14 @@ PROBE = [
     "q_bfs_hops_from_hubs",
     "q_contrastive_pairs",
     "q_dsir_importance_resampling",
+    # r11 extension (VERDICT r10 item 5 names these): third-decade rows
+    # for the remaining changed iterative shapes -- min-label CC over
+    # minhash pairs, LPA, and the weighted Bellman-Ford relaxation --
+    # after the r10/r11 loop restructures (partitioned static-edge
+    # checkpoints, shuffle_hash label joins, convergence-fold rounds).
+    "q_dedup_clusters",
+    "q_lpa_communities",
+    "q_bellman_ford_cheapest",
 ]
 
 #: VERDICT r9 item 1: a fixed 1x-cores initial shuffle width makes

@@ -784,8 +784,13 @@ def test_png_decode_is_arrow_batched_map_only(spark, sf_dir):
     # Wilson: item rollup + rank window over the item domain.
     ("q_wilson_ctr_ranking", 4),
     # modularity: edge build (exchange-reused) + degree/brand rollups
-    # + scalar joins; the static count includes each reuse.
-    ("q_modularity_brand_copurchase", 12),
+    # + scalar joins; the static count includes each reuse.  12 -> 15
+    # (r11): the edge build gained the spread_pairs_input repartition
+    # (A/B 1.60 vs 2.30 s; no-op at scale), whose ONE exchange prints
+    # once per edge-build consumer (intra / degree / m) in the
+    # unexecuted plan -- same per-reuse reprint the CF note above
+    # describes.  Executed exchanges are unchanged except the spread.
+    ("q_modularity_brand_copurchase", 15),
 ])
 def test_r04_batch4_plan_shape(name, max_shuffles, spark, sf_dir):
     from etl_onprem_to_cloud_spark.plans.checks import explain_str
